@@ -1,0 +1,658 @@
+"""Focusr orchestrator: the end-to-end FOCUSR registration pipeline.
+
+TPU-native re-implementation of the reference ``Focusr`` class
+(``focusr.py:22-807``).  The constructor signature mirrors the reference's
+~40 keyword arguments by name (they are the public API contract — SURVEY
+§5.6), plus ``seed`` for reproducible subsampling and ``timer`` options.
+
+Pipeline (same ordering as reference ``align_maps``, ``focusr.py:514-570``):
+  ctor:  optional ICP pre-alignment -> build target & source Graph + spectra
+  align_maps:
+    eigsort (sign-flip + reorder source eigvecs)        focusr.py:515-521
+    spectral coords (optionally confidence-weighted)     focusr.py:459-508
+    append smoothed extra features / xyz                 focusr.py:218-295
+    affine CPD ("rigid" step, D>3)                       focusr.py:537-539
+    deformable CPD + transform full target coords        focusr.py:542-543
+    initial correspondences (kd | hungarian)             focusr.py:545
+    smoothed correspondences (graph low-pass)            focusr.py:551-552
+    weighted / nearest final node locations              focusr.py:559-562
+    transformed meshes                                   focusr.py:564-568
+
+All stage results are kept as attributes with the reference's names
+(``corresponding_target_idx_for_each_source_pt``,
+``nearest_neighbor_transformed_points``, ``weighted_avg_transformed_points``,
+``average_mesh``, ...), so downstream code written against the reference
+ports directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .mesh import TriMesh
+from .ops import cpd
+from .ops.assignment import linear_sum_assignment
+from .ops.icp import icp as icp_fit, apply_rigid
+from .ops.knn import nn_query, knn_query, pairwise_sq_dists
+from .spectral.eigsort import eigsort
+from .spectral.graph import Graph
+from .utils.logging import StageTimer, print_header
+
+__all__ = ["Focusr"]
+
+
+class Focusr(object):
+    def __init__(
+        self,
+        vtk_mesh_target: TriMesh,
+        vtk_mesh_source: TriMesh,
+        icp_register_first=True,
+        icp_registration_mode="rigid",  # 'rigid' | 'similarity'
+        icp_reg_target_to_source=False,
+        n_spectral_features=3,
+        n_extra_spectral=3,
+        target_eigenmap_as_reference=True,
+        norm_physical_and_spectral=True,
+        n_coords_spectral_ordering=5000,
+        n_coords_spectral_registration=5000,
+        rigid_before_non_rigid_reg=True,
+        rigid_reg_max_iterations=100,
+        rigid_tolerance=1e-8,
+        non_rigid_max_iterations=1000,
+        non_rigid_tolerance=1e-8,
+        non_rigid_alpha=0.5,
+        non_rigid_beta=3.0,
+        non_rigid_n_eigens=100,
+        include_points_as_features=False,
+        get_weighted_spectral_coords=True,
+        graph_smoothing_iterations=300,
+        feature_smoothing_iterations=40,
+        smooth_correspondences=True,
+        return_average_final_points=True,
+        return_nearest_final_points=True,
+        return_transformed_mesh=True,
+        projection_smooth_iterations=40,
+        feature_weights=None,
+        initial_correspondence_type="kd",  # 'kd' | 'hungarian'
+        final_correspondence_type="kd",  # 'kd' | 'hungarian'
+        list_features_to_calc=("curvature",),
+        list_features_to_get_from_mesh=(),
+        use_features_as_coords=False,
+        use_features_in_graph=False,
+        include_features_in_adj_matrix=False,
+        G_matrix_p_function="exp",
+        norm_node_features_std=True,
+        norm_node_features_cap_std=3,
+        norm_node_features_0_1=True,
+        verbose=False,
+        seed=0,
+        timer: StageTimer | None = None,
+    ):
+        self.verbose = verbose
+        self.timer = timer if timer is not None else StageTimer(verbose=verbose)
+        if verbose:
+            print("Starting Focusr")
+        # Inputs (names mirror reference ``focusr.py:72-104``).
+        self.n_spectral_features = n_spectral_features
+        self.n_extra_spectral = n_extra_spectral
+        self.n_total_spectral_features = n_spectral_features + n_extra_spectral
+        self.target_eigenmap_as_reference = target_eigenmap_as_reference
+        self.norm_physical_and_spectral = norm_physical_and_spectral
+        self.include_points_as_features = include_points_as_features
+        self.get_weighted_spectral_coords = get_weighted_spectral_coords
+        self.feature_smoothing_iterations = feature_smoothing_iterations
+        self.n_coords_spectral_registration = n_coords_spectral_registration
+        self.rigid_before_non_rigid_reg = rigid_before_non_rigid_reg
+        self.rigid_reg_max_iterations = rigid_reg_max_iterations
+        self.rigid_tolerance = rigid_tolerance
+        self.non_rigid_max_iterations = non_rigid_max_iterations
+        self.non_rigid_tolerance = non_rigid_tolerance
+        self.non_rigid_alpha = non_rigid_alpha
+        self.non_rigid_beta = non_rigid_beta
+        self.non_rigid_n_eigens = non_rigid_n_eigens
+        self.initial_correspondence_type = initial_correspondence_type
+        self.smooth_correspondences = smooth_correspondences
+        self.return_average_final_points = return_average_final_points
+        self.return_nearest_final_points = return_nearest_final_points
+        self.graph_smoothing_iterations = graph_smoothing_iterations
+        self.projection_smooth_iterations = projection_smooth_iterations
+        self.final_correspondence_type = final_correspondence_type
+        self.return_transformed_mesh = return_transformed_mesh
+        self.seed = seed
+
+        # --- ICP pre-alignment (reference ``focusr.py:106-131``) ---
+        self._icp_transform = None
+        if icp_register_first is True:
+            with self.timer.span("icp"):
+                if icp_reg_target_to_source is True:
+                    (s, R, t), moved = icp_fit(
+                        jnp.asarray(vtk_mesh_target.points, jnp.float32),
+                        jnp.asarray(vtk_mesh_source.points, jnp.float32),
+                        mode=icp_registration_mode,
+                    )
+                    vtk_mesh_target = vtk_mesh_target.with_points(moved)
+                else:
+                    (s, R, t), moved = icp_fit(
+                        jnp.asarray(vtk_mesh_source.points, jnp.float32),
+                        jnp.asarray(vtk_mesh_target.points, jnp.float32),
+                        mode=icp_registration_mode,
+                    )
+                    vtk_mesh_source = vtk_mesh_source.with_points(moved)
+                self._icp_transform = (s, R, t)
+
+        graph_kwargs = dict(
+            n_spectral_features=self.n_total_spectral_features,
+            n_rand_samples=n_coords_spectral_ordering,
+            list_features_to_calc=list(list_features_to_calc),
+            list_features_to_get_from_mesh=list(list_features_to_get_from_mesh),
+            feature_weights=feature_weights,
+            include_features_in_G_matrix=use_features_in_graph,
+            include_features_in_adj_matrix=include_features_in_adj_matrix,
+            G_matrix_p_function=G_matrix_p_function,
+            norm_node_features_std=norm_node_features_std,
+            norm_node_features_cap_std=norm_node_features_cap_std,
+            norm_node_features_0_1=norm_node_features_0_1,
+        )
+        with self.timer.span("build_graph_target"):
+            self.graph_target = Graph(vtk_mesh_target, seed=seed, **graph_kwargs)
+        with self.timer.span("spectrum_target"):
+            self.graph_target.get_graph_spectrum()
+        with self.timer.span("build_graph_source"):
+            self.graph_source = Graph(vtk_mesh_source, seed=seed + 1, **graph_kwargs)
+        with self.timer.span("spectrum_source"):
+            self.graph_source.get_graph_spectrum()
+
+        self.use_features_as_coords = use_features_as_coords
+
+        # Result slots (names mirror reference ``focusr.py:174-212``).
+        self.Q = None
+        self.spectral_weights = None
+        self.source_spectral_coords = None
+        self.target_spectral_coords = None
+        self.source_extra_features = None
+        self.target_extra_features = None
+        self.source_spectral_coords_after_rigid = None
+        self.source_spectral_coords_b4_reg = None
+        self.rigid_params = None
+        self.non_rigid_params = None
+        self.smoothed_target_coords = None
+        self.source_projected_on_target = None
+        self.weighted_avg_transformed_mesh = None
+        self.nearest_neighbour_transformed_mesh = None
+        self.corresponding_target_idx_for_each_source_pt = None
+        self.nearest_neighbor_transformed_points = None
+        self.weighted_avg_transformed_points = None
+        self.average_mesh = None
+
+    # ------------------------------------------------------------------
+    # Point-set preparation (reference ``focusr.py:218-295``)
+    # ------------------------------------------------------------------
+    def append_features_to_spectral_coords(self):
+        if self.verbose:
+            print("Appending Extra Features to Spectral Coords")
+        if self.graph_source.n_extra_features != self.graph_target.n_extra_features:
+            raise Exception(
+                "Number of extra features between"
+                " target ({}) and source ({}) dont match!".format(
+                    self.graph_target.n_extra_features,
+                    self.graph_source.n_extra_features,
+                )
+            )
+        src_cols, tgt_cols = [], []
+        for graph, cols, coords in (
+            (self.graph_source, src_cols, self.source_spectral_coords),
+            (self.graph_target, tgt_cols, self.target_spectral_coords),
+        ):
+            ptp = jnp.max(coords) - jnp.min(coords)
+            for f in graph.node_features:
+                sm = graph.mean_filter_graph(
+                    f, iterations=self.feature_smoothing_iterations
+                )
+                sm = sm - jnp.min(sm)
+                sm = sm / jnp.max(sm)
+                cols.append(ptp * sm)
+        self.source_extra_features = jnp.stack(src_cols, axis=1)
+        self.target_extra_features = jnp.stack(tgt_cols, axis=1)
+        self.source_spectral_coords = jnp.concatenate(
+            [self.source_spectral_coords, self.source_extra_features], axis=1
+        )
+        self.target_spectral_coords = jnp.concatenate(
+            [self.target_spectral_coords, self.target_extra_features], axis=1
+        )
+
+    def append_pts_to_spectral_coords(self):
+        if self.norm_physical_and_spectral is True:
+            self.source_spectral_coords = jnp.concatenate(
+                [self.source_spectral_coords, self.graph_source.normed_points], axis=1
+            )
+            self.target_spectral_coords = jnp.concatenate(
+                [self.target_spectral_coords, self.graph_target.normed_points], axis=1
+            )
+        else:
+            self.source_spectral_coords = jnp.concatenate(
+                [
+                    self.source_spectral_coords * self.graph_source.mean_pts_scale_range,
+                    self.graph_source.points,
+                ],
+                axis=1,
+            )
+            self.target_spectral_coords = jnp.concatenate(
+                [
+                    self.target_spectral_coords * self.graph_target.mean_pts_scale_range,
+                    self.graph_target.points,
+                ],
+                axis=1,
+            )
+
+    # ------------------------------------------------------------------
+    # CPD registration (reference ``focusr.py:297-334``)
+    # ------------------------------------------------------------------
+    def register_target_to_source(self, reg_type="deformable"):
+        src_idx = self.graph_source.get_list_rand_idxs(
+            self.n_coords_spectral_registration
+        )
+        tgt_idx = self.graph_target.get_list_rand_idxs(
+            self.n_coords_spectral_registration
+        )
+        X = self.source_spectral_coords[src_idx, :]
+        Y = self.target_spectral_coords[tgt_idx, :]
+        if reg_type == "deformable":
+            reg = cpd.deformable_registration(
+                X=X,
+                Y=Y,
+                num_eig=self.non_rigid_n_eigens,
+                max_iterations=self.non_rigid_max_iterations,
+                tolerance=self.non_rigid_tolerance,
+                alpha=self.non_rigid_alpha,
+                beta=self.non_rigid_beta,
+                verbose=self.verbose,
+                seed=self.seed,
+            )
+            _, self.non_rigid_params = reg.register()
+        elif reg_type == "affine":
+            # Affine in place of rigid: cycpd rigid rejects D > 3 dims
+            # (reference comment ``focusr.py:318``).
+            reg = cpd.affine_registration(
+                X=X,
+                Y=Y,
+                max_iterations=self.rigid_reg_max_iterations,
+                tolerance=self.rigid_tolerance,
+            )
+            _, self.rigid_params = reg.register()
+        # Apply to ALL target points (reference ``focusr.py:334``).
+        self.target_spectral_coords = reg.transform_point_cloud(
+            self.target_spectral_coords
+        )
+
+    # ------------------------------------------------------------------
+    # Correspondences (reference ``focusr.py:340-431``)
+    # ------------------------------------------------------------------
+    def get_hungarian_correspondence(self, target_pts, spectral_pts):
+        d2 = np.asarray(pairwise_sq_dists(
+            jnp.asarray(spectral_pts), jnp.asarray(target_pts)
+        ))
+        _, target_idx = linear_sum_assignment(d2)
+        self.corresponding_target_idx_for_each_source_pt = np.asarray(target_idx)
+
+    def get_kd_correspondence(self, target_pts, spectral_pts):
+        _, idx = nn_query(jnp.asarray(target_pts), jnp.asarray(spectral_pts))
+        self.corresponding_target_idx_for_each_source_pt = np.asarray(idx)
+
+    def get_initial_correspondences(self):
+        if self.initial_correspondence_type == "kd":
+            self.get_kd_correspondence(
+                self.target_spectral_coords, self.source_spectral_coords
+            )
+        elif self.initial_correspondence_type == "hungarian":
+            self.get_hungarian_correspondence(
+                self.target_spectral_coords, self.source_spectral_coords
+            )
+
+    def get_smoothed_correspondences(self):
+        self.smoothed_target_coords = self.graph_target.mean_filter_graph(
+            self.graph_target.points, iterations=self.graph_smoothing_iterations
+        )
+        if (
+            self.smoothed_target_coords.shape[0] != self.graph_source.n_points
+        ) and (self.initial_correspondence_type == "hungarian"):
+            raise Exception(
+                "If number vertices between source & target don't match, "
+                "initial_correspondence_type must\nbe 'kd' and not 'hungarian'. "
+                "Current type is: {}".format(self.initial_correspondence_type)
+            )
+        gathered = self.smoothed_target_coords[
+            jnp.asarray(self.corresponding_target_idx_for_each_source_pt), :
+        ]
+        self.source_projected_on_target = self.graph_source.mean_filter_graph(
+            gathered, iterations=self.projection_smooth_iterations
+        )
+        if self.final_correspondence_type == "kd":
+            self.get_kd_correspondence(
+                self.smoothed_target_coords, self.source_projected_on_target
+            )
+        elif self.final_correspondence_type == "hungarian":
+            self.get_hungarian_correspondence(
+                self.smoothed_target_coords, self.source_projected_on_target
+            )
+
+    def get_weighted_final_node_locations(self, n_closest_pts=3):
+        """Inverse-distance-weighted average of the 3 closest smoothed-target
+        points, with the exact-hit short-circuit (reference
+        ``focusr.py:401-426``) — vectorized over all source points."""
+        dists, idxs = knn_query(
+            jnp.asarray(self.smoothed_target_coords),
+            jnp.asarray(self.source_projected_on_target),
+            k=n_closest_pts,
+        )
+        tgt_xyz = self.graph_target.points[idxs]  # [N, k, 3]
+        exact = dists <= 0.0  # [N, k]
+        any_exact = jnp.any(exact, axis=1)
+        first_exact = jnp.argmax(exact, axis=1)
+        exact_xyz = jnp.take_along_axis(
+            tgt_xyz, first_exact[:, None, None], axis=1
+        )[:, 0, :]
+        wts = 1.0 / jnp.maximum(dists, 1e-30)
+        avg = jnp.sum(tgt_xyz * wts[:, :, None], axis=1) / jnp.sum(
+            wts, axis=1, keepdims=True
+        )
+        self.weighted_avg_transformed_points = jnp.where(
+            any_exact[:, None], exact_xyz, avg
+        )
+
+    def get_nearest_neighbour_final_node_locations(self):
+        self.nearest_neighbor_transformed_points = self.graph_target.points[
+            jnp.asarray(self.corresponding_target_idx_for_each_source_pt), :
+        ]
+
+    def get_average_shape(self, align_type="weighted"):
+        """Midpoint mesh of source and its transformed positions
+        (reference ``focusr.py:433-453``)."""
+        if align_type == "nearest":
+            new_xyz = self.graph_target.points[
+                jnp.asarray(self.corresponding_target_idx_for_each_source_pt), :
+            ]
+            mean_xyz = (self.graph_source.points + new_xyz) / 2.0
+        elif align_type == "weighted":
+            mean_xyz = (
+                self.weighted_avg_transformed_points + self.graph_source.points
+            ) / 2.0
+        else:
+            raise ValueError(f"Unknown align_type {align_type!r}")
+        self.average_mesh = self.graph_source.mesh.with_points(mean_xyz)
+        return self.average_mesh
+
+    # ------------------------------------------------------------------
+    # Spectral weighting (reference ``focusr.py:459-508``)
+    # ------------------------------------------------------------------
+    def calc_c_weighting_spectral(self):
+        lam_max = jnp.maximum(
+            self.graph_source.eig_vals[: self.n_spectral_features],
+            self.graph_target.eig_vals[: self.n_spectral_features],
+        )
+        w = self.Q[: self.n_spectral_features] * lam_max
+        sigma = jnp.mean(w)
+        self.spectral_weights = jnp.exp(-(w**2) / (2.0 * sigma**2))
+
+    def calc_weighted_spectral_coords(self):
+        self.calc_c_weighting_spectral()
+        self.source_spectral_coords = (
+            self.graph_source.eig_vecs[:, : self.n_spectral_features]
+            * self.spectral_weights[None, :]
+        )
+        self.target_spectral_coords = (
+            self.graph_target.eig_vecs[:, : self.n_spectral_features]
+            * self.spectral_weights[None, :]
+        )
+
+    def calc_spectral_coords(self):
+        if self.get_weighted_spectral_coords is True:
+            self.calc_weighted_spectral_coords()
+        else:
+            self.source_spectral_coords = self.graph_source.eig_vecs[
+                :, : self.n_spectral_features
+            ]
+            self.target_spectral_coords = self.graph_target.eig_vecs[
+                :, : self.n_spectral_features
+            ]
+
+    # ------------------------------------------------------------------
+    # Main entry (reference ``focusr.py:514-570``)
+    # ------------------------------------------------------------------
+    def align_maps(self):
+        with self.timer.span("eigsort"):
+            eig_map_sorter = eigsort(
+                graph_target=self.graph_target,
+                graph_source=self.graph_source,
+                n_features=self.n_total_spectral_features,
+                target_as_reference=self.target_eigenmap_as_reference,
+            )
+            self.Q = eig_map_sorter.sort_eigenmaps()
+        self.calc_spectral_coords()
+
+        if (self.graph_source.n_extra_features > 0) and (
+            self.use_features_as_coords is True
+        ):
+            with self.timer.span("append_features"):
+                self.append_features_to_spectral_coords()
+        if self.include_points_as_features is True:
+            self.append_pts_to_spectral_coords()
+
+        self.source_spectral_coords_b4_reg = jnp.copy(self.source_spectral_coords)
+        if self.verbose:
+            print(
+                "Number of features (including spectral) used for "
+                "registartion: {}".format(self.target_spectral_coords.shape[1])
+            )
+
+        if self.rigid_before_non_rigid_reg is True:
+            if self.verbose:
+                print_header("Rigid Registration Beginning!")
+            with self.timer.span("cpd_affine"):
+                self.register_target_to_source(reg_type="affine")
+            self.source_spectral_coords_after_rigid = jnp.copy(
+                self.source_spectral_coords
+            )
+        if self.verbose:
+            print_header("Non-Rigid (Deformable) Registration Beginning")
+        with self.timer.span("cpd_deformable"):
+            self.register_target_to_source("deformable")
+
+        with self.timer.span("initial_correspondences"):
+            self.get_initial_correspondences()
+        if self.verbose:
+            print(
+                "Number of unique correspondences: {}".format(
+                    len(np.unique(self.corresponding_target_idx_for_each_source_pt))
+                )
+            )
+        if self.smooth_correspondences is True:
+            with self.timer.span("smoothed_correspondences"):
+                self.get_smoothed_correspondences()
+            if self.verbose:
+                print(
+                    "Number of unique correspondences after smoothing: {}".format(
+                        len(
+                            np.unique(
+                                self.corresponding_target_idx_for_each_source_pt
+                            )
+                        )
+                    )
+                )
+        if self.return_average_final_points is True:
+            with self.timer.span("final_locations_weighted"):
+                self.get_weighted_final_node_locations()
+        if self.return_nearest_final_points is True:
+            self.get_nearest_neighbour_final_node_locations()
+        if self.return_transformed_mesh is True:
+            if self.return_average_final_points is True:
+                self.get_source_mesh_transformed_weighted_avg()
+            if self.return_nearest_final_points is True:
+                self.get_source_mesh_transformed_nearest_neighbour()
+
+    # ------------------------------------------------------------------
+    # Scalar setters for visualization (reference ``focusr.py:576-599``)
+    # ------------------------------------------------------------------
+    def set_transformed_source_scalars_to_corresp_target_idx(self):
+        idx = jnp.asarray(
+            self.corresponding_target_idx_for_each_source_pt, jnp.float32
+        )
+        if self.weighted_avg_transformed_mesh is not None:
+            self.weighted_avg_transformed_mesh = (
+                self.weighted_avg_transformed_mesh.with_point_data("corresp_idx", idx)
+            )
+        if self.nearest_neighbour_transformed_mesh is not None:
+            self.nearest_neighbour_transformed_mesh = (
+                self.nearest_neighbour_transformed_mesh.with_point_data(
+                    "corresp_idx", idx
+                )
+            )
+
+    def set_source_scalars_to_corresp_target_idx(self):
+        self.graph_source.mesh = self.graph_source.mesh.with_point_data(
+            "corresp_idx",
+            jnp.asarray(self.corresponding_target_idx_for_each_source_pt, jnp.float32),
+        )
+
+    def set_target_scalars_to_corresp_target_idx(self):
+        self.graph_target.mesh = self.graph_target.mesh.with_point_data(
+            "corresp_idx",
+            jnp.arange(self.graph_target.n_points, dtype=jnp.float32),
+        )
+
+    def set_all_mesh_scalars_to_corresp_target_idx(self):
+        self.set_target_scalars_to_corresp_target_idx()
+        self.set_source_scalars_to_corresp_target_idx()
+        self.set_transformed_source_scalars_to_corresp_target_idx()
+
+    # ------------------------------------------------------------------
+    # Output meshes (reference ``focusr.py:605-625``)
+    # ------------------------------------------------------------------
+    def get_source_mesh_transformed_weighted_avg(self):
+        self.weighted_avg_transformed_mesh = self.graph_source.mesh.with_points(
+            self.weighted_avg_transformed_points
+        )
+
+    def get_source_mesh_transformed_nearest_neighbour(self):
+        self.nearest_neighbour_transformed_mesh = self.graph_source.mesh.with_points(
+            self.nearest_neighbor_transformed_points
+        )
+
+    # ------------------------------------------------------------------
+    # Viewers (reference ``focusr.py:646-795``) — optional itkwidgets.
+    # ------------------------------------------------------------------
+    def view_aligned_spectral_coords(
+        self,
+        starting_spectral_coord=0,
+        point_set_representations=("spheres",),
+        point_set_colors=None,
+        include_target_coordinates=True,
+        include_non_rigid_aligned=True,
+        include_rigid_aligned=False,
+        include_unaligned=False,
+        upscale_factor=10.0,
+    ):
+        from .utils.viz import view_point_sets
+
+        sl = slice(starting_spectral_coord, starting_spectral_coord + 3)
+        point_sets = []
+        if include_target_coordinates:
+            point_sets.append(upscale_factor * np.asarray(self.target_spectral_coords)[:, sl])
+        if include_unaligned:
+            point_sets.append(
+                upscale_factor * np.asarray(self.source_spectral_coords_b4_reg)[:, sl]
+            )
+        if include_rigid_aligned:
+            point_sets.append(
+                upscale_factor
+                * np.asarray(self.source_spectral_coords_after_rigid)[:, sl]
+            )
+        if include_non_rigid_aligned:
+            point_sets.append(upscale_factor * np.asarray(self.source_spectral_coords)[:, sl])
+        return view_point_sets(
+            point_sets,
+            representations=list(point_set_representations),
+            colors=point_set_colors,
+        )
+
+    def view_meshes_colored_by_spectral_correspondences(
+        self, x_translation=100, y_translation=0, z_translation=0, shadow=True
+    ):
+        from .utils.viz import view_meshes
+
+        target = self.graph_target.mesh.with_point_data(
+            "corresp_idx", jnp.arange(self.graph_target.n_points, dtype=jnp.float32)
+        )
+        target = target.with_points(
+            target.points
+            + jnp.asarray([x_translation, y_translation, z_translation], jnp.float32)
+        )
+        source = self.graph_source.mesh.with_point_data(
+            "corresp_idx",
+            jnp.asarray(self.corresponding_target_idx_for_each_source_pt, jnp.float32),
+        )
+        return view_meshes([source, target], shadow=shadow)
+
+    def view_aligned_smoothed_spectral_coords(self):
+        from .utils.viz import view_point_sets
+
+        return view_point_sets(
+            [self.smoothed_target_coords, self.source_projected_on_target]
+        )
+
+    def view_meshes(
+        self,
+        include_target=True,
+        include_source=True,
+        include_transformed_target=False,
+        include_average=False,
+        shadow=True,
+    ):
+        from .utils.viz import view_meshes
+
+        geometries = []
+        if include_target:
+            geometries.append(self.graph_target.mesh)
+        if include_source:
+            geometries.append(self.graph_source.mesh)
+        if include_transformed_target:
+            if self.weighted_avg_transformed_mesh is not None:
+                geometries.append(self.weighted_avg_transformed_mesh)
+            elif self.nearest_neighbour_transformed_mesh is not None:
+                geometries.append(self.nearest_neighbour_transformed_mesh)
+            elif self.weighted_avg_transformed_points is not None:
+                self.get_source_mesh_transformed_weighted_avg()
+                geometries.append(self.weighted_avg_transformed_mesh)
+            elif self.nearest_neighbor_transformed_points is not None:
+                self.get_nearest_neighbour_final_node_locations()
+                self.get_source_mesh_transformed_nearest_neighbour()
+                geometries.append(self.nearest_neighbour_transformed_mesh)
+            else:
+                raise Exception(
+                    "No corresponding points or meshes calculated. Try running: \n"
+                    "reg.get_weighted_final_node_locations()\n"
+                    "reg.get_nearest_neighbour_final_node_locations()\n"
+                    "or try re-running with the flags: \n"
+                    "return_average_final_points=True & return_transformed_mesh=True"
+                )
+        if include_average:
+            if self.average_mesh is None:
+                if self.weighted_avg_transformed_points is not None:
+                    self.get_average_shape()
+                elif self.nearest_neighbor_transformed_points is not None:
+                    self.get_average_shape(align_type="nearest")
+                else:
+                    raise Exception(
+                        "No xyz correspondences calculated can't get average! Try:\n"
+                        "`reg.get_weighted_final_node_locations` or "
+                        "`reg.get_nearest_neighbour_final_node_locations`"
+                    )
+            geometries.append(self.average_mesh)
+        return view_meshes(geometries, shadow=shadow)
+
+    @property
+    def icp_transform(self):
+        """The fitted ICP transform (s, R, t).  Unlike the reference
+        (``focusr.py:797-807``, AttributeError when ``icp_register_first``
+        was False — documented latent defect) this returns None in that case."""
+        return self._icp_transform

@@ -1,0 +1,184 @@
+"""Mesh core: a pytree triangle-mesh container plus host-side topology
+preprocessing (unique edges, padded fixed-degree neighbor tables).
+
+Design: the reference keeps meshes as live ``vtkPolyData`` objects and walks
+points/cells/edges through the Python<->C++ boundary one element at a time
+(``graph.py:60-62`` per-point loop; ``graph.py:148-178`` per-cell/per-edge
+adjacency loop — its dominant Python-side cost).  Here a mesh is a pytree of
+static-shape arrays, and all connectivity analysis is a one-time vectorized
+numpy pass at load; every per-iteration consumer (SpMV, smoothing, Laplacian)
+then runs on TPU over the padded ELL neighbor table with no host chatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.vtk_io import read_vtk_polydata, write_vtk_polydata
+
+__all__ = ["TriMesh", "MeshTopology", "load_mesh", "save_mesh", "build_topology"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TriMesh:
+    """Triangle mesh as arrays.
+
+    points:     f32/f64 [N, 3] vertex positions
+    triangles:  i32 [F, 3] vertex indices per face
+    point_data: dict of named per-vertex arrays (e.g. 'thickness_change_(mm)')
+
+    Replaces the reference's ``vtkPolyData`` + ``Graph.points`` extraction
+    (``graph.py:58-67``).
+    """
+
+    points: jnp.ndarray
+    triangles: jnp.ndarray
+    point_data: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+    def with_points(self, new_points) -> "TriMesh":
+        """Copy of this mesh with replaced vertex positions (array analogue of
+        ``vtk_deep_copy`` + per-point ``SetPoint`` loops, ``focusr.py:605-625``)."""
+        return TriMesh(jnp.asarray(new_points), self.triangles, dict(self.point_data))
+
+    def with_point_data(self, name: str, values) -> "TriMesh":
+        pd = dict(self.point_data)
+        pd[name] = jnp.asarray(values)
+        return TriMesh(self.points, self.triangles, pd)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.point_data.keys()))
+        children = (self.points, self.triangles) + tuple(
+            self.point_data[k] for k in keys
+        )
+        return children, keys
+
+    @classmethod
+    def tree_unflatten(cls, keys, children):
+        points, triangles = children[0], children[1]
+        pd = dict(zip(keys, children[2:]))
+        return cls(points, triangles, pd)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshTopology:
+    """Static connectivity derived from triangles (host-side, numpy).
+
+    edges:      i32 [E, 2]  unique undirected edges (i < j)
+    neighbors:  i32 [N, D]  padded neighbor table (ELL); padding = own index
+    nbr_mask:   f32 [N, D]  1.0 for real neighbor slots, 0.0 for padding
+    max_degree: int         D
+    """
+
+    edges: np.ndarray
+    neighbors: np.ndarray
+    nbr_mask: np.ndarray
+    max_degree: int
+    edge_faces: np.ndarray  # i32 [E, 2] faces incident to each edge (-1 if boundary)
+
+    @property
+    def n_points(self) -> int:
+        return self.neighbors.shape[0]
+
+    @property
+    def n_edges(self) -> int:
+        return self.edges.shape[0]
+
+
+def build_topology(triangles: np.ndarray, n_points: int, pad_degree: Optional[int] = None) -> MeshTopology:
+    """Extract unique undirected edges and a padded ELL neighbor table.
+
+    Semantics note: the reference writes ``adjacency[i, j] = 1/dist`` once per
+    (cell, edge) visit (``graph.py:148-178``); duplicate visits overwrite with
+    the same value, so the effective structure is the set of unique mesh edges,
+    symmetric for interior edges of a manifold mesh.  We make the graph
+    symmetric for boundary edges too (the reference leaves those one-sided —
+    a lil_matrix artifact, not a design choice; bundled meshes are closed so
+    behavior is identical on them).
+    """
+    tris = np.asarray(triangles, dtype=np.int64)
+    if tris.size == 0:
+        edges = np.zeros((0, 2), dtype=np.int32)
+        edge_faces = np.zeros((0, 2), dtype=np.int32)
+    else:
+        raw = np.concatenate(
+            [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+        )
+        raw.sort(axis=1)
+        edges64, inverse = np.unique(raw, axis=0, return_inverse=True)
+        edges = edges64.astype(np.int32)
+        # Edge -> incident faces map (each raw row f*3 block belongs to face f).
+        face_of_raw = np.tile(np.arange(tris.shape[0], dtype=np.int32), 3)
+        edge_faces = np.full((edges.shape[0], 2), -1, dtype=np.int32)
+        slot_taken = np.zeros(edges.shape[0], dtype=np.int64)
+        order = np.argsort(inverse, kind="stable")
+        eid_sorted = inverse[order]
+        face_sorted = face_of_raw[order]
+        first = np.concatenate([[True], eid_sorted[1:] != eid_sorted[:-1]])
+        slot = np.arange(eid_sorted.shape[0]) - np.maximum.accumulate(
+            np.where(first, np.arange(eid_sorted.shape[0]), 0)
+        )
+        keep = slot < 2  # non-manifold extra incidences are dropped
+        edge_faces[eid_sorted[keep], slot[keep]] = face_sorted[keep]
+        del slot_taken
+
+    # Degree per vertex over the symmetric edge set.
+    directed = np.concatenate([edges, edges[:, ::-1]], axis=0)
+    counts = np.bincount(directed[:, 0], minlength=n_points)
+    max_deg = int(counts.max()) if counts.size and counts.max() > 0 else 1
+    if pad_degree is not None:
+        if pad_degree < max_deg:
+            raise ValueError(f"pad_degree {pad_degree} < max degree {max_deg}")
+        max_deg = pad_degree
+
+    # ELL fill: stable sort directed edges by source, place into slots.
+    order = np.argsort(directed[:, 0], kind="stable")
+    src = directed[order, 0]
+    dst = directed[order, 1]
+    slot = np.arange(src.shape[0]) - np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]
+    )[src]
+    neighbors = np.tile(np.arange(n_points, dtype=np.int32)[:, None], (1, max_deg))
+    mask = np.zeros((n_points, max_deg), dtype=np.float32)
+    neighbors[src, slot] = dst
+    mask[src, slot] = 1.0
+    return MeshTopology(
+        edges=edges,
+        neighbors=neighbors,
+        nbr_mask=mask,
+        max_degree=max_deg,
+        edge_faces=edge_faces,
+    )
+
+
+def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
+    """Load a legacy ``.vtk`` PolyData file into a :class:`TriMesh`
+    (replaces ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``)."""
+    points, triangles, point_data = read_vtk_polydata(path)
+    return TriMesh(
+        points=jnp.asarray(points, dtype=dtype),
+        triangles=jnp.asarray(triangles, dtype=jnp.int32),
+        point_data={k: jnp.asarray(v, dtype=dtype) for k, v in point_data.items()},
+    )
+
+
+def save_mesh(path: str, mesh: TriMesh) -> None:
+    write_vtk_polydata(
+        path,
+        np.asarray(mesh.points, dtype=np.float64),
+        np.asarray(mesh.triangles),
+        {k: np.asarray(v, dtype=np.float64) for k, v in mesh.point_data.items()},
+    )

@@ -1,0 +1,155 @@
+"""Graph operators over padded fixed-degree (ELL) neighbor tables.
+
+Everything here is a pure jittable function.  These replace the reference's
+scipy.sparse machinery:
+
+- feature-weighted adjacency assembly      (reference ``graph.py:148-178``)
+- degree / inverse-degree                  (reference ``graph.py:216-219``)
+- G vector variants (exp/log/square/shift) (reference ``graph.py:180-214``)
+- random-walk Laplacian  L = G (D - W)     (reference ``graph.py:221-226``)
+- iterative mean filter (graph low-pass)   (reference ``graph.py:320-354``)
+
+TPU design: the sparse matrix never exists.  The graph is (neighbors i32[N,D],
+weights f32[N,D]) with padding masked to weight 0; an SpMV is a gather plus a
+masked weighted reduction over the small static degree axis D — static shapes,
+no scatter, fuses cleanly under jit, and `lax.scan` turns the 40-600-iteration
+smoothing loops into a single compiled loop on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "edge_weights",
+    "degree_vector",
+    "spmv",
+    "mean_filter",
+    "g_vector",
+    "laplacian_matvec",
+    "sym_laplacian_matvec",
+]
+
+DEGREE_EPS = 1e-8  # matches reference ``graph.py:219`` (d + 1e-8)**-1
+
+
+def edge_weights(coords: jnp.ndarray, neighbors: jnp.ndarray, nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    """Adjacency weights w[i,s] = 1 / ||c_i - c_{nbr[i,s]}|| over real slots.
+
+    ``coords`` may be xyz [N,3] or xyz augmented with mean-range-scaled extra
+    features [N, 3+K] (the ``include_features_in_adj_matrix`` path, reference
+    ``graph.py:166-175``).  Padding slots get weight 0.
+    """
+    nbr_coords = coords[neighbors]  # [N, D, C]
+    diff = nbr_coords - coords[:, None, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    # Padding slots point at the vertex itself (dist 0); mask them out and
+    # guard the reciprocal.
+    safe = jnp.where(nbr_mask > 0, dist, 1.0)
+    return jnp.where(nbr_mask > 0, 1.0 / safe, 0.0)
+
+
+def degree_vector(weights: jnp.ndarray) -> jnp.ndarray:
+    """d_i = sum_j w_ij (row sums of W; reference ``graph.py:216-218``)."""
+    return jnp.sum(weights, axis=1)
+
+
+def spmv(neighbors: jnp.ndarray, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y = W @ x for x of shape [N] or [N, C]."""
+    if x.ndim == 1:
+        return jnp.sum(weights * x[neighbors], axis=1)
+    return jnp.einsum("nd,ndc->nc", weights, x[neighbors])
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def mean_filter(neighbors, weights, values, iterations: int):
+    """Iterative graph low-pass filter: out <- diag(1/(1+d)) (W + I) out,
+    repeated ``iterations`` times (reference ``mean_filter_graph``,
+    ``graph.py:320-354``; call sites use 1-600 iterations).
+
+    Runs as one `lax.scan` — a single on-device loop of fused gather/SpMV
+    steps instead of 600 scipy SpMV round-trips.
+    """
+    squeeze = values.ndim == 1
+    x = values[:, None] if squeeze else values
+    inv = 1.0 / (1.0 + degree_vector(weights))
+
+    def step(carry, _):
+        out = inv[:, None] * (spmv(neighbors, weights, carry) + carry)
+        return out, None
+
+    x, _ = jax.lax.scan(step, x, None, length=iterations)
+    return x[:, 0] if squeeze else x
+
+
+def g_vector(
+    node_features,  # [K, N] normalized features, or None / shape (0, N)
+    degrees: jnp.ndarray,
+    feature_weights: jnp.ndarray,  # [K, K], only the diagonal is used
+    p_function: str = "exp",
+    include_features: bool = False,
+) -> jnp.ndarray:
+    """The diagonal of G in L = G (D - W)  (reference ``graph.py:180-214``).
+
+    Default (no features): G = diag((d + 1e-8)^-1) — random-walk normalization.
+    With features: per-feature transform p in {exp, log, square, shift-to->=0},
+    scaled into the range of the degree diagonal and weighted by
+    feature_weights[k,k], averaged over features, then multiplied by d_inv.
+
+    Deviation from the reference, by design: ``graph.py:206`` computes
+    ``np.ptp(self.degree_matrix)`` on a *sparse* matrix, which returns a sparse
+    matrix rather than a scalar (verified empirically) — a latent defect in a
+    path that is off by default.  We use the intended scalar, the peak-to-peak
+    of the degree diagonal.
+    """
+    d_inv = (degrees + DEGREE_EPS) ** -1
+    if not include_features or node_features is None or node_features.shape[0] == 0:
+        return d_inv
+
+    k_features = node_features.shape[0]
+    g = jnp.zeros_like(degrees)
+    deg_ptp = jnp.max(degrees) - jnp.min(degrees)
+    for k in range(k_features):
+        f = node_features[k]
+        if p_function == "exp":
+            gk = jnp.exp(f)
+        elif p_function == "log":
+            gk = jnp.log(f - jnp.min(f) + 1.0)
+        elif p_function == "square":
+            gk = f**2
+        else:
+            gk = f - jnp.min(f)
+        scaling = feature_weights[k, k] * deg_ptp / (jnp.max(gk) - jnp.min(gk))
+        g = g + gk * scaling
+    g = g / k_features
+    return g * d_inv
+
+
+def laplacian_matvec(neighbors, weights, g, x):
+    """L x = g * ((d * x) - W x) — the (generally non-symmetric) operator
+    L = G (D - W) of reference ``graph.py:221-226`` applied matrix-free."""
+    d = degree_vector(weights)
+    if x.ndim == 1:
+        return g * (d * x - spmv(neighbors, weights, x))
+    return g[:, None] * (d[:, None] * x - spmv(neighbors, weights, x))
+
+
+def sym_laplacian_matvec(neighbors, weights, g, x):
+    """Symmetrized operator A = diag(s) (D - W) diag(s), s = sqrt(g).
+
+    A is similar to L = diag(g)(D - W):  L = diag(s) A diag(s)^-1, so they
+    share eigenvalues and eigvecs map as u_L = s * v_A.  This makes the
+    ARPACK-on-non-symmetric-L contract of the reference (``graph.py:357-389``)
+    solvable with a symmetric TPU eigensolver.  Requires g > 0 (true for the
+    default d_inv and for the exp feature transform).
+    """
+    s = jnp.sqrt(g)
+    d = degree_vector(weights)
+    if x.ndim == 1:
+        sx = s * x
+        return s * (d * sx - spmv(neighbors, weights, sx))
+    sx = s[:, None] * x
+    return s[:, None] * (d[:, None] * sx - spmv(neighbors, weights, sx))

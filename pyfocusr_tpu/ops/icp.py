@@ -1,0 +1,91 @@
+"""Iterative closest point (rigid / similarity) registration.
+
+Replaces the reference's VTK ICP boundary (``vtk_functions.py:12-29``:
+``vtkIterativeClosestPointTransform`` with ``vtkLandmarkTransform`` in
+RigidBody or Similarity mode, ``StartByMatchingCentroidsOn``, <=100
+iterations), used by ``Focusr.__init__`` to pre-align the meshes
+(``focusr.py:110-131``).
+
+TPU-native: each iteration is one brute-force NN query (MXU-tiled, see
+ops/knn.py) plus a closed-form Umeyama/Kabsch update — the whole loop is a
+single jitted `lax.fori_loop`.  Deliberate deviation from a reference quirk:
+VTK caps landmarks at its default 200 points because the reference sets
+``SetMaximumNumberOfLandmarks(1000)`` *after* ``Update()``
+(``vtk_functions.py:27-28`` — documented latent defect, SURVEY §5.3); we use
+all points, which is strictly more accurate and free on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .knn import nn_query
+
+__all__ = ["umeyama", "icp", "apply_rigid"]
+
+
+def umeyama(src: jnp.ndarray, dst: jnp.ndarray, with_scale: bool):
+    """Least-squares similarity/rigid transform mapping src -> dst.
+
+    Returns (scale s, rotation R [3,3], translation t [3]) minimizing
+    ||dst - (s R src + t)||^2 (Umeyama 1991; the closed form behind
+    vtkLandmarkTransform's RigidBody/Similarity modes).
+    """
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = (dc.T @ sc) / src.shape[0]
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], cov.dtype).at[2].set(d))
+    R = U @ D @ Vt
+    if with_scale:
+        var_s = jnp.mean(jnp.sum(sc * sc, axis=1))
+        s = jnp.sum(S * jnp.diag(D)) / jnp.maximum(var_s, 1e-30)
+    else:
+        s = jnp.array(1.0, cov.dtype)
+    t = mu_d - s * (R @ mu_s)
+    return s, R, t
+
+
+def apply_rigid(points, s, R, t):
+    return s * (points @ R.T) + t
+
+
+@partial(jax.jit, static_argnames=("mode", "max_iterations"))
+def icp(source_points, target_points, mode: str = "rigid", max_iterations: int = 100):
+    """ICP registering source onto target.
+
+    mode: 'rigid' (rotation+translation) or 'similarity' (adds isotropic
+    scale) — mirrors ``icp_transform(transform_mode=...)``
+    (``vtk_functions.py:16-19``).  Starts by matching centroids
+    (``StartByMatchingCentroidsOn``, ``vtk_functions.py:25``).
+
+    Returns (s, R, t) such that transformed = s * source @ R.T + t, plus the
+    transformed source points.
+    """
+    with_scale = mode == "similarity"
+    if mode not in ("rigid", "similarity"):
+        raise ValueError("Error invalid transform mode")  # cf. vtk_functions.py:21
+
+    # Centroid pre-match.
+    t0 = jnp.mean(target_points, axis=0) - jnp.mean(source_points, axis=0)
+    moved0 = source_points + t0
+
+    def body(_, carry):
+        moved, _, _, _ = carry
+        _, idx = nn_query(target_points, moved)
+        matched = target_points[idx]
+        s, R, t = umeyama(source_points, matched, with_scale)
+        moved = apply_rigid(source_points, s, R, t)
+        return moved, s, R, t
+
+    s0 = jnp.array(1.0, source_points.dtype)
+    R0 = jnp.eye(3, dtype=source_points.dtype)
+    init = (moved0, s0, R0, t0)
+    moved, s, R, t = jax.lax.fori_loop(0, max_iterations, body, init)
+    return (s, R, t), moved

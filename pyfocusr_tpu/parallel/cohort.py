@@ -1,0 +1,162 @@
+"""Cohort data-parallelism: batched template-to-subject registration sharded
+over a TPU device mesh.
+
+The reference has no distributed code at all (SURVEY §2: "no DP/TP/PP/...");
+its scalability story is subsampling.  The TPU-native framework's first-class
+distributed feature (BASELINE.json config 5) is *cohort* parallelism: register
+one template mesh against N subject meshes — the statistical-shape-model
+workload hinted at by ``target_eigenmap_as_reference`` (reference
+``focusr.py:32-35``) and the dead all-pairs harness (``pyfocusr/test.py``) —
+with one (or more) pairs per chip.
+
+Design: subjects are padded to a common static shape (pipeline.GraphArrays
+valid_mask machinery), stacked on a leading cohort axis, and the jitted
+``register_pair`` is vmapped over that axis inside a ``shard_map`` over the
+'cohort' mesh axis.  Collectives: the cohort-mean template update is a
+``psum`` over ICI.  Everything per-pair stays single-chip (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mesh import TriMesh
+from ..ops.icp import icp
+from ..ops.knn import nn_query
+from ..pipeline import GraphArrays, PipelineConfig, mesh_to_graph_arrays, register_pair
+
+try:  # JAX >= 0.4.35 public API, else experimental
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = [
+    "stack_graph_arrays",
+    "pad_cohort",
+    "register_cohort",
+    "cohort_mean_shape",
+    "all_pairs_surface_errors",
+]
+
+
+def pad_cohort(meshes: Sequence[TriMesh]) -> List[GraphArrays]:
+    """Pad a list of meshes to common (n_points, degree) for stacking."""
+    from ..mesh import build_topology
+
+    topos = [
+        build_topology(np.asarray(m.triangles), m.n_points) for m in meshes
+    ]
+    n_pad = max(m.n_points for m in meshes)
+    d_pad = max(t.max_degree for t in topos)
+    return [
+        mesh_to_graph_arrays(m, pad_n_points=n_pad, pad_degree=d_pad)
+        for m in meshes
+    ]
+
+
+def stack_graph_arrays(graphs: Sequence[GraphArrays]) -> GraphArrays:
+    """Stack equal-shape GraphArrays along a new leading cohort axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def _batched_register(targets, template, cfg, keys):
+    """vmap register_pair over the cohort axis; template broadcast."""
+    return jax.vmap(
+        lambda t, k: register_pair(t, template, cfg, k), in_axes=(0, 0)
+    )(targets, keys)
+
+
+def register_cohort(
+    template: GraphArrays,
+    targets: GraphArrays,  # stacked, leading cohort axis (global batch)
+    cfg: PipelineConfig,
+    key: jax.Array,
+    device_mesh: Mesh | None = None,
+):
+    """Register the template (as source) to every target in the cohort.
+
+    With a device mesh, the cohort axis is sharded over the 'cohort' mesh
+    axis via shard_map and the cohort-mean template update is computed with a
+    cross-chip psum.  Returns (per-pair results pytree, mean_shape [N, 3]).
+
+    The per-pair direction matches the SSM workflow the reference documents
+    at ``focusr.py:32-35``: the template is the *source*, each cohort subject
+    the *target*, so ``weighted_points`` live in template vertex order and can
+    be averaged across the cohort directly.
+    """
+    batch = jax.tree.leaves(targets)[0].shape[0]
+    keys = jax.random.split(key, batch)
+
+    if device_mesh is None:
+        results = _batched_register(targets, template, cfg, keys)
+        mean_shape = jnp.mean(results["weighted_points"], axis=0)
+        return results, mean_shape
+
+    n_dev = device_mesh.devices.size
+    if batch % n_dev != 0:
+        raise ValueError(
+            f"cohort size {batch} must be divisible by device count {n_dev}"
+        )
+
+    in_specs = (
+        jax.tree.map(lambda _: P("cohort"), targets),
+        jax.tree.map(lambda _: P(), template),
+        P("cohort"),
+    )
+    out_specs = (
+        jax.tree.map(lambda _: P("cohort"), jax.eval_shape(
+            lambda t, k: _batched_register(t, template, cfg, k), targets, keys
+        )),
+        P(),
+    )
+
+    def shard_fn(tgt_shard, tmpl, key_shard):
+        res = _batched_register(tgt_shard, tmpl, cfg, key_shard)
+        local_sum = jnp.sum(res["weighted_points"], axis=0)
+        total = jax.lax.psum(local_sum, axis_name="cohort")
+        return res, total / batch
+
+    fn = shard_map(
+        shard_fn,
+        mesh=device_mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)(targets, template, keys)
+
+
+def cohort_mean_shape(template: TriMesh, weighted_points_mean) -> TriMesh:
+    """Mean-shape mesh on the template topology (average-mesh construction,
+    the cohort generalization of reference ``get_average_shape``,
+    ``focusr.py:433-453``)."""
+    return template.with_points(weighted_points_mean)
+
+
+def all_pairs_surface_errors(meshes: Sequence[TriMesh], icp_mode: str = "rigid"):
+    """All-pairs ICP + symmetric surface-distance matrix over a cohort.
+
+    Resurrects the reference's dead-code capability hint
+    (``pyfocusr/test.py:1-30``: ``get_all_pairwise_surface_errors`` referenced
+    undefined helpers and was never importable) as a real, tested utility.
+    Returns an [n, n] matrix of mean symmetric nearest-neighbor distances
+    after rigid ICP alignment of each ordered pair.
+    """
+    n = len(meshes)
+    out = np.zeros((n, n), np.float64)
+    pts = [jnp.asarray(m.points, jnp.float32) for m in meshes]
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            _, moved = icp(pts[i], pts[j], mode=icp_mode, max_iterations=50)
+            d_ij, _ = nn_query(pts[j], moved)
+            d_ji, _ = nn_query(moved, pts[j])
+            out[i, j] = float((jnp.mean(d_ij) + jnp.mean(d_ji)) / 2.0)
+    return out

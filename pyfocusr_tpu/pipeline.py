@@ -1,0 +1,324 @@
+"""Single-program FOCUSR pipeline: the whole registration as ONE jitted
+function, end to end on device.
+
+This is the TPU-first counterpart of ``Focusr.align_maps`` (reference
+``focusr.py:514-570``): where the reference hops between Python, VTK, ARPACK,
+scipy and Cython per stage, here the full chain
+
+    Laplacian -> spectra (x2) -> eigsort -> spectral coords -> CPD
+    -> correspondences -> smoothing -> final locations
+
+is traced once and compiled into a single XLA program with zero host
+round-trips.  The ``Focusr`` class remains the flexible stage-by-stage API;
+``register_pair`` is the production fast path used by bench.py, the cohort
+sharding (parallel/cohort.py), and ``__graft_entry__``.
+
+Padded batching: ``GraphArrays`` carries a per-vertex ``valid_mask`` so
+meshes of different sizes can be padded to a common static shape and vmapped /
+shard_mapped over a device mesh (SURVEY §2 cohort data-parallelism,
+BASELINE.json config 5).  Padding is spectrally inert: padding rows are
+decoupled from the Laplacian and pinned to a large eigenvalue (PAD_EIG) so
+they never contaminate the k smallest modes, padded points sit at a 1e30
+sentinel so no KNN query selects them, and all subsampling draws only real
+vertices.
+
+Restrictions vs the class API (all static-config): correspondence type is
+'kd' (the default; 'hungarian' needs a host LAP at 5k+ — use the class),
+and the eigsort Wasserstein uses the equal-sample-size path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import TriMesh, build_topology
+from .ops import cpd as cpd_ops
+from .ops import graph_ops
+from .ops.eigen import smallest_nonzero_eigpairs
+from .ops.knn import knn_query, nn_query
+from .spectral.eigsort_jax import sort_eigenmaps_jit
+
+__all__ = [
+    "PipelineConfig",
+    "GraphArrays",
+    "mesh_to_graph_arrays",
+    "register_pair",
+]
+
+_PREC = jax.lax.Precision.HIGHEST
+PAD_EIG = 4.0  # padding rows become eigenvalue-PAD_EIG modes (>> real lambda_k)
+SENTINEL = 1e30
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class PipelineConfig:
+    """Static registration configuration (hashable: used as a jit static arg).
+    Field names mirror the reference's ``Focusr.__init__`` kwargs (SURVEY §5.6)."""
+
+    n_spectral_features: int = 3
+    n_extra_spectral: int = 3
+    n_coords_spectral_ordering: int = 5000
+    n_coords_spectral_registration: int = 1000
+    get_weighted_spectral_coords: bool = False
+    rigid_before_non_rigid_reg: bool = False
+    rigid_reg_max_iterations: int = 100
+    rigid_tolerance: float = 1e-8
+    non_rigid_max_iterations: int = 300
+    non_rigid_tolerance: float = 1e-8
+    non_rigid_alpha: float = 0.01
+    non_rigid_beta: float = 50.0
+    non_rigid_n_eigens: int = 100
+    smooth_correspondences: bool = True
+    graph_smoothing_iterations: int = 300
+    projection_smooth_iterations: int = 40
+    eig_cg_iters: int = 300
+    eig_lanczos_iters: int = 0
+
+    @property
+    def n_total(self) -> int:
+        return self.n_spectral_features + self.n_extra_spectral
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GraphArrays:
+    """Device-resident graph of one (possibly padded) mesh."""
+
+    points: jnp.ndarray  # f32 [N, 3]
+    neighbors: jnp.ndarray  # i32 [N, D]
+    nbr_mask: jnp.ndarray  # f32 [N, D]
+    valid_mask: jnp.ndarray  # f32 [N]  1 = real vertex, 0 = padding
+
+    def tree_flatten(self):
+        return (self.points, self.neighbors, self.nbr_mask, self.valid_mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+
+def mesh_to_graph_arrays(
+    mesh: TriMesh,
+    pad_n_points: Optional[int] = None,
+    pad_degree: Optional[int] = None,
+) -> GraphArrays:
+    """Build pipeline arrays from a mesh, optionally padded to a fixed size
+    for batching."""
+    n = mesh.n_points
+    topo = build_topology(np.asarray(mesh.triangles), n, pad_degree)
+    points = np.asarray(mesh.points, np.float32)
+    neighbors = topo.neighbors
+    nbr_mask = topo.nbr_mask
+    valid = np.ones((n,), np.float32)
+    if pad_n_points is not None and pad_n_points > n:
+        extra = pad_n_points - n
+        points = np.concatenate([points, np.zeros((extra, 3), np.float32)])
+        neighbors = np.concatenate(
+            [
+                neighbors,
+                np.tile(
+                    np.arange(n, pad_n_points, dtype=np.int32)[:, None],
+                    (1, topo.max_degree),
+                ),
+            ]
+        )
+        nbr_mask = np.concatenate(
+            [nbr_mask, np.zeros((extra, topo.max_degree), np.float32)]
+        )
+        valid = np.concatenate([valid, np.zeros((extra,), np.float32)])
+    return GraphArrays(
+        points=jnp.asarray(points),
+        neighbors=jnp.asarray(neighbors),
+        nbr_mask=jnp.asarray(nbr_mask),
+        valid_mask=jnp.asarray(valid),
+    )
+
+
+def _masked_minmax_norm(vecs, mask):
+    """Column min-max over real vertices only -> [-0.5, 0.5]
+    (reference ``graph.py:254-257``)."""
+    big = jnp.where(mask[:, None] > 0, vecs, jnp.inf)
+    small = jnp.where(mask[:, None] > 0, vecs, -jnp.inf)
+    mn = jnp.min(big, axis=0)
+    mx = jnp.max(small, axis=0)
+    out = (vecs - mn) / (mx - mn) - 0.5
+    return out * mask[:, None]
+
+
+def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
+    """Laplacian spectrum of one mesh: k smallest nonzero eigenpairs,
+    eigvecs min-max normalized to [-0.5, 0.5] (reference ``graph.py:228-257``).
+
+    Padding rows are decoupled (zero weights) and pinned at PAD_EIG via a
+    diagonal shift so they sit far above the sought spectrum.
+    """
+    mask = graph.valid_mask
+    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
+    d = graph_ops.degree_vector(w)
+    g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
+    s = jnp.sqrt(g)
+
+    def matvec(x):
+        ax = graph_ops.sym_laplacian_matvec(graph.neighbors, w, g, x)
+        return ax * mask + PAD_EIG * (1.0 - mask) * x
+
+    null_vec = (1.0 / s) * mask
+    lams, vecs, _ = smallest_nonzero_eigpairs(
+        matvec, s, null_vec, k=k, key=key,
+        cg_iters=cfg.eig_cg_iters, lanczos_iters=cfg.eig_lanczos_iters,
+    )
+    vecs = _masked_minmax_norm(vecs, mask)
+    return lams, vecs, w
+
+
+def _rand_idxs(key, mask, n_samples: int):
+    """Sample n_samples indices of real vertices (uniform, no replacement)."""
+    n = mask.shape[0]
+    if n_samples >= n:
+        return jnp.arange(n)
+    p = mask / jnp.sum(mask)
+    return jax.random.choice(key, n, shape=(n_samples,), replace=False, p=p)
+
+
+def _normed(pts):
+    mn = jnp.min(pts, axis=0)
+    return (pts - mn) / (jnp.max(pts, axis=0) - mn)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig, key):
+    """Full registration of one mesh pair.  Returns a dict pytree (all sized
+    to the padded source/target shapes; rows where ``source.valid_mask == 0``
+    are padding):
+
+    correspondences  i32 [Ns]  target index per source point (final)
+    initial_correspondences i32 [Ns]
+    nearest_points / weighted_points / average_points  f32 [Ns, 3]
+    eig_vals_{target,source} f32 [k], spectral coords, Q
+    """
+    keys = jax.random.split(key, 8)
+    k_total = cfg.n_total
+
+    # --- Spectra (reference ``focusr.py:134-170``) ---
+    lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
+    lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+
+    # --- eigsort (reference ``focusr.py:514-521``) ---
+    n_rand = min(
+        cfg.n_coords_spectral_ordering, target.n_points, source.n_points
+    )
+    idx_t = _rand_idxs(keys[2], target.valid_mask, n_rand)
+    idx_s = _rand_idxs(keys[3], source.valid_mask, n_rand)
+    vecs_s_sorted, Q = sort_eigenmaps_jit(
+        lams_t,
+        lams_s,
+        vecs_t[idx_t],
+        vecs_s[idx_s],
+        _normed(target.points[idx_t]),
+        _normed(source.points[idx_s]),
+        vecs_s,
+    )
+
+    # --- Spectral coords (reference ``focusr.py:459-508``) ---
+    k_use = cfg.n_spectral_features
+    src_coords = vecs_s_sorted[:, :k_use]
+    tgt_coords = vecs_t[:, :k_use]
+    if cfg.get_weighted_spectral_coords:
+        lam_max = jnp.maximum(lams_s[:k_use], lams_t[:k_use])
+        wspec = Q[:k_use] * lam_max
+        sigma = jnp.mean(wspec)
+        wspec = jnp.exp(-(wspec**2) / (2.0 * sigma**2))
+        src_coords = src_coords * wspec[None, :]
+        tgt_coords = tgt_coords * wspec[None, :]
+
+    # --- CPD: move TARGET spectral cloud onto SOURCE (``focusr.py:297-334``) ---
+    n_reg = min(
+        cfg.n_coords_spectral_registration, target.n_points, source.n_points
+    )
+    X = src_coords[_rand_idxs(keys[4], source.valid_mask, n_reg)]
+    Y = tgt_coords[_rand_idxs(keys[5], target.valid_mask, n_reg)]
+
+    if cfg.rigid_before_non_rigid_reg:
+        _, B, t_vec, _, _ = cpd_ops._affine_cpd_run(
+            X, Y, cfg.rigid_reg_max_iterations, cfg.rigid_tolerance
+        )
+        Y = jnp.dot(Y, B.T, precision=_PREC) + t_vec[None, :]
+        tgt_coords = jnp.dot(tgt_coords, B.T, precision=_PREC) + t_vec[None, :]
+
+    num_eig = min(cfg.non_rigid_n_eigens, n_reg)
+    Qg, lam_g = cpd_ops.low_rank_gaussian(Y, cfg.non_rigid_beta, num_eig, keys[6])
+    _, W, _, _ = cpd_ops._deformable_cpd_run(
+        X, Y, Qg, lam_g,
+        cfg.non_rigid_alpha, cfg.non_rigid_max_iterations, cfg.non_rigid_tolerance,
+    )
+    w_proj = Qg @ (Qg.T @ W)
+    tgt_coords_moved = tgt_coords + jnp.dot(
+        cpd_ops.gaussian_kernel(tgt_coords, Y, cfg.non_rigid_beta),
+        w_proj,
+        precision=_PREC,
+    )
+
+    # Padding target rows must never be selected as neighbors.
+    tmask = target.valid_mask[:, None]
+    tgt_coords_q = jnp.where(tmask > 0, tgt_coords_moved, SENTINEL)
+
+    # --- Initial correspondences (``focusr.py:545``) ---
+    _, init_corr = nn_query(tgt_coords_q, src_coords)
+
+    corr = init_corr
+    smoothed_tgt = target.points
+    projected = source.points
+    if cfg.smooth_correspondences:
+        # (``focusr.py:368-399``)
+        smoothed_tgt = graph_ops.mean_filter(
+            target.neighbors, w_t, target.points, cfg.graph_smoothing_iterations
+        )
+        gathered = smoothed_tgt[init_corr]
+        projected = graph_ops.mean_filter(
+            source.neighbors, w_s, gathered, cfg.projection_smooth_iterations
+        )
+        smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
+        _, corr = nn_query(smoothed_q, projected)
+        final_ref = smoothed_q
+    else:
+        final_ref = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
+
+    # --- Final locations (``focusr.py:401-431``) ---
+    dists, idxs = knn_query(final_ref, projected, k=3)
+    tgt_xyz = target.points[idxs]
+    exact = dists <= 0.0
+    any_exact = jnp.any(exact, axis=1)
+    first_exact = jnp.argmax(exact, axis=1)
+    exact_xyz = jnp.take_along_axis(tgt_xyz, first_exact[:, None, None], axis=1)[:, 0]
+    wts = 1.0 / jnp.maximum(dists, 1e-30)
+    weighted = jnp.sum(tgt_xyz * wts[:, :, None], axis=1) / jnp.sum(
+        wts, axis=1, keepdims=True
+    )
+    weighted = jnp.where(any_exact[:, None], exact_xyz, weighted)
+    nearest = target.points[corr]
+    average = (source.points + weighted) / 2.0
+
+    smask = source.valid_mask[:, None]
+    return {
+        "correspondences": corr * source.valid_mask.astype(corr.dtype),
+        "initial_correspondences": init_corr
+        * source.valid_mask.astype(init_corr.dtype),
+        "nearest_points": nearest * smask,
+        "weighted_points": weighted * smask,
+        "average_points": average * smask,
+        "eig_vals_target": lams_t,
+        "eig_vals_source": lams_s,
+        "spectral_coords_target": tgt_coords_moved * tmask,
+        "spectral_coords_source": src_coords * smask,
+        "Q": Q,
+    }

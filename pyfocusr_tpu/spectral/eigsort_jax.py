@@ -1,0 +1,86 @@
+"""Fully-jittable eigsort: the same sign-flip/reorder computation as
+spectral/eigsort.py but with zero host synchronization, so it can live inside
+the single-program jit pipeline (pipeline.py) and under vmap/shard_map for
+cohort registration.
+
+Differences from the host version (spectral/eigsort.py):
+  * the k x k assignment solves on device with the auction algorithm
+    (ops/assignment.auction_lap) instead of host JV — identical matchings for
+    the well-separated eigsort cost matrices;
+  * the column permutation + sign flip are applied with a one-hot permutation
+    matrix (an MXU matmul) because gather indices are traced;
+  * only the equal-sample-size Wasserstein path is supported (the pipeline
+    subsamples both meshes to the same ``n_coords_spectral_ordering``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assignment import auction_lap
+from ..ops.knn import nn_query
+
+_PREC = jax.lax.Precision.HIGHEST
+
+__all__ = ["sort_eigenmaps_jit"]
+
+
+def sort_eigenmaps_jit(
+    eig_vals_target,
+    eig_vals_source,
+    rand_target_eig_vecs,
+    rand_source_eig_vecs,
+    rand_target_points,
+    rand_source_points,
+    eig_vecs_source,
+):
+    """Returns (sorted_source_eig_vecs, Q_vec) with target as reference.
+
+    Mirrors reference ``eigsort.py:54-140`` semantics (see spectral/eigsort.py
+    for the cost definitions and file:line citations).
+    """
+    k = eig_vals_target.shape[0]
+    eps = jnp.finfo(jnp.float32).eps
+
+    # c_lambda (eigsort.py:142-160)
+    gap = (jnp.mean(jnp.diff(eig_vals_target)) + jnp.mean(jnp.diff(eig_vals_source))) / 2
+    diff = eig_vals_target[:, None] - eig_vals_source[None, :]
+    c_lambda = jnp.exp(diff**2 / (2.0 * gap**2))
+
+    # c_hist (eigsort.py:162-189), equal sample sizes -> sorted-difference W1
+    lt = jnp.sort(jnp.log(jnp.maximum(rand_target_eig_vecs + 0.5 + eps, eps)), axis=0)
+    ls = jnp.sort(jnp.log(jnp.maximum(rand_source_eig_vecs + 0.5 + eps, eps)), axis=0)
+    lsf = jnp.sort(jnp.log(jnp.maximum(-rand_source_eig_vecs + 0.5 + eps, eps)), axis=0)
+    c_hist = jnp.mean(jnp.abs(lt[:, :, None] - ls[:, None, :]), axis=0)
+    c_hist_f = jnp.mean(jnp.abs(lt[:, :, None] - lsf[:, None, :]), axis=0)
+
+    # c_spatial (eigsort.py:191-233)
+    _, idx = nn_query(rand_source_points, rand_target_points)
+    gathered = rand_source_eig_vecs[idx]
+    n_t = rand_target_eig_vecs.shape[0]
+    t_sq = jnp.sum(rand_target_eig_vecs**2, axis=0)
+    g_sq = jnp.sum(gathered**2, axis=0)
+    cross = jnp.dot(rand_target_eig_vecs.T, gathered, precision=_PREC)
+    c_spatial = jnp.sqrt(jnp.maximum(t_sq[:, None] + g_sq[None, :] - 2 * cross, 0.0)) / n_t
+    c_spatial_f = jnp.sqrt(jnp.maximum(t_sq[:, None] + g_sq[None, :] + 2 * cross, 0.0)) / n_t
+
+    c = c_spatial * c_lambda * c_hist
+    c_f = c_spatial_f * c_lambda * c_hist_f
+    Q = jnp.minimum(c, c_f)
+    S = c > c_f
+
+    # Assignment on device (rows=target modes, cols=source modes).
+    src_of_tgt = auction_lap(Q, eps_scaling_steps=5, max_rounds=1000)  # [k]
+    rows = jnp.arange(k)
+    Q_vec = Q[rows, src_of_tgt]
+    flipped = S[rows, src_of_tgt]
+
+    # sign[col] = -1 where that source column is a flipped best-match.
+    sign = jnp.ones((k,), jnp.float32).at[src_of_tgt].set(
+        jnp.where(flipped, -1.0, 1.0)
+    )
+    # Permutation matrix: out[:, t] = in[:, src_of_tgt[t]] (after flip).
+    P = jax.nn.one_hot(src_of_tgt, k, dtype=jnp.float32).T  # [k_src, k_tgt]
+    vecs = (eig_vecs_source * sign[None, :]) @ P
+    return vecs, Q_vec

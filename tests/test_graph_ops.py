@@ -1,0 +1,102 @@
+"""Graph layer parity vs scipy.sparse reconstructions of the reference's
+matrices (adjacency ``graph.py:148-178``, degree ``:216-219``, Laplacian
+``:221-226``, mean filter ``:320-354``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pyfocusr_tpu.ops import graph_ops as G
+
+
+@pytest.fixture(scope="module")
+def graph_arrays(mesh_5k_source, topo_5k_source):
+    pts = jnp.asarray(mesh_5k_source.points)
+    nbrs = jnp.asarray(topo_5k_source.neighbors)
+    mask = jnp.asarray(topo_5k_source.nbr_mask)
+    w = G.edge_weights(pts, nbrs, mask)
+    return pts, nbrs, mask, w
+
+
+@pytest.fixture(scope="module")
+def scipy_W(mesh_5k_source, topo_5k_source):
+    pts = np.asarray(mesh_5k_source.points)
+    e = topo_5k_source.edges
+    d = np.linalg.norm(pts[e[:, 0]] - pts[e[:, 1]], axis=1)
+    w = 1.0 / d
+    n = pts.shape[0]
+    return sp.coo_matrix(
+        (np.r_[w, w], (np.r_[e[:, 0], e[:, 1]], np.r_[e[:, 1], e[:, 0]])),
+        shape=(n, n),
+    ).tocsr()
+
+
+def test_degree_matches_scipy(graph_arrays, scipy_W):
+    _, _, _, w = graph_arrays
+    d = np.asarray(G.degree_vector(w))
+    d_ref = np.asarray(scipy_W.sum(axis=1)).ravel()
+    np.testing.assert_allclose(d, d_ref, rtol=2e-5)
+
+
+def test_spmv_matches_scipy(graph_arrays, scipy_W):
+    _, nbrs, _, w = graph_arrays
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(scipy_W.shape[0], 3)).astype(np.float32)
+    y = np.asarray(G.spmv(nbrs, w, jnp.asarray(x)))
+    y_ref = scipy_W @ x
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=1e-4)
+
+
+def test_laplacian_matvec(graph_arrays, scipy_W):
+    _, nbrs, _, w = graph_arrays
+    d = np.asarray(scipy_W.sum(axis=1)).ravel()
+    g = (d + 1e-8) ** -1
+    L = sp.diags(g) @ (sp.diags(d) - scipy_W)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=scipy_W.shape[0]).astype(np.float32)
+    y = np.asarray(G.laplacian_matvec(nbrs, w, jnp.asarray(g, jnp.float32), jnp.asarray(x)))
+    np.testing.assert_allclose(y, L @ x, rtol=1e-3, atol=1e-5)
+
+
+def test_mean_filter_matches_scipy(graph_arrays, scipy_W):
+    _, nbrs, _, w = graph_arrays
+    n = scipy_W.shape[0]
+    D_inv = sp.diags(1.0 / (1.0 + np.asarray(scipy_W.sum(axis=1)).ravel()))
+    A = D_inv @ (scipy_W + sp.eye(n))
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    out_ref = x.copy()
+    for _ in range(25):
+        out_ref = A @ out_ref
+    out = np.asarray(G.mean_filter(nbrs, w, jnp.asarray(x), 25))
+    np.testing.assert_allclose(out, out_ref, rtol=5e-3, atol=1e-4)
+
+
+def test_sym_laplacian_similarity(graph_arrays):
+    """A = diag(s) (D-W) diag(s) must be similar to L = diag(g)(D-W):
+    L (s*x) == s * A(x)."""
+    _, nbrs, _, w = graph_arrays
+    d = G.degree_vector(w)
+    g = (d + 1e-8) ** -1
+    s = jnp.sqrt(g)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=d.shape[0]), jnp.float32)
+    lhs = np.asarray(G.laplacian_matvec(nbrs, w, g, s * x))
+    rhs = np.asarray(s * G.sym_laplacian_matvec(nbrs, w, g, x))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-3, atol=1e-5)
+
+
+def test_g_vector_feature_variants(graph_arrays):
+    _, _, _, w = graph_arrays
+    d = G.degree_vector(w)
+    n = d.shape[0]
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.uniform(0, 1, size=(2, n)), jnp.float32)
+    fw = jnp.asarray(np.diag([0.5, 2.0]), jnp.float32)
+    for p in ["exp", "log", "square", "linear"]:
+        g = G.g_vector(feats, d, fw, p_function=p, include_features=True)
+        assert np.all(np.isfinite(np.asarray(g)))
+    # Default path equals (d + eps)^-1
+    g0 = np.asarray(G.g_vector(None, d, fw, include_features=False))
+    np.testing.assert_allclose(g0, (np.asarray(d) + 1e-8) ** -1, rtol=1e-6)

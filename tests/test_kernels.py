@@ -1,0 +1,95 @@
+"""KNN / Wasserstein / assignment kernels vs their scipy counterparts
+(the native deps they replace: cKDTree, wasserstein_distance,
+linear_sum_assignment — SURVEY §2.3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment as scipy_lap
+from scipy.spatial import KDTree
+from scipy.stats import wasserstein_distance
+
+from pyfocusr_tpu.ops.assignment import auction_lap, lap_host, linear_sum_assignment
+from pyfocusr_tpu.ops.knn import knn_query, nn_query, pairwise_sq_dists
+from pyfocusr_tpu.ops.wasserstein import wasserstein_1d
+
+
+class TestKNN:
+    def test_nn_matches_kdtree(self):
+        rng = np.random.default_rng(0)
+        q = rng.random((777, 5)).astype(np.float32) * 10
+        r = rng.random((1234, 5)).astype(np.float32) * 10
+        d_ref, i_ref = KDTree(r).query(q)
+        d, i = nn_query(jnp.asarray(r), jnp.asarray(q))
+        assert (np.asarray(i) == i_ref).mean() > 0.999
+        np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-3)
+
+    def test_knn3_matches_kdtree(self):
+        rng = np.random.default_rng(1)
+        q = rng.random((500, 6)).astype(np.float32)
+        r = rng.random((3000, 6)).astype(np.float32)
+        d_ref, i_ref = KDTree(r).query(q, k=3)
+        d, i = knn_query(jnp.asarray(r), jnp.asarray(q), k=3)
+        assert (np.asarray(i) == i_ref).mean() > 0.999
+        np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-3)
+
+    def test_multi_tile(self):
+        rng = np.random.default_rng(2)
+        q = rng.random((100, 3)).astype(np.float32)
+        r = rng.random((5000, 3)).astype(np.float32)
+        _, i_ref = KDTree(r).query(q)
+        _, i = nn_query(jnp.asarray(r), jnp.asarray(q), tile=512)
+        assert (np.asarray(i) == i_ref).mean() > 0.999
+
+    def test_pairwise_matches_cdist(self):
+        from scipy.spatial.distance import cdist
+
+        rng = np.random.default_rng(3)
+        a = rng.random((50, 4)).astype(np.float32)
+        b = rng.random((70, 4)).astype(np.float32)
+        d2 = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(np.sqrt(d2), cdist(a, b), atol=1e-4)
+
+
+class TestWasserstein:
+    def test_equal_sizes(self):
+        rng = np.random.default_rng(0)
+        u = rng.normal(size=1000)
+        v = rng.normal(loc=0.3, size=1000)
+        got = float(wasserstein_1d(jnp.asarray(u), jnp.asarray(v)))
+        assert abs(got - wasserstein_distance(u, v)) < 1e-5
+
+    def test_unequal_sizes(self):
+        rng = np.random.default_rng(1)
+        u = rng.normal(size=1000)
+        v = rng.normal(loc=0.3, size=877)
+        got = float(wasserstein_1d(jnp.asarray(u), jnp.asarray(v)))
+        assert abs(got - wasserstein_distance(u, v)) < 1e-5
+
+
+class TestAssignment:
+    def test_lap_host_matches_scipy(self):
+        rng = np.random.default_rng(0)
+        for n, m in [(6, 6), (10, 10), (8, 12), (12, 8), (40, 40)]:
+            c = rng.random((n, m))
+            r1, c1 = lap_host(c)
+            r2, c2 = scipy_lap(c)
+            assert abs(c[r1, c1].sum() - c[r2, c2].sum()) < 1e-9
+
+    def test_dispatcher_small(self):
+        rng = np.random.default_rng(1)
+        c = rng.random((7, 7))
+        r1, c1 = linear_sum_assignment(c)
+        r2, c2 = scipy_lap(c)
+        assert abs(c[r1, c1].sum() - c[r2, c2].sum()) < 1e-9
+
+    @pytest.mark.slow
+    def test_auction_near_optimal(self):
+        rng = np.random.default_rng(2)
+        n = 300
+        c = rng.random((n, n)).astype(np.float32)
+        a = np.asarray(auction_lap(jnp.asarray(c)))
+        assert len(set(a.tolist())) == n  # valid permutation
+        r2, c2 = scipy_lap(c)
+        gap = c[np.arange(n), a].sum() - c[r2, c2].sum()
+        assert gap < 0.05 * abs(c[r2, c2].sum()) + 1e-6

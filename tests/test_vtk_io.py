@@ -1,0 +1,50 @@
+"""Mesh I/O golden tests against the bundled reference data
+(SURVEY §7 stage 1: counts and point-data round-trip on the 4 meshes)."""
+
+import numpy as np
+import pytest
+
+from pyfocusr_tpu.io.vtk_io import read_vtk_polydata, write_vtk_polydata
+
+DATA = "/root/reference/data"
+
+
+@pytest.mark.parametrize(
+    "name,n_pts,n_tris",
+    [
+        ("source_mesh.vtk", 5000, 9996),
+        ("target_mesh.vtk", 5000, 9996),
+        ("source_mesh_15k.vtk", 14996, 29982),
+        ("target_mesh_15k.vtk", 14998, 29989),
+    ],
+)
+def test_read_bundled(name, n_pts, n_tris):
+    pts, tris, pd = read_vtk_polydata(f"{DATA}/{name}")
+    assert pts.shape == (n_pts, 3)
+    assert tris.shape == (n_tris, 3)
+    assert tris.min() >= 0 and tris.max() < n_pts
+    assert "thickness_change_(mm)" in pd
+    assert pd["thickness_change_(mm)"].shape == (n_pts,)
+
+
+def test_roundtrip(tmp_path):
+    pts, tris, pd = read_vtk_polydata(f"{DATA}/source_mesh.vtk")
+    out = tmp_path / "rt.vtk"
+    write_vtk_polydata(out, pts, tris, pd)
+    pts2, tris2, pd2 = read_vtk_polydata(str(out))
+    np.testing.assert_allclose(pts, pts2, rtol=1e-9)
+    np.testing.assert_array_equal(tris, tris2)
+    np.testing.assert_allclose(
+        pd["thickness_change_(mm)"], pd2["thickness_change_(mm)"], rtol=1e-9
+    )
+
+
+def test_multiple_arrays_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(10, 3))
+    tris = np.array([[0, 1, 2], [1, 2, 3]])
+    pd = {"a": np.arange(10.0), "b": np.arange(10.0) * 2}
+    out = tmp_path / "m.vtk"
+    write_vtk_polydata(out, pts, tris, pd)
+    _, _, pd2 = read_vtk_polydata(str(out))
+    np.testing.assert_allclose(pd2["a"], pd["a"])
+    np.testing.assert_allclose(pd2["b"], pd["b"])
