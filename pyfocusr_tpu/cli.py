@@ -1,0 +1,177 @@
+"""Command-line interface (the reference has none — SURVEY §1 "no CLI";
+this is a TPU-native extension for production/batch use).
+
+    pyfocusr-tpu register target.vtk source.vtk -o out_dir [--fast] [...]
+    pyfocusr-tpu cohort template.vtk subj1.vtk subj2.vtk ... -o out_dir
+    pyfocusr-tpu info mesh.vtk
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--n-spectral-features", type=int, default=3)
+    p.add_argument("--n-extra-spectral", type=int, default=3)
+    p.add_argument("--non-rigid-alpha", type=float, default=0.01)
+    p.add_argument("--non-rigid-beta", type=float, default=50.0)
+    p.add_argument("--non-rigid-max-iterations", type=int, default=300)
+    p.add_argument("--non-rigid-n-eigens", type=int, default=100)
+    p.add_argument("--graph-smoothing-iterations", type=int, default=300)
+    p.add_argument("--projection-smooth-iterations", type=int, default=40)
+    p.add_argument("--n-coords-spectral-registration", type=int, default=1000)
+    p.add_argument("--no-icp", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="pyfocusr-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_reg = sub.add_parser("register", help="register source mesh onto target")
+    p_reg.add_argument("target")
+    p_reg.add_argument("source")
+    p_reg.add_argument("-o", "--out-dir", default=".")
+    _add_common(p_reg)
+
+    p_coh = sub.add_parser("cohort", help="register a template to N subjects")
+    p_coh.add_argument("template")
+    p_coh.add_argument("subjects", nargs="+")
+    p_coh.add_argument("-o", "--out-dir", default=".")
+    _add_common(p_coh)
+
+    p_info = sub.add_parser("info", help="print mesh statistics")
+    p_info.add_argument("mesh")
+
+    args = parser.parse_args(argv)
+
+    from .mesh import load_mesh, save_mesh
+
+    if args.cmd == "info":
+        m = load_mesh(args.mesh)
+        import numpy as np
+
+        from .mesh import build_topology
+
+        topo = build_topology(np.asarray(m.triangles), m.n_points)
+        print(
+            json.dumps(
+                {
+                    "points": m.n_points,
+                    "triangles": m.n_triangles,
+                    "edges": topo.n_edges,
+                    "max_degree": topo.max_degree,
+                    "point_data": sorted(m.point_data),
+                    "euler_characteristic": m.n_points
+                    - topo.n_edges
+                    + m.n_triangles,
+                },
+                indent=2,
+            )
+        )
+        return 0
+
+    import jax
+    import numpy as np
+
+    from .pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
+
+    cfg = PipelineConfig(
+        icp_register_first=not args.no_icp,
+        n_spectral_features=args.n_spectral_features,
+        n_extra_spectral=args.n_extra_spectral,
+        non_rigid_alpha=args.non_rigid_alpha,
+        non_rigid_beta=args.non_rigid_beta,
+        non_rigid_max_iterations=args.non_rigid_max_iterations,
+        non_rigid_n_eigens=args.non_rigid_n_eigens,
+        graph_smoothing_iterations=args.graph_smoothing_iterations,
+        projection_smooth_iterations=args.projection_smooth_iterations,
+        n_coords_spectral_registration=args.n_coords_spectral_registration,
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.cmd == "register":
+        target = load_mesh(args.target)
+        source = load_mesh(args.source)
+        t0 = time.perf_counter()
+        res = register_pair(
+            mesh_to_graph_arrays(target),
+            mesh_to_graph_arrays(source),
+            cfg,
+            jax.random.PRNGKey(args.seed),
+        )
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        corr = np.asarray(res["correspondences"])
+        out_t = source.with_points(res["weighted_points"]).with_point_data(
+            "corresp_idx", corr.astype(np.float32)
+        )
+        save_mesh(os.path.join(args.out_dir, "transformed_source.vtk"), out_t)
+        avg = source.with_points(res["average_points"])
+        save_mesh(os.path.join(args.out_dir, "average_mesh.vtk"), avg)
+        np.save(os.path.join(args.out_dir, "correspondences.npy"), corr)
+        print(
+            json.dumps(
+                {
+                    "seconds": round(dt, 3),
+                    "unique_correspondences": int(len(np.unique(corr))),
+                    "n_source_points": int(corr.shape[0]),
+                    "outputs": [
+                        "transformed_source.vtk",
+                        "average_mesh.vtk",
+                        "correspondences.npy",
+                    ],
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "cohort":
+        from jax.sharding import Mesh
+
+        from .parallel.cohort import (
+            pad_cohort,
+            register_cohort,
+            stack_graph_arrays,
+        )
+
+        template_mesh = load_mesh(args.template)
+        subject_meshes = [load_mesh(p) for p in args.subjects]
+        template = mesh_to_graph_arrays(template_mesh)
+        subjects = stack_graph_arrays(pad_cohort(subject_meshes))
+        n_dev = len(jax.devices())
+        dev_mesh = None
+        if n_dev > 1 and len(subject_meshes) % n_dev == 0:
+            dev_mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("cohort",))
+        t0 = time.perf_counter()
+        results, mean_shape = register_cohort(
+            template, subjects, cfg, jax.random.PRNGKey(args.seed), dev_mesh
+        )
+        jax.block_until_ready(mean_shape)
+        dt = time.perf_counter() - t0
+        mean_mesh = template_mesh.with_points(mean_shape)
+        save_mesh(os.path.join(args.out_dir, "mean_shape.vtk"), mean_mesh)
+        np.save(
+            os.path.join(args.out_dir, "cohort_correspondences.npy"),
+            np.asarray(results["correspondences"]),
+        )
+        print(
+            json.dumps(
+                {
+                    "seconds": round(dt, 3),
+                    "n_subjects": len(subject_meshes),
+                    "devices_used": n_dev if dev_mesh is not None else 1,
+                    "outputs": ["mean_shape.vtk", "cohort_correspondences.npy"],
+                }
+            )
+        )
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

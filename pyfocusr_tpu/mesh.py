@@ -88,6 +88,8 @@ class MeshTopology:
     nbr_mask: np.ndarray
     max_degree: int
     edge_faces: np.ndarray  # i32 [E, 2] faces incident to each edge (-1 if boundary)
+    component_labels: np.ndarray  # i32 [N] connected-component id per vertex
+    n_components: int
 
     @property
     def n_points(self) -> int:
@@ -155,12 +157,35 @@ def build_topology(triangles: np.ndarray, n_points: int, pad_degree: Optional[in
     mask = np.zeros((n_points, max_deg), dtype=np.float32)
     neighbors[src, slot] = dst
     mask[src, slot] = 1.0
+
+    # Connected components (union-find).  Disconnected meshes (the bundled
+    # source_mesh_15k has two isolated vertices) add extra Laplacian null
+    # modes; the eigensolver deflates one null vector per component, the
+    # static analogue of the reference's grow-k-and-retry (graph.py:357-389).
+    parent = np.arange(n_points, dtype=np.int64)
+
+    def _find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = _find(int(a)), _find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    roots = np.array([_find(i) for i in range(n_points)], dtype=np.int64)
+    _, labels = np.unique(roots, return_inverse=True)
     return MeshTopology(
         edges=edges,
         neighbors=neighbors,
         nbr_mask=mask,
         max_degree=max_deg,
         edge_faces=edge_faces,
+        component_labels=labels.astype(np.int32),
+        n_components=int(labels.max()) + 1 if n_points else 0,
     )
 
 

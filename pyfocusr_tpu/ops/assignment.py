@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precision import f32_matmuls
+
 __all__ = ["lap_host", "auction_lap", "linear_sum_assignment"]
 
 
@@ -43,6 +45,13 @@ def lap_host(cost: np.ndarray):
         rows, cols = lap_host(cost.T)
         order = np.argsort(cols)
         return cols[order], rows[order]
+
+    # Native C++ fast path (native/lap_jv.cpp via ctypes), if built.
+    from ..native import lap_jv_native
+
+    native_cols = lap_jv_native(cost)
+    if native_cols is not None:
+        return np.arange(n_rows), native_cols
 
     INF = np.inf
     u = np.zeros(n_rows + 1)
@@ -91,6 +100,7 @@ def lap_host(cost: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("max_rounds",))
+@f32_matmuls
 def _auction_scaling_phase(cost_neg, eps, prices, max_rounds: int):
     """One epsilon phase: bid until every row is assigned (or round cap)."""
     n = cost_neg.shape[0]

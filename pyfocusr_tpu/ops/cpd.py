@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.precision import f32_matmuls
+
 _PREC = jax.lax.Precision.HIGHEST
 
 __all__ = [
@@ -94,6 +96,7 @@ def _init_sigma2(X, Y):
 # Affine CPD
 # ----------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("max_iterations", "w"))
+@f32_matmuls
 def _affine_cpd_run(X, Y, max_iterations: int, tolerance: float, w: float = 0.0):
     N, D = X.shape
     sigma2_0 = _init_sigma2(X, Y)
@@ -166,6 +169,7 @@ class affine_registration:
 # Low-rank deformable CPD
 # ----------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("num_eig",))
+@f32_matmuls
 def low_rank_gaussian(Y, beta, num_eig: int, key):
     """Top-``num_eig`` eigenpairs of the M x M Gaussian Gram of Y via
     randomized subspace iteration (Halko et al.): exact enough for the
@@ -202,6 +206,7 @@ def low_rank_gaussian(Y, beta, num_eig: int, key):
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "w"))
+@f32_matmuls
 def _deformable_cpd_run(
     X, Y, Q, lam, alpha: float, max_iterations: int, tolerance: float, w: float = 0.0
 ):
@@ -253,6 +258,7 @@ def _deformable_cpd_run(
 
 
 @partial(jax.jit, static_argnames=("tile",))
+@f32_matmuls
 def _kernel_transform(points, Y0, W, beta, tile: int = 2048):
     """G(points, Y0) @ W, tiled over point rows (out-of-sample transform)."""
     n = points.shape[0]

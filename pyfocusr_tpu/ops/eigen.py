@@ -31,14 +31,22 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 __all__ = ["smallest_nonzero_eigpairs", "lanczos_shift_invert"]
 
 
 def _project_out(v0, x):
-    """Remove the v0 component: x - v0 (v0^T x). v0 unit-norm, x [N] or [N,C]."""
-    if x.ndim == 1:
-        return x - v0 * jnp.dot(v0, x)
-    return x - v0[:, None] * (v0 @ x)[None, :]
+    """Remove the span(V0) component: x - V0 (V0^T x).
+
+    v0: [N] single unit vector or [N, C] orthonormal columns (zero columns
+    allowed — they project nothing).  x: [N] or [N, K].
+    """
+    if v0.ndim == 1:
+        if x.ndim == 1:
+            return x - v0 * jnp.dot(v0, x)
+        return x - v0[:, None] * (v0 @ x)[None, :]
+    return x - v0 @ (v0.T @ x)
 
 
 def _cg_solve(matvec, b, iters: int, v0):
@@ -69,9 +77,11 @@ def _cg_solve(matvec, b, iters: int, v0):
     return x
 
 
-def _estimate_lambda_max(matvec, n, key, iters: int = 30):
+def _estimate_lambda_max(matvec, n, key, iters: int = 30, subspace_mask=None):
     """Power iteration upper estimate of ||A||_2 (used to scale the shift)."""
     v = jax.random.normal(key, (n,), dtype=jnp.float32)
+    if subspace_mask is not None:
+        v = v * subspace_mask
     v = v / jnp.linalg.norm(v)
 
     def body(_, v):
@@ -83,6 +93,7 @@ def _estimate_lambda_max(matvec, n, key, iters: int = 30):
 
 
 @partial(jax.jit, static_argnames=("matvec", "k", "lanczos_iters", "cg_iters", "refine_steps"))
+@f32_matmuls
 def lanczos_shift_invert(
     matvec,
     null_vec: jnp.ndarray,
@@ -92,28 +103,51 @@ def lanczos_shift_invert(
     cg_iters: int = 300,
     sigma_rel: float = 2e-3,
     refine_steps: int = 1,
+    subspace_mask=None,
 ):
     """Top-k eigenpairs of (A + sigma I)^-1 restricted to span{null_vec}^perp,
     i.e. the k smallest nonzero eigenpairs of symmetric PSD A.
 
     matvec: closure applying A to an [N] vector (captured statically).
+    ``null_vec`` may be [N] (single known kernel vector) or [N, C] with one
+    column per graph connected component (the kernel of a graph Laplacian is
+    spanned by per-component indicators).
+    ``subspace_mask`` (0/1 per row) confines the whole Krylov iteration to a
+    coordinate subspace: matvec must return 0 on masked-out rows, initial
+    vectors are projected, and every iterate then stays in the subspace —
+    used for padded batched meshes where padding rows are dead coordinates.
     Returns (eigvals ascending [k], eigvecs [N, k], residual norms [k]).
     """
     n = null_vec.shape[0]
-    m = lanczos_iters if lanczos_iters > 0 else max(2 * k + 8, 16)
-    v0 = null_vec / jnp.linalg.norm(null_vec)
+    # Default subspace size: clustered interior eigenvalues (e.g. the 15k
+    # bone meshes' lambda_4/lambda_5, 2% apart) need ~4k+8 Krylov steps to
+    # resolve; ARPACK's ncv=4k default (graph.py:372) is the same regime.
+    m = lanczos_iters if lanczos_iters > 0 else max(4 * k + 8, 32)
+    if null_vec.ndim == 1:
+        v0 = null_vec / jnp.linalg.norm(null_vec)
+    else:
+        # One null vector per graph component, disjoint supports => already
+        # orthogonal; normalize each (guard all-zero padding columns).
+        norms = jnp.linalg.norm(null_vec, axis=0, keepdims=True)
+        v0 = null_vec / jnp.maximum(norms, 1e-30)
 
-    lam_max = _estimate_lambda_max(matvec, n, key)
+    lam_max = _estimate_lambda_max(matvec, n, key, subspace_mask=subspace_mask)
     sigma = sigma_rel * lam_max
 
-    def shifted(x):
-        return matvec(x) + sigma * x
+    if subspace_mask is None:
+        def shifted(x):
+            return matvec(x) + sigma * x
+    else:
+        def shifted(x):
+            return matvec(x) + sigma * (x * subspace_mask)
 
     def apply_B(x):
         return _cg_solve(shifted, x, cg_iters, v0)
 
     # Lanczos with full reorthogonalization (m is small: ~2k+8).
     q = jax.random.normal(jax.random.fold_in(key, 1), (n,), dtype=jnp.float32)
+    if subspace_mask is not None:
+        q = q * subspace_mask
     q = _project_out(v0, q)
     q = q / jnp.linalg.norm(q)
 
@@ -188,6 +222,7 @@ def smallest_nonzero_eigpairs(
     cg_iters: int = 300,
     lanczos_iters: int = 0,
     refine_steps: int = 1,
+    subspace_mask=None,
 ):
     """Smallest-nonzero eigenpairs of L = diag(g)(D - W) via its symmetrization.
 
@@ -199,7 +234,7 @@ def smallest_nonzero_eigpairs(
     """
     lams, vecs, resid = lanczos_shift_invert(
         matvec, null_vec, key, k, lanczos_iters=lanczos_iters, cg_iters=cg_iters,
-        refine_steps=refine_steps,
+        refine_steps=refine_steps, subspace_mask=subspace_mask,
     )
     u = vecs * scale_back[:, None]
     u = u / jnp.linalg.norm(u, axis=0, keepdims=True)

@@ -23,6 +23,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 __all__ = [
     "edge_weights",
     "degree_vector",
@@ -65,6 +67,7 @@ def spmv(neighbors: jnp.ndarray, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.nd
 
 
 @partial(jax.jit, static_argnames=("iterations",))
+@f32_matmuls
 def mean_filter(neighbors, weights, values, iterations: int):
     """Iterative graph low-pass filter: out <- diag(1/(1+d)) (W + I) out,
     repeated ``iterations`` times (reference ``mean_filter_graph``,

@@ -23,28 +23,34 @@ import jax
 import jax.numpy as jnp
 
 from .knn import nn_query
+from ..utils.precision import f32_matmuls
 
 __all__ = ["umeyama", "icp", "apply_rigid"]
 
 
-def umeyama(src: jnp.ndarray, dst: jnp.ndarray, with_scale: bool):
+def umeyama(src: jnp.ndarray, dst: jnp.ndarray, with_scale: bool, weights=None):
     """Least-squares similarity/rigid transform mapping src -> dst.
 
     Returns (scale s, rotation R [3,3], translation t [3]) minimizing
-    ||dst - (s R src + t)||^2 (Umeyama 1991; the closed form behind
-    vtkLandmarkTransform's RigidBody/Similarity modes).
+    sum_i w_i ||dst_i - (s R src_i + t)||^2 (Umeyama 1991; the closed form
+    behind vtkLandmarkTransform's RigidBody/Similarity modes).  ``weights``
+    (e.g. a padding valid_mask) excludes points from the fit.
     """
-    mu_s = jnp.mean(src, axis=0)
-    mu_d = jnp.mean(dst, axis=0)
+    if weights is None:
+        weights = jnp.ones((src.shape[0],), src.dtype)
+    wsum = jnp.maximum(jnp.sum(weights), 1e-30)
+    wn = (weights / wsum)[:, None]
+    mu_s = jnp.sum(src * wn, axis=0)
+    mu_d = jnp.sum(dst * wn, axis=0)
     sc = src - mu_s
     dc = dst - mu_d
-    cov = (dc.T @ sc) / src.shape[0]
+    cov = (dc * wn).T @ sc
     U, S, Vt = jnp.linalg.svd(cov)
     d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], cov.dtype).at[2].set(d))
     R = U @ D @ Vt
     if with_scale:
-        var_s = jnp.mean(jnp.sum(sc * sc, axis=1))
+        var_s = jnp.sum(jnp.sum(sc * sc, axis=1) * wn[:, 0])
         s = jnp.sum(S * jnp.diag(D)) / jnp.maximum(var_s, 1e-30)
     else:
         s = jnp.array(1.0, cov.dtype)
@@ -57,7 +63,14 @@ def apply_rigid(points, s, R, t):
 
 
 @partial(jax.jit, static_argnames=("mode", "max_iterations"))
-def icp(source_points, target_points, mode: str = "rigid", max_iterations: int = 100):
+@f32_matmuls
+def icp(
+    source_points,
+    target_points,
+    mode: str = "rigid",
+    max_iterations: int = 100,
+    source_mask=None,
+):
     """ICP registering source onto target.
 
     mode: 'rigid' (rotation+translation) or 'similarity' (adds isotropic
@@ -71,16 +84,26 @@ def icp(source_points, target_points, mode: str = "rigid", max_iterations: int =
     with_scale = mode == "similarity"
     if mode not in ("rigid", "similarity"):
         raise ValueError("Error invalid transform mode")  # cf. vtk_functions.py:21
+    if source_mask is None:
+        source_mask = jnp.ones((source_points.shape[0],), source_points.dtype)
+    wn = source_mask / jnp.maximum(jnp.sum(source_mask), 1e-30)
+    # Target centroid over finite (non-sentinel) rows only.
+    finite_t = jnp.all(jnp.abs(target_points) < 1e29, axis=1).astype(
+        source_points.dtype
+    )
+    tn = finite_t / jnp.maximum(jnp.sum(finite_t), 1e-30)
 
     # Centroid pre-match.
-    t0 = jnp.mean(target_points, axis=0) - jnp.mean(source_points, axis=0)
+    t0 = jnp.sum(target_points * tn[:, None], axis=0) - jnp.sum(
+        source_points * wn[:, None], axis=0
+    )
     moved0 = source_points + t0
 
     def body(_, carry):
         moved, _, _, _ = carry
-        _, idx = nn_query(target_points, moved)
+        _, idx = nn_query(target_points, moved, precision=jax.lax.Precision.HIGH)
         matched = target_points[idx]
-        s, R, t = umeyama(source_points, matched, with_scale)
+        s, R, t = umeyama(source_points, matched, with_scale, weights=source_mask)
         moved = apply_rigid(source_points, s, R, t)
         return moved, s, R, t
 

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 # MXU path; the matmuls here are tiny, so the 2x cost is irrelevant.
 _PREC = jax.lax.Precision.HIGHEST
 
+from ..utils.precision import f32_matmuls  # noqa: E402
+
 __all__ = ["nn_query", "knn_query", "pairwise_sq_dists"]
 
 
@@ -48,8 +50,9 @@ def pairwise_sq_dists(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d2, 0.0)
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048):
+@partial(jax.jit, static_argnames=("tile", "precision"))
+@f32_matmuls
+def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048, precision=None):
     """Nearest neighbor of each query point among ref points.
 
     Returns (distances [Nq], indices [Nq]) — the same contract as
@@ -57,6 +60,7 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048):
     Tiled over the reference axis with a running min, so the [Nq, Nr]
     distance matrix never exists in HBM.
     """
+    prec = _PREC if precision is None else precision
     nq, d = query.shape
     nr = ref.shape[0]
     nr_pad = _round_up(max(nr, 1), tile)
@@ -73,7 +77,7 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048):
         best_d2, best_idx = carry
         t_idx, ref_tile = inputs
         rn = jnp.sum(ref_tile * ref_tile, axis=1)
-        d2 = qn[:, None] + rn[None, :] - 2.0 * jnp.dot(query, ref_tile.T, precision=_PREC)
+        d2 = qn[:, None] + rn[None, :] - 2.0 * jnp.dot(query, ref_tile.T, precision=prec)
         col = jnp.argmin(d2, axis=1)
         val = jnp.take_along_axis(d2, col[:, None], axis=1)[:, 0]
         idx = t_idx * tile + col
@@ -91,6 +95,7 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048):
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
+@f32_matmuls
 def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 2048):
     """k nearest neighbors of each query among ref, ascending by distance.
 

@@ -54,8 +54,11 @@ def pad_cohort(meshes: Sequence[TriMesh]) -> List[GraphArrays]:
     ]
     n_pad = max(m.n_points for m in meshes)
     d_pad = max(t.max_degree for t in topos)
+    c_pad = max(max(t.n_components, 1) for t in topos)
     return [
-        mesh_to_graph_arrays(m, pad_n_points=n_pad, pad_degree=d_pad)
+        mesh_to_graph_arrays(
+            m, pad_n_points=n_pad, pad_degree=d_pad, pad_components=c_pad
+        )
         for m in meshes
     ]
 

@@ -16,11 +16,10 @@ sharding (parallel/cohort.py), and ``__graft_entry__``.
 Padded batching: ``GraphArrays`` carries a per-vertex ``valid_mask`` so
 meshes of different sizes can be padded to a common static shape and vmapped /
 shard_mapped over a device mesh (SURVEY §2 cohort data-parallelism,
-BASELINE.json config 5).  Padding is spectrally inert: padding rows are
-decoupled from the Laplacian and pinned to a large eigenvalue (PAD_EIG) so
-they never contaminate the k smallest modes, padded points sit at a 1e30
-sentinel so no KNN query selects them, and all subsampling draws only real
-vertices.
+BASELINE.json config 5).  Padding is inert by construction: the eigensolver's
+Krylov iteration is confined to the masked coordinate subspace, padded points
+sit at a 1e30 sentinel so no KNN query selects them, the ICP fit weights them
+out, and all subsampling draws only real vertices.
 
 Restrictions vs the class API (all static-config): correspondence type is
 'kd' (the default; 'hungarian' needs a host LAP at 5k+ — use the class),
@@ -43,6 +42,7 @@ from .ops import graph_ops
 from .ops.eigen import smallest_nonzero_eigpairs
 from .ops.knn import knn_query, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
+from .utils.precision import f32_matmuls
 
 __all__ = [
     "PipelineConfig",
@@ -52,7 +52,6 @@ __all__ = [
 ]
 
 _PREC = jax.lax.Precision.HIGHEST
-PAD_EIG = 4.0  # padding rows become eigenvalue-PAD_EIG modes (>> real lambda_k)
 SENTINEL = 1e30
 
 
@@ -61,6 +60,10 @@ class PipelineConfig:
     """Static registration configuration (hashable: used as a jit static arg).
     Field names mirror the reference's ``Focusr.__init__`` kwargs (SURVEY §5.6)."""
 
+    icp_register_first: bool = True
+    icp_registration_mode: str = "rigid"
+    icp_iterations: int = 100
+    icp_n_landmarks: int = 2000
     n_spectral_features: int = 3
     n_extra_spectral: int = 3
     n_coords_spectral_ordering: int = 5000
@@ -94,9 +97,16 @@ class GraphArrays:
     neighbors: jnp.ndarray  # i32 [N, D]
     nbr_mask: jnp.ndarray  # f32 [N, D]
     valid_mask: jnp.ndarray  # f32 [N]  1 = real vertex, 0 = padding
+    null_indicators: jnp.ndarray  # f32 [N, C] per-component indicator columns
 
     def tree_flatten(self):
-        return (self.points, self.neighbors, self.nbr_mask, self.valid_mask), None
+        return (
+            self.points,
+            self.neighbors,
+            self.nbr_mask,
+            self.valid_mask,
+            self.null_indicators,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -111,15 +121,21 @@ def mesh_to_graph_arrays(
     mesh: TriMesh,
     pad_n_points: Optional[int] = None,
     pad_degree: Optional[int] = None,
+    pad_components: Optional[int] = None,
 ) -> GraphArrays:
     """Build pipeline arrays from a mesh, optionally padded to a fixed size
-    for batching."""
+    for batching.  ``null_indicators`` carries one indicator column per
+    connected component (the Laplacian kernel basis the eigensolver deflates;
+    disconnected meshes like the bundled source_mesh_15k need all of them)."""
     n = mesh.n_points
     topo = build_topology(np.asarray(mesh.triangles), n, pad_degree)
     points = np.asarray(mesh.points, np.float32)
     neighbors = topo.neighbors
     nbr_mask = topo.nbr_mask
     valid = np.ones((n,), np.float32)
+    n_comp = max(topo.n_components, 1)
+    indicators = np.zeros((n, n_comp), np.float32)
+    indicators[np.arange(n), topo.component_labels] = 1.0
     if pad_n_points is not None and pad_n_points > n:
         extra = pad_n_points - n
         points = np.concatenate([points, np.zeros((extra, 3), np.float32)])
@@ -136,11 +152,26 @@ def mesh_to_graph_arrays(
             [nbr_mask, np.zeros((extra, topo.max_degree), np.float32)]
         )
         valid = np.concatenate([valid, np.zeros((extra,), np.float32)])
+        indicators = np.concatenate(
+            [indicators, np.zeros((extra, n_comp), np.float32)]
+        )
+    if pad_components is not None and pad_components > indicators.shape[1]:
+        indicators = np.concatenate(
+            [
+                indicators,
+                np.zeros(
+                    (indicators.shape[0], pad_components - indicators.shape[1]),
+                    np.float32,
+                ),
+            ],
+            axis=1,
+        )
     return GraphArrays(
         points=jnp.asarray(points),
         neighbors=jnp.asarray(neighbors),
         nbr_mask=jnp.asarray(nbr_mask),
         valid_mask=jnp.asarray(valid),
+        null_indicators=jnp.asarray(indicators),
     )
 
 
@@ -169,13 +200,18 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     s = jnp.sqrt(g)
 
     def matvec(x):
-        ax = graph_ops.sym_laplacian_matvec(graph.neighbors, w, g, x)
-        return ax * mask + PAD_EIG * (1.0 - mask) * x
+        # Padding rows are dead coordinates: the Krylov iteration is confined
+        # to the masked subspace (see ops/eigen.py subspace_mask).
+        ax = graph_ops.sym_laplacian_matvec(graph.neighbors, w, g, x * mask)
+        return ax * mask
 
-    null_vec = (1.0 / s) * mask
+    # Kernel basis: one column per connected component, scaled by 1/s
+    # (A (1/s * 1_c) = s (D - W) 1_c = 0 on each component).
+    null_basis = graph.null_indicators * (1.0 / s)[:, None] * mask[:, None]
     lams, vecs, _ = smallest_nonzero_eigpairs(
-        matvec, s, null_vec, k=k, key=key,
+        matvec, s, null_basis, k=k, key=key,
         cg_iters=cfg.eig_cg_iters, lanczos_iters=cfg.eig_lanczos_iters,
+        subspace_mask=mask,
     )
     vecs = _masked_minmax_norm(vecs, mask)
     return lams, vecs, w
@@ -196,6 +232,7 @@ def _normed(pts):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
 def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig, key):
     """Full registration of one mesh pair.  Returns a dict pytree (all sized
     to the padded source/target shapes; rows where ``source.valid_mask == 0``
@@ -208,6 +245,31 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     """
     keys = jax.random.split(key, 8)
     k_total = cfg.n_total
+
+    # --- ICP pre-alignment: source moved onto target (reference default
+    # ``icp_reg_target_to_source=False``, ``focusr.py:110-131``) ---
+    if cfg.icp_register_first:
+        from .ops.icp import apply_rigid, icp as icp_fit
+
+        # Fit on a landmark subsample (the VTK ICP the reference wraps caps
+        # landmarks at its default 200 — vtk_functions.py:27-28; 2000 here),
+        # then apply the rigid transform to the full cloud.
+        n_lm = min(cfg.icp_n_landmarks, source.n_points)
+        lm_idx = _rand_idxs(keys[7], source.valid_mask, n_lm)
+        (_s, _R, _t), _ = icp_fit(
+            source.points[lm_idx],
+            jnp.where(target.valid_mask[:, None] > 0, target.points, SENTINEL),
+            mode=cfg.icp_registration_mode,
+            max_iterations=cfg.icp_iterations,
+        )
+        moved = apply_rigid(source.points, _s, _R, _t)
+        source = GraphArrays(
+            points=moved * source.valid_mask[:, None],
+            neighbors=source.neighbors,
+            nbr_mask=source.nbr_mask,
+            valid_mask=source.valid_mask,
+            null_indicators=source.null_indicators,
+        )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
     lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)

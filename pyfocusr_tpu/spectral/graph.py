@@ -258,7 +258,13 @@ class Graph:
         neighbors, weights, g = self._neighbors, self.adjacency_weights, self.g
         g = jnp.maximum(g, 1e-30)
         s = jnp.sqrt(g)
-        null_vec = 1.0 / s
+        # Kernel basis: one indicator column per connected component
+        # (disconnected meshes have that many zero modes; static analogue of
+        # the reference's grow-k retry, which we keep as a fallback below).
+        n_comp = max(self.topology.n_components, 1)
+        ind = np.zeros((self.n_points, n_comp), np.float32)
+        ind[np.arange(self.n_points), self.topology.component_labels] = 1.0
+        null_vec = jnp.asarray(ind) * (1.0 / s)[:, None]
 
         def matvec(x):
             return graph_ops.sym_laplacian_matvec(neighbors, weights, g, x)

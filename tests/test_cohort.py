@@ -1,0 +1,140 @@
+"""Sharded cohort registration (parallel/cohort.py) on the 8-virtual-device
+CPU mesh (SURVEY §4: 'multi-chip without a cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pyfocusr_tpu.mesh import TriMesh
+from pyfocusr_tpu.parallel.cohort import (
+    all_pairs_surface_errors,
+    pad_cohort,
+    register_cohort,
+    stack_graph_arrays,
+)
+from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+
+
+def _sphere_mesh(r=1.0, warp=0.0, n_theta=10, n_phi=20, seed=0):
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    pts, tris = make_sphere(n_theta=n_theta, n_phi=n_phi, r=r)
+    if warp:
+        pts = pts * (1.0 + warp * np.sin(3.0 * pts[:, [1]]))
+    return TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+
+
+TINY = PipelineConfig(
+    icp_iterations=10,
+    n_coords_spectral_ordering=150,
+    n_coords_spectral_registration=100,
+    non_rigid_max_iterations=10,
+    non_rigid_n_eigens=30,
+    graph_smoothing_iterations=10,
+    projection_smooth_iterations=2,
+    eig_cg_iters=60,
+)
+
+
+def test_register_cohort_unsharded():
+    template = mesh_to_graph_arrays(_sphere_mesh())
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(_sphere_mesh(warp=0.05 * (i + 1))) for i in range(2)]
+    )
+    results, mean_shape = register_cohort(
+        template, subjects, TINY, jax.random.PRNGKey(0)
+    )
+    assert results["correspondences"].shape == (2, template.n_points)
+    assert mean_shape.shape == (template.n_points, 3)
+    assert np.all(np.isfinite(np.asarray(mean_shape)))
+
+
+@pytest.mark.slow
+def test_register_cohort_sharded_8dev():
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual CPU devices"
+    template = mesh_to_graph_arrays(_sphere_mesh())
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(_sphere_mesh(warp=0.02 * (i + 1))) for i in range(8)]
+    )
+    dev_mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("cohort",))
+    results, mean_shape = register_cohort(
+        template, subjects, TINY, jax.random.PRNGKey(0), device_mesh=dev_mesh
+    )
+    assert results["correspondences"].shape == (8, template.n_points)
+    # psum mean equals the arithmetic mean of the per-pair results.
+    np.testing.assert_allclose(
+        np.asarray(mean_shape),
+        np.asarray(results["weighted_points"]).mean(axis=0),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_matches_unsharded():
+    """Sharded and unsharded cohort runs agree geometrically.
+
+    Bitwise equality is not expected: per-device compilation changes f32
+    reduction order, and the sphere's near-degenerate Laplacian spectrum
+    amplifies that into different (equally valid) eigenvector bases.  The
+    invariant is the registration GEOMETRY: final point locations must agree
+    to a small fraction of the mesh scale.
+    """
+    from pyfocusr_tpu import load_mesh
+    from pyfocusr_tpu.mesh import TriMesh as TM
+
+    # Bone meshes: well-separated spectrum, so eigvec bases are stable across
+    # compilations (the sphere's degenerate multiplets are not).
+    bone = load_mesh("/root/reference/data/target_mesh.vtk")
+    pts = np.asarray(bone.points)
+
+    def warped(i):
+        w = pts * (1.0 + 0.002 * (i + 1) * np.sin(0.05 * pts[:, [1]]))
+        return TM(jnp.asarray(w, jnp.float32), bone.triangles)
+
+    template = mesh_to_graph_arrays(bone)
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(warped(i)) for i in range(8)]
+    )
+    cfg = TINY
+    res_u, mean_u = register_cohort(template, subjects, cfg, jax.random.PRNGKey(1))
+    dev_mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("cohort",))
+    res_s, mean_s = register_cohort(
+        template, subjects, cfg, jax.random.PRNGKey(1), device_mesh=dev_mesh
+    )
+    wu = np.asarray(res_u["weighted_points"])
+    ws = np.asarray(res_s["weighted_points"])
+    d = np.linalg.norm(wu - ws, axis=-1)
+    extent = np.linalg.norm(np.ptp(pts, axis=0))
+    assert np.median(d) < 0.05 * extent, (np.median(d), extent)
+    np.testing.assert_allclose(
+        np.asarray(mean_u), np.asarray(mean_s), atol=0.05 * extent
+    )
+
+
+def test_pad_cohort_mixed_sizes():
+    meshes = [
+        _sphere_mesh(n_theta=8, n_phi=16),
+        _sphere_mesh(n_theta=10, n_phi=20),
+    ]
+    graphs = pad_cohort(meshes)
+    assert graphs[0].n_points == graphs[1].n_points
+    assert graphs[0].neighbors.shape == graphs[1].neighbors.shape
+    assert float(graphs[0].valid_mask.sum()) == meshes[0].n_points
+    stacked = stack_graph_arrays(graphs)
+    assert stacked.points.shape[0] == 2
+
+
+def test_all_pairs_surface_errors():
+    meshes = [_sphere_mesh(r=1.0), _sphere_mesh(r=1.0, warp=0.05)]
+    errs = all_pairs_surface_errors(meshes)
+    assert errs.shape == (2, 2)
+    assert errs[0, 0] == 0 and errs[1, 1] == 0
+    assert errs[0, 1] > 0 and errs[1, 0] > 0
+    assert errs[0, 1] < 0.2  # warp scale bound

@@ -1,0 +1,132 @@
+"""Single-program jit pipeline (pipeline.register_pair): correctness,
+padding-mask invariance, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyfocusr_tpu import load_mesh
+from pyfocusr_tpu.pipeline import (
+    GraphArrays,
+    PipelineConfig,
+    mesh_to_graph_arrays,
+    register_pair,
+)
+
+DATA = "/root/reference/data"
+
+FAST = dict(
+    icp_iterations=30,
+    non_rigid_max_iterations=40,
+    graph_smoothing_iterations=50,
+    projection_smooth_iterations=1,
+    n_coords_spectral_registration=500,
+    eig_cg_iters=150,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_5k():
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    source = load_mesh(f"{DATA}/source_mesh.vtk")
+    return mesh_to_graph_arrays(target), mesh_to_graph_arrays(source)
+
+
+@pytest.mark.slow
+def test_register_pair_end_to_end(pair_5k):
+    tg, sg = pair_5k
+    cfg = PipelineConfig(**FAST)
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    corr = np.asarray(res["correspondences"])
+    assert corr.shape == (5000,)
+    assert len(np.unique(corr)) > 0.6 * 5000
+    # nearest points are actual target vertices
+    np.testing.assert_allclose(
+        np.asarray(res["nearest_points"]),
+        np.asarray(tg.points)[corr],
+        atol=1e-6,
+    )
+    assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
+
+
+@pytest.mark.slow
+def test_register_pair_deterministic(pair_5k):
+    tg, sg = pair_5k
+    cfg = PipelineConfig(**FAST)
+    r1 = register_pair(tg, sg, cfg, jax.random.PRNGKey(7))
+    r2 = register_pair(tg, sg, cfg, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(
+        np.asarray(r1["correspondences"]), np.asarray(r2["correspondences"])
+    )
+
+
+@pytest.mark.slow
+def test_padding_is_inert(pair_5k):
+    """Padding with dead vertices must not degrade the registration.
+
+    Exact index equality is NOT expected: the subsample draws (eigsort/CPD)
+    depend on the padded array size, so the CPD warp differs stochastically.
+    What must hold: (a) the padded spectrum is exact (test below), (b) padding
+    rows never leak into results, (c) quality metrics match the unpadded run.
+    """
+    tg, sg = pair_5k
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    source = load_mesh(f"{DATA}/source_mesh.vtk")
+    tg_pad = mesh_to_graph_arrays(target, pad_n_points=5120)
+    sg_pad = mesh_to_graph_arrays(source, pad_n_points=5120)
+    cfg = PipelineConfig(**FAST)
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(3))
+    res_pad = register_pair(tg_pad, sg_pad, cfg, jax.random.PRNGKey(3))
+    c1 = np.asarray(res["correspondences"])
+    c2 = np.asarray(res_pad["correspondences"])[:5000]
+    # No correspondence ever points at a padding row.
+    assert c2.max() < 5000
+    # Padding rows are zeroed in every output.
+    assert np.all(np.asarray(res_pad["weighted_points"])[5000:] == 0)
+    # Quality parity: unique-correspondence density and geometric agreement.
+    u1 = len(np.unique(c1)) / 5000
+    u2 = len(np.unique(c2)) / 5000
+    assert abs(u1 - u2) < 0.1, (u1, u2)
+    tgt_pts = np.asarray(tg.points)
+    d = np.linalg.norm(tgt_pts[c1] - tgt_pts[c2], axis=1)
+    extent = np.linalg.norm(np.ptp(tgt_pts, axis=0))
+    assert np.median(d) < 0.12 * extent, (np.median(d), extent)
+
+
+def test_padded_spectrum_exact(pair_5k):
+    """The padded eigensolve must match the unpadded one to f32 accuracy
+    (Krylov iteration confined to the masked subspace)."""
+    from pyfocusr_tpu.pipeline import _spectrum
+
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    tg = mesh_to_graph_arrays(target)
+    tg_pad = mesh_to_graph_arrays(target, pad_n_points=5120)
+    cfg = PipelineConfig()
+    lams, vecs, _ = _spectrum(tg, 6, jax.random.PRNGKey(0), cfg)
+    lams_p, vecs_p, _ = _spectrum(tg_pad, 6, jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(np.asarray(lams), np.asarray(lams_p), rtol=1e-3)
+    for c in range(6):
+        a = np.asarray(vecs[:, c])
+        b = np.asarray(vecs_p[:5000, c])
+        a = a - a.mean()
+        b = b - b.mean()
+        cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.9999, f"col {c}: {cos}"
+    assert np.all(np.asarray(vecs_p)[5000:] == 0)
+
+
+def test_eigenvalues_match_graph_class(pair_5k):
+    """Pipeline spectrum equals the class-path spectrum (same operators)."""
+    from pyfocusr_tpu.pipeline import _spectrum
+    from pyfocusr_tpu.spectral.graph import Graph
+
+    tg, _ = pair_5k
+    cfg = PipelineConfig()
+    lams, vecs, _ = _spectrum(tg, 6, jax.random.PRNGKey(0), cfg)
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    graph = Graph(target, n_spectral_features=6, seed=0)
+    graph.get_graph_spectrum()
+    np.testing.assert_allclose(
+        np.asarray(lams), np.asarray(graph.eig_vals), rtol=5e-3
+    )
