@@ -39,7 +39,7 @@ import numpy as np
 from .mesh import TriMesh, build_topology
 from .ops import cpd as cpd_ops
 from .ops import graph_ops
-from .ops.eigen import smallest_nonzero_eigpairs
+from .ops.eigen import chebyshev_eigpairs, smallest_nonzero_eigpairs
 from .ops.knn import knn_query, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
 from .utils.precision import f32_matmuls
@@ -80,8 +80,12 @@ class PipelineConfig:
     smooth_correspondences: bool = True
     graph_smoothing_iterations: int = 300
     projection_smooth_iterations: int = 40
+    eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
+    eig_cheb_degree: int = 150
+    eig_cheb_sweeps: int = 4
+    eig_cheb_refine_cg: int = 100
 
     @property
     def n_total(self) -> int:
@@ -208,11 +212,24 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     # Kernel basis: one column per connected component, scaled by 1/s
     # (A (1/s * 1_c) = s (D - W) 1_c = 0 on each component).
     null_basis = graph.null_indicators * (1.0 / s)[:, None] * mask[:, None]
-    lams, vecs, _ = smallest_nonzero_eigpairs(
-        matvec, s, null_basis, k=k, key=key,
-        cg_iters=cfg.eig_cg_iters, lanczos_iters=cfg.eig_lanczos_iters,
-        subspace_mask=mask,
-    )
+    if cfg.eig_method == "chebyshev":
+        # Exact Gershgorin bound for A = S(D-W)S: max_i s_i(s_i d_i + (Ws)_i).
+        ws = graph_ops.spmv(graph.neighbors, w, s)
+        lam_bound = jnp.max(mask * s * (s * d + ws))
+        lams, vecs_a, _ = chebyshev_eigpairs(
+            matvec, null_basis, key, k,
+            degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
+            refine_cg_iters=cfg.eig_cheb_refine_cg,
+            subspace_mask=mask, lam_max_bound=lam_bound,
+        )
+        vecs = vecs_a * s[:, None]
+        vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
+    else:
+        lams, vecs, _ = smallest_nonzero_eigpairs(
+            matvec, s, null_basis, k=k, key=key,
+            cg_iters=cfg.eig_cg_iters, lanczos_iters=cfg.eig_lanczos_iters,
+            subspace_mask=mask,
+        )
     vecs = _masked_minmax_norm(vecs, mask)
     return lams, vecs, w
 

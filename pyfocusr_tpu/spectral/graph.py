@@ -78,10 +78,12 @@ class Graph:
         norm_node_features_cap_std: float = 3,
         norm_node_features_0_1: bool = True,
         seed: int = 0,
+        eig_method: str = "chebyshev",
         eig_cg_iters: int = 300,
         eig_lanczos_iters: int = 0,
         topology: MeshTopology | None = None,
     ):
+        self.eig_method = eig_method
         self.mesh = mesh
         self.n_spectral_features = n_spectral_features
         self.norm_eig_vecs = norm_eig_vecs
@@ -269,6 +271,10 @@ class Graph:
         def matvec(x):
             return graph_ops.sym_laplacian_matvec(neighbors, weights, g, x)
 
+        ws = graph_ops.spmv(neighbors, weights, s)
+        d = graph_ops.degree_vector(weights)
+        lam_bound = jnp.max(s * (s * d + ws))
+
         # Retry-with-larger-k contract of ``recursive_eig``
         # (``graph.py:357-389``): keep eigenvalues > 1e-10; if fewer than
         # needed survive (extra null modes: disconnected components), grow k.
@@ -276,15 +282,24 @@ class Graph:
         k_req = n_needed
         key = jax.random.PRNGKey(self.seed)
         for _attempt in range(4):
-            lams, vecs, _resid = smallest_nonzero_eigpairs(
-                matvec,
-                s,
-                null_vec,
-                k=k_req,
-                key=key,
-                cg_iters=self.eig_cg_iters,
-                lanczos_iters=self.eig_lanczos_iters,
-            )
+            if self.eig_method == "chebyshev":
+                from ..ops.eigen import chebyshev_eigpairs
+
+                lams, vecs_a, _resid = chebyshev_eigpairs(
+                    matvec, null_vec, key, k_req, lam_max_bound=lam_bound
+                )
+                vecs = vecs_a * s[:, None]
+                vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
+            else:
+                lams, vecs, _resid = smallest_nonzero_eigpairs(
+                    matvec,
+                    s,
+                    null_vec,
+                    k=k_req,
+                    key=key,
+                    cg_iters=self.eig_cg_iters,
+                    lanczos_iters=self.eig_lanczos_iters,
+                )
             good = np.where(np.asarray(lams) > MIN_EIG_VAL)[0]
             if len(good) >= n_needed:
                 break

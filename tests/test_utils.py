@@ -1,0 +1,47 @@
+"""Utility subsystems: checkpointing, timing, logging."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyfocusr_tpu.utils.checkpoint import load_results, save_results
+from pyfocusr_tpu.utils.logging import StageTimer, print_header
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "correspondences": jnp.arange(10, dtype=jnp.int32),
+        "points": jnp.ones((5, 3)),
+        "nested": {"Q": jnp.asarray([1.0, 2.0])},
+    }
+    p = str(tmp_path / "ckpt.npz")
+    save_results(p, tree)
+    flat = load_results(p)
+    assert len(flat) == 3
+    vals = {k.split("'")[1] if "'" in k else k: v for k, v in flat.items()}
+    np.testing.assert_array_equal(
+        [v for k, v in flat.items() if "correspondences" in k][0], np.arange(10)
+    )
+    np.testing.assert_array_equal(
+        [v for k, v in flat.items() if "Q" in k][0], [1.0, 2.0]
+    )
+
+
+def test_stage_timer(capsys):
+    t = StageTimer()
+    with t.span("stage_a"):
+        pass
+    with t.span("stage_a"):
+        pass
+    with t.span("stage_b"):
+        pass
+    totals = t.totals()
+    assert set(totals) == {"stage_a", "stage_b"}
+    t.report()
+    out = capsys.readouterr().out
+    assert "stage_a" in out and "stage_b" in out
+
+
+def test_print_header(capsys):
+    print_header("Hello")
+    out = capsys.readouterr().out
+    assert "Hello" in out and "=" * 72 in out
