@@ -175,18 +175,32 @@ def low_rank_gaussian(Y, beta, num_eig: int, key):
     randomized subspace iteration (Halko et al.): exact enough for the
     fast-decaying Gaussian spectrum, and pure MXU matmuls.
 
+    For M above ~8k the Gram is applied in row tiles
+    (pallas_kernels.gaussian_matvec_tiled) so it never materializes —
+    full-resolution CPD support the CPU reference lacks.
+
     Returns (Q [M, k], lam [k]) with G ~ Q diag(lam) Q^T.
     """
+    from .pallas_kernels import gaussian_matvec_tiled
+
     M = Y.shape[0]
-    G = gaussian_kernel(Y, Y, beta)
+    if M <= 8192:
+        G = gaussian_kernel(Y, Y, beta)
+
+        def gmat(V):
+            return jnp.dot(G, V, precision=_PREC)
+    else:
+        def gmat(V):
+            return gaussian_matvec_tiled(Y, beta, V)
+
     p = min(num_eig + 16, M)
     omega = jax.random.normal(key, (M, p), dtype=Y.dtype)
-    Z = jnp.dot(G, omega, precision=_PREC)
+    Z = gmat(omega)
     Qb, _ = jnp.linalg.qr(Z)
     for _ in range(2):  # subspace iterations sharpen small eigvals
-        Z = jnp.dot(G, Qb, precision=_PREC)
+        Z = gmat(Qb)
         Qb, _ = jnp.linalg.qr(Z)
-    H = Qb.T @ jnp.dot(G, Qb, precision=_PREC)
+    H = Qb.T @ gmat(Qb)
     H = 0.5 * (H + H.T)
     lam, S = jnp.linalg.eigh(H)  # ascending
     lam = lam[::-1][:num_eig]
@@ -205,10 +219,18 @@ def low_rank_gaussian(Y, beta, num_eig: int, key):
     return Q, lam
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "w"))
+@partial(jax.jit, static_argnames=("max_iterations", "w", "estep_impl"))
 @f32_matmuls
 def _deformable_cpd_run(
-    X, Y, Q, lam, alpha: float, max_iterations: int, tolerance: float, w: float = 0.0
+    X,
+    Y,
+    Q,
+    lam,
+    alpha: float,
+    max_iterations: int,
+    tolerance: float,
+    w: float = 0.0,
+    estep_impl: str = "dense",
 ):
     """EM loop with the low-rank Woodbury M-step (cycpd/pycpd ``low_rank``).
 
@@ -227,6 +249,22 @@ def _deformable_cpd_run(
             Q, lam[:, None] * jnp.dot(Q.T, W, precision=_PREC), precision=_PREC
         )
 
+    if estep_impl == "dense":
+        def estep(TY, sigma2):
+            return _estep(X, TY, sigma2, w)
+    else:
+        from .pallas_kernels import cpd_estep_pallas, cpd_estep_tiled
+
+
+        def estep(TY, sigma2):
+            c = (
+                (2.0 * jnp.pi * sigma2) ** (D / 2.0) * (w / (1.0 - w)) * (M / N)
+                if w > 0
+                else 0.0
+            )
+            fn = cpd_estep_pallas if estep_impl == "pallas" else cpd_estep_tiled
+            return fn(X, TY, sigma2, c)
+
     def cond(state):
         W, sigma2, err, it = state
         return jnp.logical_and(it < max_iterations, err > tolerance)
@@ -234,7 +272,7 @@ def _deformable_cpd_run(
     def body(state):
         W, sigma2, _, it = state
         TY = Y + kernel_apply(W)
-        Pt1, P1, PX, Np, L = _estep(X, TY, sigma2, w)
+        Pt1, P1, PX, Np, L = estep(TY, sigma2)
         a_s2 = alpha * sigma2
         F = PX - P1[:, None] * Y  # [M, D]
         dPQ = P1[:, None] * Q  # [M, k]
@@ -291,6 +329,7 @@ class deformable_registration:
         w=0.0,
         verbose=False,
         seed=0,
+        estep_impl=None,  # None = auto: dense small, tiled/pallas large
         **_ignored,
     ):
         self.X = jnp.asarray(X, jnp.float32)
@@ -303,6 +342,15 @@ class deformable_registration:
         self.w = float(w)
         self.verbose = verbose
         self.seed = seed
+        if estep_impl is None:
+            big = self.X.shape[0] * self.Y.shape[0] > 3000 * 3000
+            if big:
+                estep_impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "tiled"
+                )
+            else:
+                estep_impl = "dense"
+        self.estep_impl = estep_impl
         self.W = None
         self.sigma2 = None
         self.iterations_run = None
@@ -322,6 +370,7 @@ class deformable_registration:
             self.max_iterations,
             self.tolerance,
             self.w,
+            estep_impl=self.estep_impl,
         )
         self.TY, self.W = TY, W
         self.sigma2 = float(sigma2)

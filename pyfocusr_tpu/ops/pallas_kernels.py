@@ -1,0 +1,238 @@
+"""Pallas TPU kernels for the O(M*N) pairwise stages.
+
+The reference copes with quadratic cost by *subsampling* (CPD runs on
+1000-5000 random points, ``focusr.py:300-306``; its docs recommend never
+going far beyond that).  On TPU the right answer is to tile: these kernels
+stream the [M, N] Gaussian responsibility matrix through VMEM without ever
+materializing it in HBM (the 15k x 15k P matrix would be 900 MB), which makes
+FULL-RESOLUTION CPD practical — a capability the CPU reference does not have.
+
+Kernels:
+  * ``cpd_estep`` — fused CPD E-step: squared distances on the MXU, exp on
+    the VPU, and the three reductions (den[n], P1[m], PX[m,:]) accumulated in
+    VMEM across grid steps.  Two passes (den, then P1/PX), flash-attention
+    style but without max-rescaling (CPD's raw exp semantics, matching
+    cycpd).
+  * pure-XLA ``cpd_estep_tiled`` with identical semantics — the fallback for
+    CPU tests / interpret mode, also used on small problems where one matmul
+    is cheaper than a kernel launch.
+
+All matmuls run at f32 precision (see utils/precision.py for why).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_PREC = jax.lax.Precision.HIGHEST
+
+__all__ = ["cpd_estep", "cpd_estep_tiled", "gaussian_matvec_tiled"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------
+# XLA tiled fallback (identical math, any backend)
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("tile_m",))
+def cpd_estep_tiled(X, TY, sigma2, c, tile_m: int = 2048):
+    """CPD E-step over M-tiles: returns (Pt1 [N], P1 [M], PX [M, D], Np, L)
+    with P never materialized beyond one [tile_m, N] slab.
+
+    c is the uniform-outlier constant ((2 pi s2)^{D/2} w/(1-w) M/N; 0 for
+    w=0, the reference's setting).
+    """
+    N, D = X.shape
+    M = TY.shape[0]
+    m_pad = _round_up(M, tile_m)
+    TY_p = jnp.pad(TY, ((0, m_pad - M), (0, 0)), constant_values=1e15)
+    xn = jnp.sum(X * X, axis=1)
+
+    ty_tiles = TY_p.reshape(m_pad // tile_m, tile_m, D)
+
+    def slab(ty_tile):
+        tn = jnp.sum(ty_tile * ty_tile, axis=1)
+        d2 = tn[:, None] + xn[None, :] - 2.0 * jnp.dot(ty_tile, X.T, precision=_PREC)
+        return jnp.exp(-jnp.maximum(d2, 0.0) / (2.0 * sigma2))
+
+    # Pass 1: denominator per X point.
+    def den_step(carry, ty_tile):
+        return carry + jnp.sum(slab(ty_tile), axis=0), None
+
+    den, _ = jax.lax.scan(den_step, jnp.zeros((N,), X.dtype), ty_tiles)
+    den = jnp.maximum(den + c, 1e-30)
+    L = -jnp.sum(jnp.log(den)) + D * N * jnp.log(sigma2) / 2.0
+
+    # Pass 2: row sums P1 and moment PX with the normalized P.
+    inv_den = 1.0 / den
+
+    def row_step(_, ty_tile):
+        Pn = slab(ty_tile) * inv_den[None, :]
+        return None, (jnp.sum(Pn, axis=1), jnp.dot(Pn, X, precision=_PREC))
+
+    _, (p1_tiles, px_tiles) = jax.lax.scan(row_step, None, ty_tiles)
+    P1 = p1_tiles.reshape(m_pad)[:M]
+    PX = px_tiles.reshape(m_pad, D)[:M]
+    Pt1 = 1.0 - c * inv_den  # column sums of normalized P
+    Np = jnp.sum(P1)
+    return Pt1, P1, PX, Np, L
+
+
+# ----------------------------------------------------------------------
+# Pallas TPU kernel
+# ----------------------------------------------------------------------
+def _estep_den_kernel(x_ref, ty_ref, xn_ref, inv2s2_ref, den_ref):
+    """Grid (n_tiles, m_tiles): accumulate den over m for each n block.
+    The den output block has index_map i -> revisited across all j, so the
+    accumulation lives in VMEM for the whole m sweep.  All vector operands
+    are carried as [1, N] 2-D blocks (Mosaic rejects raw 1-D f32 blocks with
+    non-native tiling)."""
+    x = x_ref[:, :]  # [TN, D]
+    ty = ty_ref[:, :]  # [TM, D]
+    xn = xn_ref[0, :]  # [TN]
+    inv2s2 = inv2s2_ref[0, 0]
+    tn = jnp.sum(ty * ty, axis=1)
+    d2 = (
+        tn[:, None]
+        + xn[None, :]
+        - 2.0 * jnp.dot(ty, x.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    )
+    p = jnp.exp(-jnp.maximum(d2, 0.0) * inv2s2)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        den_ref[:, :] = jnp.zeros_like(den_ref)
+
+    den_ref[0, :] += jnp.sum(p, axis=0)
+
+
+def _estep_row_kernel(x_ref, ty_ref, xn_ref, invden_ref, inv2s2_ref, p1_ref, px_ref):
+    """Grid (m_tiles, n_tiles): accumulate P1 and PX over n for each m block."""
+    x = x_ref[:, :]
+    ty = ty_ref[:, :]
+    xn = xn_ref[0, :]
+    invden = invden_ref[0, :]
+    inv2s2 = inv2s2_ref[0, 0]
+    tn = jnp.sum(ty * ty, axis=1)
+    d2 = (
+        tn[:, None]
+        + xn[None, :]
+        - 2.0 * jnp.dot(ty, x.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    )
+    p = jnp.exp(-jnp.maximum(d2, 0.0) * inv2s2) * invden[None, :]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        p1_ref[:, :] = jnp.zeros_like(p1_ref)
+        px_ref[:, :] = jnp.zeros_like(px_ref)
+
+    p1_ref[0, :] += jnp.sum(p, axis=1)
+    px_ref[:, :] += jnp.dot(
+        p, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
+def cpd_estep_pallas(X, TY, sigma2, c, tile_m: int = 512, tile_n: int = 512,
+                     interpret: bool = False):
+    """Pallas two-pass CPD E-step.  Same contract as cpd_estep_tiled."""
+    N, D = X.shape
+    M = TY.shape[0]
+    n_pad = _round_up(N, tile_n)
+    m_pad = _round_up(M, tile_m)
+    # Pad: fake TY rows far away (exp -> 0); fake X rows also far away (their
+    # den entries are garbage but sliced off).
+    X_p = jnp.pad(X, ((0, n_pad - N), (0, 0)), constant_values=1e15)
+    TY_p = jnp.pad(TY, ((0, m_pad - M), (0, 0)), constant_values=-1e15)
+    xn = jnp.sum(X_p * X_p, axis=1)[None, :]  # [1, n_pad]
+    inv2s2 = jnp.reshape(1.0 / (2.0 * sigma2), (1, 1))
+
+    den2 = pl.pallas_call(
+        _estep_den_kernel,
+        grid=(n_pad // tile_n, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_n, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_m, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(X_p, TY_p, xn, inv2s2)
+    den = den2[0]
+
+    den = jnp.maximum(den + c, 1e-30)
+    L = -jnp.sum(jnp.log(den[:N])) + D * N * jnp.log(sigma2) / 2.0
+    inv_den = jnp.where(jnp.arange(n_pad) < N, 1.0 / den, 0.0)[None, :]
+
+    p1, px = pl.pallas_call(
+        _estep_row_kernel,
+        grid=(m_pad // tile_m, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_n, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_m, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, i)),
+            pl.BlockSpec((tile_m, D), lambda i, j: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, D), jnp.float32),
+        ),
+        interpret=interpret,
+    )(X_p, TY_p, xn, inv_den, inv2s2)
+
+    Pt1 = 1.0 - c / den[:N]
+    P1 = p1[0, :M]
+    PX = px[:M]
+    Np = jnp.sum(P1)
+    return Pt1, P1, PX, Np, L
+
+
+def cpd_estep(X, TY, sigma2, c=0.0, force: str | None = None):
+    """Dispatch: Pallas on TPU for large problems, tiled XLA otherwise."""
+    M, N = TY.shape[0], X.shape[0]
+    backend = jax.default_backend()
+    use_pallas = force == "pallas" or (
+        force is None and backend == "tpu" and M * N >= 4096 * 4096
+    )
+    if use_pallas:
+        return cpd_estep_pallas(X, TY, sigma2, c)
+    return cpd_estep_tiled(X, TY, sigma2, c)
+
+
+# ----------------------------------------------------------------------
+# Tiled Gaussian-Gram matvec (for randomized eigendecomposition at full res)
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("tile",))
+def gaussian_matvec_tiled(Y, beta, V, tile: int = 2048):
+    """Z = G V where G = exp(-||y_i - y_j||^2 / 2 beta^2), computed in row
+    tiles so the [M, M] Gram never materializes (M = 15k -> 900 MB saved)."""
+    M, D = Y.shape
+    m_pad = _round_up(M, tile)
+    Y_p = jnp.pad(Y, ((0, m_pad - M), (0, 0)), constant_values=1e15)
+    yn = jnp.sum(Y * Y, axis=1)
+    y_tiles = Y_p.reshape(m_pad // tile, tile, D)
+
+    def step(_, y_tile):
+        tn = jnp.sum(y_tile * y_tile, axis=1)
+        d2 = tn[:, None] + yn[None, :] - 2.0 * jnp.dot(y_tile, Y.T, precision=_PREC)
+        g = jnp.exp(-jnp.maximum(d2, 0.0) / (2.0 * beta**2))
+        return None, jnp.dot(g, V, precision=_PREC)
+
+    _, z_tiles = jax.lax.scan(step, None, y_tiles)
+    return z_tiles.reshape(m_pad, -1)[:M]

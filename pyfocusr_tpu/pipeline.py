@@ -336,9 +336,17 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
 
     num_eig = min(cfg.non_rigid_n_eigens, n_reg)
     Qg, lam_g = cpd_ops.low_rank_gaussian(Y, cfg.non_rigid_beta, num_eig, keys[6])
+    # Full-resolution CPD (n_coords_spectral_registration >= n_points): the
+    # responsibility matrix is streamed (Pallas on TPU / tiled XLA elsewhere)
+    # instead of materialized — see ops/pallas_kernels.py.
+    if n_reg * n_reg > 3000 * 3000:
+        estep_impl = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    else:
+        estep_impl = "dense"
     _, W, _, _ = cpd_ops._deformable_cpd_run(
         X, Y, Qg, lam_g,
         cfg.non_rigid_alpha, cfg.non_rigid_max_iterations, cfg.non_rigid_tolerance,
+        estep_impl=estep_impl,
     )
     w_proj = Qg @ (Qg.T @ W)
     tgt_coords_moved = tgt_coords + jnp.dot(

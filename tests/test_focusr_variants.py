@@ -1,0 +1,144 @@
+"""Focusr configuration variants: the reference's DEFAULT settings (weighted
+spectral coords, curvature features) and the less-traveled branches."""
+
+import numpy as np
+import pytest
+
+from pyfocusr_tpu import Focusr, load_mesh
+
+DATA = "/root/reference/data"
+
+FAST = dict(
+    non_rigid_max_iterations=60,
+    graph_smoothing_iterations=40,
+    projection_smooth_iterations=1,
+    n_coords_spectral_registration=800,
+    non_rigid_alpha=0.01,
+    non_rigid_beta=50,
+    seed=0,
+)
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return load_mesh(f"{DATA}/target_mesh.vtk"), load_mesh(f"{DATA}/source_mesh.vtk")
+
+
+@pytest.mark.slow
+def test_reference_default_config(meshes):
+    """The reference's out-of-the-box defaults: curvature features computed,
+    weighted spectral coords, affine-before-deformable CPD
+    (``focusr.py:23-69`` defaults)."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=True,
+        list_features_to_calc=["curvature"],
+        rigid_before_non_rigid_reg=True,
+        **FAST,
+    )
+    reg.align_maps()
+    assert reg.spectral_weights is not None
+    w = np.asarray(reg.spectral_weights)
+    assert w.shape == (3,)
+    assert np.all(w > 0) and np.all(w <= 1)
+    assert reg.rigid_params is not None  # affine step ran
+    assert reg.graph_source.n_extra_features == 2  # min+max curvature
+    corr = reg.corresponding_target_idx_for_each_source_pt
+    assert len(np.unique(corr)) > 0.4 * 5000
+    assert reg.source_spectral_coords_after_rigid is not None
+
+
+@pytest.mark.slow
+def test_features_as_coords_and_points(meshes):
+    """use_features_as_coords + include_points_as_features: spectral coords
+    grow by n_extra_features + 3 columns (``focusr.py:218-295``)."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=["max_curvature"],
+        use_features_as_coords=True,
+        include_points_as_features=True,
+        norm_physical_and_spectral=True,
+        feature_smoothing_iterations=5,
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    # 3 spectral + 1 feature + 3 xyz
+    assert reg.source_spectral_coords.shape == (5000, 7)
+    assert reg.target_spectral_coords.shape == (5000, 7)
+    assert reg.source_extra_features.shape == (5000, 1)
+
+
+@pytest.mark.slow
+def test_source_as_reference_and_similarity_icp(meshes):
+    """target_eigenmap_as_reference=False permutes the TARGET eigvecs;
+    similarity-mode ICP fits scale (``focusr.py:32-35``, ``vtk_functions.py:18``)."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        icp_registration_mode="similarity",
+        icp_reg_target_to_source=True,
+        target_eigenmap_as_reference=False,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=[],
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    s, R, t = reg.icp_transform
+    assert abs(float(s) - 1.0) < 0.3  # near-rigid pair; scale close to 1
+    corr = reg.corresponding_target_idx_for_each_source_pt
+    assert corr.shape == (5000,)
+    assert len(np.unique(corr)) > 0.3 * 5000
+
+
+@pytest.mark.slow
+def test_features_in_graph_weighting(meshes):
+    """use_features_in_graph routes features into the G matrix
+    (``graph.py:180-214``); exp transform keeps g > 0 so the symmetrized
+    eigensolve stays valid."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=["curvature"],
+        use_features_in_graph=True,
+        G_matrix_p_function="exp",
+        feature_weights=np.diag([0.1, 0.1]),
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    g = np.asarray(reg.graph_source.g)
+    assert np.all(g > 0)
+    assert np.all(np.isfinite(np.asarray(reg.graph_source.eig_vals)))
+    corr = reg.corresponding_target_idx_for_each_source_pt
+    assert len(np.unique(corr)) > 0.3 * 5000
+
+
+@pytest.mark.slow
+def test_no_smoothing_path(meshes):
+    """smooth_correspondences=False: final correspondences are the initial
+    ones (``focusr.py:551``)."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=[],
+        smooth_correspondences=False,
+        return_average_final_points=False,
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    assert reg.smoothed_target_coords is None
+    assert reg.nearest_neighbor_transformed_points is not None
+    assert reg.weighted_avg_transformed_points is None

@@ -1,0 +1,93 @@
+"""Pallas kernels (interpret mode on CPU) vs the dense reference E-step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyfocusr_tpu.ops.cpd import _estep, gaussian_kernel
+from pyfocusr_tpu.ops.pallas_kernels import (
+    cpd_estep_pallas,
+    cpd_estep_tiled,
+    gaussian_matvec_tiled,
+)
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(0)
+    M, N, D = 700, 900, 3
+    X = jnp.asarray(rng.uniform(-1, 1, (N, D)), jnp.float32)
+    TY = jnp.asarray(rng.uniform(-1, 1, (M, D)), jnp.float32)
+    return X, TY
+
+
+class TestEstep:
+    def test_tiled_matches_dense(self, clouds):
+        X, TY = clouds
+        ref = _estep(X, TY, 0.05, 0.0)
+        out = cpd_estep_tiled(X, TY, 0.05, 0.0, tile_m=256)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_pallas_interpret_matches_dense(self, clouds):
+        X, TY = clouds
+        ref = _estep(X, TY, 0.05, 0.0)
+        out = cpd_estep_pallas(X, TY, 0.05, 0.0, tile_m=256, tile_n=256, interpret=True)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_with_outlier_term(self, clouds):
+        X, TY = clouds
+        s2 = 0.05
+        w = 0.1
+        M, (N, D) = TY.shape[0], X.shape
+        c = (2 * np.pi * s2) ** (D / 2) * (w / (1 - w)) * (M / N)
+        ref = _estep(X, TY, s2, w)
+        out = cpd_estep_tiled(X, TY, s2, c, tile_m=256)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_nonsquare_padding(self):
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(rng.uniform(-1, 1, (513, 3)), jnp.float32)
+        TY = jnp.asarray(rng.uniform(-1, 1, (258, 3)), jnp.float32)
+        ref = _estep(X, TY, 0.1, 0.0)
+        out = cpd_estep_pallas(X, TY, 0.1, 0.0, tile_m=128, tile_n=128, interpret=True)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_gaussian_matvec_tiled(clouds):
+    _, TY = clouds
+    rng = np.random.default_rng(2)
+    V = jnp.asarray(rng.normal(size=(TY.shape[0], 5)), jnp.float32)
+    ref = gaussian_kernel(TY, TY, 1.3) @ V
+    out = gaussian_matvec_tiled(TY, 1.3, V, tile=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_fullres_cpd_matches_dense_small():
+    """estep_impl='tiled' inside the EM loop == dense EM loop."""
+    from pyfocusr_tpu.ops.cpd import _deformable_cpd_run, low_rank_gaussian
+
+    rng = np.random.default_rng(0)
+    M = 500
+    Y = jnp.asarray(rng.uniform(-1, 1, (M, 3)), jnp.float32)
+    X = Y + 0.1 * jnp.sin(2 * Y[:, [1, 2, 0]])
+    Q, lam = low_rank_gaussian(Y, 1.5, 60, jax.random.PRNGKey(0))
+    # Short trajectory: f32 reduction-order differences between the dense
+    # and tiled E-step compound through the EM map as sigma^2 shrinks, so
+    # long-horizon bitwise comparison is ill-posed (same caveat as the CPD
+    # oracle tests).
+    TY_dense, _, s2_dense, _ = _deformable_cpd_run(
+        X, Y, Q, lam, 2.0, 8, 0.0, estep_impl="dense"
+    )
+    TY_tiled, _, s2_tiled, _ = _deformable_cpd_run(
+        X, Y, Q, lam, 2.0, 8, 0.0, estep_impl="tiled"
+    )
+    np.testing.assert_allclose(
+        np.asarray(TY_dense), np.asarray(TY_tiled), atol=1e-3
+    )
+    assert abs(float(s2_dense) - float(s2_tiled)) < 1e-5

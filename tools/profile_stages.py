@@ -63,7 +63,7 @@ def main():
     timeit("icp 100it landmarks=2000", lambda: icp_fit(lm, tg.points, max_iterations=100)[1])
     # spectrum
     spec = jax.jit(lambda g, k: _spectrum(g, 6, k, cfg)[:2])
-    lams_t, vecs_t = timeit("spectrum target (cg=300, m=32)", spec, tg, key)
+    lams_t, vecs_t = timeit("spectrum target (chebyshev)", spec, tg, key)
     lams_s, vecs_s = timeit("spectrum source", spec, sg, key)
 
     # eigsort
