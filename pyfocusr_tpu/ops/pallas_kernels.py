@@ -5,7 +5,15 @@ The reference copes with quadratic cost by *subsampling* (CPD runs on
 going far beyond that).  On TPU the right answer is to tile: these kernels
 stream the [M, N] Gaussian responsibility matrix through VMEM without ever
 materializing it in HBM (the 15k x 15k P matrix would be 900 MB), which makes
-FULL-RESOLUTION CPD practical — a capability the CPU reference does not have.
+FULL-RESOLUTION CPD practical — a capability the CPU reference does not have
+(measured: 15k x 15k x 150 EM iterations in 1.79 s on one v5e chip).
+
+Hyperparameter note for full resolution: CPD's smoothness weight ``alpha``
+multiplies sigma^2 against a data term that grows with the number of
+registered points, so alpha tuned for an n-point subsample must be scaled by
+~N/n when registering all N points (measured on the 15k pair: alpha=0.01 at
+n=1000 == alpha~0.15 at N=15k; without rescaling the warp overfits and
+correspondence quality collapses).
 
 Kernels:
   * ``cpd_estep`` — fused CPD E-step: squared distances on the MXU, exp on

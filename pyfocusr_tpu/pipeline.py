@@ -80,6 +80,12 @@ class PipelineConfig:
     smooth_correspondences: bool = True
     graph_smoothing_iterations: int = 300
     projection_smooth_iterations: int = 40
+    # batch_spectra=True vmaps both meshes' eigensolves into one call.
+    # Measured SLOWER on v5e (1.67s vs 0.78s end-to-end): the outer vmap
+    # turns the ELL neighbor gathers into batched gathers that XLA lowers
+    # poorly, outweighing the sequential-op halving.  Kept as an option for
+    # backends where batched gathers are cheap.
+    batch_spectra: bool = False
     eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
@@ -234,6 +240,28 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     return lams, vecs, w
 
 
+def _pad_graph_arrays(g: GraphArrays, n_pad: int, d_pad: int, c_pad: int) -> GraphArrays:
+    """Pad a GraphArrays to (n_pad points, d_pad degree, c_pad components)
+    inside a trace (static pad amounts).  Padding rows are dead: self-loop
+    neighbors with zero mask, zero valid_mask, zero indicator columns."""
+    n, d = g.neighbors.shape
+    extra_n, extra_d = n_pad - n, d_pad - d
+    points = jnp.pad(g.points, ((0, extra_n), (0, 0)))
+    self_idx = jnp.broadcast_to(
+        jnp.arange(n, n_pad, dtype=g.neighbors.dtype)[:, None], (extra_n, d_pad)
+    )
+    neighbors = jnp.concatenate(
+        [jnp.pad(g.neighbors, ((0, 0), (0, extra_d))), self_idx], axis=0
+    )
+    nbr_mask = jnp.pad(g.nbr_mask, ((0, extra_n), (0, extra_d)))
+    valid = jnp.pad(g.valid_mask, (0, extra_n))
+    nulls = jnp.pad(
+        g.null_indicators,
+        ((0, extra_n), (0, c_pad - g.null_indicators.shape[1])),
+    )
+    return GraphArrays(points, neighbors, nbr_mask, valid, nulls)
+
+
 def _rand_idxs(key, mask, n_samples: int):
     """Sample n_samples indices of real vertices (uniform, no replacement)."""
     n = mask.shape[0]
@@ -289,8 +317,29 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
-    lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
-    lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+    # Both eigensolves run as ONE vmapped call: pad the two graphs to a
+    # common static shape (proven spectrally inert by the masked-subspace
+    # machinery) and batch — halves the sequential-op count of the pipeline's
+    # dominant stage.
+    if cfg.batch_spectra:
+        n_pad = max(target.n_points, source.n_points)
+        d_pad = max(target.neighbors.shape[1], source.neighbors.shape[1])
+        c_pad = max(
+            target.null_indicators.shape[1], source.null_indicators.shape[1]
+        )
+        tg_p = _pad_graph_arrays(target, n_pad, d_pad, c_pad)
+        sg_p = _pad_graph_arrays(source, n_pad, d_pad, c_pad)
+        both = jax.tree.map(lambda a, b: jnp.stack([a, b]), tg_p, sg_p)
+        lams2, vecs2, w2 = jax.vmap(
+            lambda g, kk: _spectrum(g, k_total, kk, cfg)
+        )(both, jnp.stack([keys[0], keys[1]]))
+        lams_t, vecs_t = lams2[0], vecs2[0, : target.n_points]
+        lams_s, vecs_s = lams2[1], vecs2[1, : source.n_points]
+        w_t = w2[0, : target.n_points, : target.neighbors.shape[1]]
+        w_s = w2[1, : source.n_points, : source.neighbors.shape[1]]
+    else:
+        lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
+        lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
 
     # --- eigsort (reference ``focusr.py:514-521``) ---
     n_rand = min(
