@@ -164,6 +164,11 @@ def sort_eigenmaps_fn(
         "c": c,
         "c_f": c_f,
         "Q_full": np.minimum(c, c_f),
+        "c_lambda": np.asarray(c_lambda),
+        "c_hist": np.asarray(c_hist),
+        "c_hist_f": np.asarray(c_hist_f),
+        "c_spatial": np.asarray(c_spatial),
+        "c_spatial_f": np.asarray(c_spatial_f),
     }
     return vecs, jnp.asarray(Q_vec.astype(np.float32)), info
 
@@ -192,6 +197,46 @@ class eigsort:
         self.c_spatial_f = None
         self.Q = None
 
+    # ------------------------------------------------------------------
+    # Individual cost computations — method-level API parity with the
+    # reference class (``eigsort.py:142-233``).  ``sort_eigenmaps`` computes
+    # everything in one fused pass; these exist for callers that inspected
+    # the matrices piecemeal.
+    # ------------------------------------------------------------------
+    def calc_c_lambda(self):
+        gap_t = float(jnp.mean(jnp.diff(self.graph_target.eig_vals[: self.n_features])))
+        gap_s = float(jnp.mean(jnp.diff(self.graph_source.eig_vals[: self.n_features])))
+        self.c_lambda = np.asarray(
+            _c_lambda(
+                jnp.asarray(self.graph_target.eig_vals[: self.n_features]),
+                jnp.asarray(self.graph_source.eig_vals[: self.n_features]),
+                (gap_t + gap_s) / 2.0,
+            )
+        )
+        return self.c_lambda
+
+    def calc_c_hist(self):
+        c, cf = _c_hist_pair(self.rand_target_eig_vecs, self.rand_source_eig_vecs)
+        self.c_hist = np.asarray(c)
+        self.c_hist_f = np.asarray(cf)
+        return self.c_hist
+
+    def calc_c_spatial(self):
+        c, cf = _c_spatial_pair(
+            self.rand_target_eig_vecs,
+            self.rand_source_eig_vecs,
+            self.rand_target_points,
+            self.rand_source_points,
+        )
+        self.c_spatial = np.asarray(c)
+        self.c_spatial_f = np.asarray(cf)
+        return self.c_spatial
+
+    def eigen_sort(self):
+        """Alias matching the reference's method name (``eigsort.py:54``):
+        runs the full fused sort (costs + assignment + flip/permute)."""
+        return self.sort_eigenmaps()
+
     def sort_eigenmaps(self):
         if self.target_as_reference:
             vecs_in = self.graph_source.eig_vecs
@@ -208,8 +253,14 @@ class eigsort:
             vecs_in,
             target_as_reference=self.target_as_reference,
         )
+        # Cost-matrix attributes mirror the reference (``eigsort.py:45-49``).
         self.c = info["c"]
         self.c_f = info["c_f"]
+        self.c_lambda = info["c_lambda"]
+        self.c_hist = info["c_hist"]
+        self.c_hist_f = info["c_hist_f"]
+        self.c_spatial = info["c_spatial"]
+        self.c_spatial_f = info["c_spatial_f"]
         self.Q = Q_vec
 
         if self.target_as_reference:
