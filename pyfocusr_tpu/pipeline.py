@@ -90,8 +90,30 @@ class PipelineConfig:
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
     eig_cheb_degree: int = 150
-    eig_cheb_sweeps: int = 4
+    eig_cheb_sweeps: int = 3
     eig_cheb_refine_cg: int = 100
+
+    def __post_init__(self):
+        # Validated at construction (SURVEY §5.6): fail fast on the knobs
+        # whose invalid values would otherwise surface as cryptic trace errors.
+        if self.n_spectral_features < 1:
+            raise ValueError("n_spectral_features must be >= 1")
+        if self.n_extra_spectral < 0:
+            raise ValueError("n_extra_spectral must be >= 0")
+        if self.icp_registration_mode not in ("rigid", "similarity"):
+            raise ValueError("Error invalid transform mode")
+        if self.eig_method not in ("chebyshev", "lanczos"):
+            raise ValueError("eig_method must be 'chebyshev' or 'lanczos'")
+        if self.non_rigid_alpha <= 0 or self.non_rigid_beta <= 0:
+            raise ValueError("non_rigid_alpha/beta must be positive")
+        for name in (
+            "n_coords_spectral_ordering",
+            "n_coords_spectral_registration",
+            "non_rigid_max_iterations",
+            "graph_smoothing_iterations",
+        ):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1")
 
     @property
     def n_total(self) -> int:
