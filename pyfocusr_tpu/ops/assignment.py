@@ -189,16 +189,25 @@ def auction_lap(
     return assignment
 
 
-def linear_sum_assignment(cost, device_threshold: int = 1024):
+def linear_sum_assignment(cost, device_threshold: int | None = None):
     """Dispatcher with the scipy contract: returns (row_ind, col_ind).
 
-    Small or rectangular problems solve on host (exact JV); large square
-    problems on device (auction).  Drop-in for every reference call site of
-    ``scipy.optimize.linear_sum_assignment``.
+    Default: exact host JV at every size (the native C++ solver handles
+    5000 x 5000 in ~11 s — comparable to what the reference's scipy call
+    printed timings for at ``focusr.py:341-348``).  The device auction is
+    available by passing ``device_threshold``: square problems larger than it
+    solve on-device.  Auction caveat, measured on v5e: with *contested*
+    geometric costs (many rows sharing a best column, e.g. two nearly
+    identical point clouds) the bidding can run long enough to trip the TPU
+    watchdog — use it for well-separated costs or moderate n only.
     """
     cost_np = np.asarray(cost)
     n_rows, n_cols = cost_np.shape
-    if n_rows != n_cols or max(n_rows, n_cols) <= device_threshold:
+    if (
+        device_threshold is None
+        or n_rows != n_cols
+        or max(n_rows, n_cols) <= device_threshold
+    ):
         return lap_host(cost_np)
     col_ind = np.asarray(auction_lap(jnp.asarray(cost_np)))
     return np.arange(n_rows), col_ind

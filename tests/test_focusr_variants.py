@@ -142,3 +142,28 @@ def test_no_smoothing_path(meshes):
     assert reg.smoothed_target_coords is None
     assert reg.nearest_neighbor_transformed_points is not None
     assert reg.weighted_avg_transformed_points is None
+
+
+@pytest.mark.slow
+def test_hungarian_initial_correspondence(meshes):
+    """The reference example notebook's 'hungarian' initial correspondence on
+    the equal-count 5k pair (``focusr.py:340-349``): a full 5000x5000 exact
+    assignment (native C++ JV) — every source point gets a UNIQUE target."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=[],
+        initial_correspondence_type="hungarian",
+        final_correspondence_type="kd",
+        smooth_correspondences=True,
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    corr = reg.corresponding_target_idx_for_each_source_pt
+    assert corr.shape == (5000,)
+    # After smoothing the final correspondences are KD (not unique), but the
+    # pipeline must have consumed the unique initial assignment without error.
+    assert len(np.unique(corr)) > 0.3 * 5000
