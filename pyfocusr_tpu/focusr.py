@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from .mesh import TriMesh
 from .ops import cpd
 from .ops.assignment import linear_sum_assignment
-from .ops.icp import icp as icp_fit, apply_rigid
+from .ops.icp import icp as icp_fit
 from .ops.knn import nn_query, knn_query, pairwise_sq_dists
 from .spectral.eigsort import eigsort
 from .spectral.graph import Graph

@@ -14,7 +14,6 @@ warning rather than an error so files written by other tools still load.
 
 from __future__ import annotations
 
-import struct
 import warnings
 
 import numpy as np

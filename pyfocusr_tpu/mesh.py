@@ -90,6 +90,11 @@ class MeshTopology:
     edge_faces: np.ndarray  # i32 [E, 2] faces incident to each edge (-1 if boundary)
     component_labels: np.ndarray  # i32 [N] connected-component id per vertex
     n_components: int
+    # Directed edges that did not fit a vertex's ELL row (degree > cap).
+    # Empty for meshes whose max degree is within the cap; processed with
+    # scatter-add so SpMV cost is bounded by TOTAL edges, not max degree
+    # (hub vertices like UV-sphere poles would otherwise inflate every row).
+    overflow_edges: np.ndarray = None  # i32 [E_o, 2] (src, dst)
 
     @property
     def n_points(self) -> int:
@@ -100,7 +105,12 @@ class MeshTopology:
         return self.edges.shape[0]
 
 
-def build_topology(triangles: np.ndarray, n_points: int, pad_degree: Optional[int] = None) -> MeshTopology:
+def build_topology(
+    triangles: np.ndarray,
+    n_points: int,
+    pad_degree: Optional[int] = None,
+    degree_cap: Optional[int] = 24,
+) -> MeshTopology:
     """Extract unique undirected edges and a padded ELL neighbor table.
 
     Semantics note: the reference writes ``adjacency[i, j] = 1/dist`` once per
@@ -140,23 +150,31 @@ def build_topology(triangles: np.ndarray, n_points: int, pad_degree: Optional[in
     # Degree per vertex over the symmetric edge set.
     directed = np.concatenate([edges, edges[:, ::-1]], axis=0)
     counts = np.bincount(directed[:, 0], minlength=n_points)
-    max_deg = int(counts.max()) if counts.size and counts.max() > 0 else 1
+    true_max = int(counts.max()) if counts.size and counts.max() > 0 else 1
+    max_deg = true_max
+    if degree_cap is not None and true_max > degree_cap:
+        max_deg = degree_cap
     if pad_degree is not None:
         if pad_degree < max_deg:
-            raise ValueError(f"pad_degree {pad_degree} < max degree {max_deg}")
+            raise ValueError(f"pad_degree {pad_degree} < degree {max_deg}")
         max_deg = pad_degree
 
     # ELL fill: stable sort directed edges by source, place into slots.
+    # Slots beyond the degree cap spill into the overflow edge list.
     order = np.argsort(directed[:, 0], kind="stable")
     src = directed[order, 0]
     dst = directed[order, 1]
     slot = np.arange(src.shape[0]) - np.concatenate(
         [[0], np.cumsum(counts)[:-1]]
     )[src]
+    in_ell = slot < max_deg
     neighbors = np.tile(np.arange(n_points, dtype=np.int32)[:, None], (1, max_deg))
     mask = np.zeros((n_points, max_deg), dtype=np.float32)
-    neighbors[src, slot] = dst
-    mask[src, slot] = 1.0
+    neighbors[src[in_ell], slot[in_ell]] = dst[in_ell]
+    mask[src[in_ell], slot[in_ell]] = 1.0
+    overflow = np.stack(
+        [src[~in_ell], dst[~in_ell]], axis=1
+    ).astype(np.int32) if (~in_ell).any() else np.zeros((0, 2), np.int32)
 
     # Connected components (union-find).  Disconnected meshes (the bundled
     # source_mesh_15k has two isolated vertices) add extra Laplacian null
@@ -186,6 +204,7 @@ def build_topology(triangles: np.ndarray, n_points: int, pad_degree: Optional[in
         edge_faces=edge_faces,
         component_labels=labels.astype(np.int32),
         n_components=int(labels.max()) + 1 if n_points else 0,
+        overflow_edges=overflow,
     )
 
 

@@ -27,6 +27,7 @@ from ..utils.precision import f32_matmuls
 
 __all__ = [
     "edge_weights",
+    "overflow_weights",
     "degree_vector",
     "spmv",
     "mean_filter",
@@ -34,6 +35,12 @@ __all__ = [
     "laplacian_matvec",
     "sym_laplacian_matvec",
 ]
+
+# Hub-vertex overflow: vertices whose degree exceeds the ELL cap carry their
+# extra directed edges in a [E_o, 2] (src, dst) list processed by scatter-add,
+# so SpMV cost is bounded by TOTAL edge count instead of max degree (a
+# UV-sphere pole of degree 320 would otherwise inflate every row 40x).
+# Padding rows use src == dst, which yields weight 0.
 
 DEGREE_EPS = 1e-8  # matches reference ``graph.py:219`` (d + 1e-8)**-1
 
@@ -54,21 +61,47 @@ def edge_weights(coords: jnp.ndarray, neighbors: jnp.ndarray, nbr_mask: jnp.ndar
     return jnp.where(nbr_mask > 0, 1.0 / safe, 0.0)
 
 
-def degree_vector(weights: jnp.ndarray) -> jnp.ndarray:
+def overflow_weights(coords: jnp.ndarray, overflow: jnp.ndarray) -> jnp.ndarray:
+    """w = 1/dist for overflow directed edges; padding rows (src==dst) -> 0."""
+    if overflow.shape[0] == 0:
+        return jnp.zeros((0,), coords.dtype)
+    src, dst = overflow[:, 0], overflow[:, 1]
+    diff = coords[src] - coords[dst]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    real = src != dst
+    return jnp.where(real, 1.0 / jnp.where(real, dist, 1.0), 0.0)
+
+
+def degree_vector(weights: jnp.ndarray, overflow=None, ov_w=None) -> jnp.ndarray:
     """d_i = sum_j w_ij (row sums of W; reference ``graph.py:216-218``)."""
-    return jnp.sum(weights, axis=1)
+    d = jnp.sum(weights, axis=1)
+    if overflow is not None and overflow.shape[0] > 0:
+        d = d.at[overflow[:, 0]].add(ov_w)
+    return d
 
 
-def spmv(neighbors: jnp.ndarray, weights: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def spmv(
+    neighbors: jnp.ndarray,
+    weights: jnp.ndarray,
+    x: jnp.ndarray,
+    overflow=None,
+    ov_w=None,
+) -> jnp.ndarray:
     """y = W @ x for x of shape [N] or [N, C]."""
     if x.ndim == 1:
-        return jnp.sum(weights * x[neighbors], axis=1)
-    return jnp.einsum("nd,ndc->nc", weights, x[neighbors])
+        y = jnp.sum(weights * x[neighbors], axis=1)
+        if overflow is not None and overflow.shape[0] > 0:
+            y = y.at[overflow[:, 0]].add(ov_w * x[overflow[:, 1]])
+        return y
+    y = jnp.einsum("nd,ndc->nc", weights, x[neighbors])
+    if overflow is not None and overflow.shape[0] > 0:
+        y = y.at[overflow[:, 0]].add(ov_w[:, None] * x[overflow[:, 1]])
+    return y
 
 
 @partial(jax.jit, static_argnames=("iterations",))
 @f32_matmuls
-def mean_filter(neighbors, weights, values, iterations: int):
+def mean_filter(neighbors, weights, values, iterations: int, overflow=None, ov_w=None):
     """Iterative graph low-pass filter: out <- diag(1/(1+d)) (W + I) out,
     repeated ``iterations`` times (reference ``mean_filter_graph``,
     ``graph.py:320-354``; call sites use 1-600 iterations).
@@ -78,10 +111,12 @@ def mean_filter(neighbors, weights, values, iterations: int):
     """
     squeeze = values.ndim == 1
     x = values[:, None] if squeeze else values
-    inv = 1.0 / (1.0 + degree_vector(weights))
+    inv = 1.0 / (1.0 + degree_vector(weights, overflow, ov_w))
 
     def step(carry, _):
-        out = inv[:, None] * (spmv(neighbors, weights, carry) + carry)
+        out = inv[:, None] * (
+            spmv(neighbors, weights, carry, overflow, ov_w) + carry
+        )
         return out, None
 
     x, _ = jax.lax.scan(step, x, None, length=iterations)
@@ -131,16 +166,18 @@ def g_vector(
     return g * d_inv
 
 
-def laplacian_matvec(neighbors, weights, g, x):
+def laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     """L x = g * ((d * x) - W x) — the (generally non-symmetric) operator
     L = G (D - W) of reference ``graph.py:221-226`` applied matrix-free."""
-    d = degree_vector(weights)
+    d = degree_vector(weights, overflow, ov_w)
     if x.ndim == 1:
-        return g * (d * x - spmv(neighbors, weights, x))
-    return g[:, None] * (d[:, None] * x - spmv(neighbors, weights, x))
+        return g * (d * x - spmv(neighbors, weights, x, overflow, ov_w))
+    return g[:, None] * (
+        d[:, None] * x - spmv(neighbors, weights, x, overflow, ov_w)
+    )
 
 
-def sym_laplacian_matvec(neighbors, weights, g, x):
+def sym_laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     """Symmetrized operator A = diag(s) (D - W) diag(s), s = sqrt(g).
 
     A is similar to L = diag(g)(D - W):  L = diag(s) A diag(s)^-1, so they
@@ -150,9 +187,11 @@ def sym_laplacian_matvec(neighbors, weights, g, x):
     default d_inv and for the exp feature transform).
     """
     s = jnp.sqrt(g)
-    d = degree_vector(weights)
+    d = degree_vector(weights, overflow, ov_w)
     if x.ndim == 1:
         sx = s * x
-        return s * (d * sx - spmv(neighbors, weights, sx))
+        return s * (d * sx - spmv(neighbors, weights, sx, overflow, ov_w))
     sx = s[:, None] * x
-    return s[:, None] * (d[:, None] * sx - spmv(neighbors, weights, sx))
+    return s[:, None] * (
+        d[:, None] * sx - spmv(neighbors, weights, sx, overflow, ov_w)
+    )

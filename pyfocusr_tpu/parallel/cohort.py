@@ -18,13 +18,12 @@ valid_mask machinery), stacked on a leading cohort axis, and the jitted
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mesh import TriMesh
 from ..ops.icp import icp
@@ -55,9 +54,14 @@ def pad_cohort(meshes: Sequence[TriMesh]) -> List[GraphArrays]:
     n_pad = max(m.n_points for m in meshes)
     d_pad = max(t.max_degree for t in topos)
     c_pad = max(max(t.n_components, 1) for t in topos)
+    e_pad = max(t.overflow_edges.shape[0] for t in topos)
     return [
         mesh_to_graph_arrays(
-            m, pad_n_points=n_pad, pad_degree=d_pad, pad_components=c_pad
+            m,
+            pad_n_points=n_pad,
+            pad_degree=d_pad,
+            pad_components=c_pad,
+            pad_overflow=e_pad,
         )
         for m in meshes
     ]

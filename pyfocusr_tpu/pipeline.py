@@ -130,6 +130,7 @@ class GraphArrays:
     nbr_mask: jnp.ndarray  # f32 [N, D]
     valid_mask: jnp.ndarray  # f32 [N]  1 = real vertex, 0 = padding
     null_indicators: jnp.ndarray  # f32 [N, C] per-component indicator columns
+    overflow: jnp.ndarray = None  # i32 [E_o, 2] hub-vertex spill edges
 
     def tree_flatten(self):
         return (
@@ -138,6 +139,7 @@ class GraphArrays:
             self.nbr_mask,
             self.valid_mask,
             self.null_indicators,
+            self.overflow,
         ), None
 
     @classmethod
@@ -154,13 +156,21 @@ def mesh_to_graph_arrays(
     pad_n_points: Optional[int] = None,
     pad_degree: Optional[int] = None,
     pad_components: Optional[int] = None,
+    pad_overflow: Optional[int] = None,
+    degree_cap: Optional[int] = 24,
 ) -> GraphArrays:
     """Build pipeline arrays from a mesh, optionally padded to a fixed size
     for batching.  ``null_indicators`` carries one indicator column per
     connected component (the Laplacian kernel basis the eigensolver deflates;
     disconnected meshes like the bundled source_mesh_15k need all of them)."""
     n = mesh.n_points
-    topo = build_topology(np.asarray(mesh.triangles), n, pad_degree)
+    topo = build_topology(
+        np.asarray(mesh.triangles), n, pad_degree, degree_cap=degree_cap
+    )
+    overflow = topo.overflow_edges
+    if pad_overflow is not None and pad_overflow > overflow.shape[0]:
+        pad = np.zeros((pad_overflow - overflow.shape[0], 2), np.int32)
+        overflow = np.concatenate([overflow, pad])  # src==dst rows: weight 0
     points = np.asarray(mesh.points, np.float32)
     neighbors = topo.neighbors
     nbr_mask = topo.nbr_mask
@@ -204,6 +214,7 @@ def mesh_to_graph_arrays(
         nbr_mask=jnp.asarray(nbr_mask),
         valid_mask=jnp.asarray(valid),
         null_indicators=jnp.asarray(indicators),
+        overflow=jnp.asarray(overflow),
     )
 
 
@@ -227,14 +238,18 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     """
     mask = graph.valid_mask
     w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
-    d = graph_ops.degree_vector(w)
+    ov = graph.overflow
+    ov_w = graph_ops.overflow_weights(graph.points, ov)
+    d = graph_ops.degree_vector(w, ov, ov_w)
     g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
     s = jnp.sqrt(g)
 
     def matvec(x):
         # Padding rows are dead coordinates: the Krylov iteration is confined
         # to the masked subspace (see ops/eigen.py subspace_mask).
-        ax = graph_ops.sym_laplacian_matvec(graph.neighbors, w, g, x * mask)
+        ax = graph_ops.sym_laplacian_matvec(
+            graph.neighbors, w, g, x * mask, ov, ov_w
+        )
         return ax * mask
 
     # Kernel basis: one column per connected component, scaled by 1/s
@@ -242,7 +257,7 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     null_basis = graph.null_indicators * (1.0 / s)[:, None] * mask[:, None]
     if cfg.eig_method == "chebyshev":
         # Exact Gershgorin bound for A = S(D-W)S: max_i s_i(s_i d_i + (Ws)_i).
-        ws = graph_ops.spmv(graph.neighbors, w, s)
+        ws = graph_ops.spmv(graph.neighbors, w, s, ov, ov_w)
         lam_bound = jnp.max(mask * s * (s * d + ws))
         lams, vecs_a, _ = chebyshev_eigpairs(
             matvec, null_basis, key, k,
@@ -259,10 +274,12 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
             subspace_mask=mask,
         )
     vecs = _masked_minmax_norm(vecs, mask)
-    return lams, vecs, w
+    return lams, vecs, (w, ov, ov_w)
 
 
-def _pad_graph_arrays(g: GraphArrays, n_pad: int, d_pad: int, c_pad: int) -> GraphArrays:
+def _pad_graph_arrays(
+    g: GraphArrays, n_pad: int, d_pad: int, c_pad: int, e_pad: int = None
+) -> GraphArrays:
     """Pad a GraphArrays to (n_pad points, d_pad degree, c_pad components)
     inside a trace (static pad amounts).  Padding rows are dead: self-loop
     neighbors with zero mask, zero valid_mask, zero indicator columns."""
@@ -281,7 +298,10 @@ def _pad_graph_arrays(g: GraphArrays, n_pad: int, d_pad: int, c_pad: int) -> Gra
         g.null_indicators,
         ((0, extra_n), (0, c_pad - g.null_indicators.shape[1])),
     )
-    return GraphArrays(points, neighbors, nbr_mask, valid, nulls)
+    ov = g.overflow
+    if e_pad is not None and e_pad > ov.shape[0]:
+        ov = jnp.pad(ov, ((0, e_pad - ov.shape[0]), (0, 0)))  # src==dst: w=0
+    return GraphArrays(points, neighbors, nbr_mask, valid, nulls, ov)
 
 
 def _rand_idxs(key, mask, n_samples: int):
@@ -336,6 +356,7 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
             nbr_mask=source.nbr_mask,
             valid_mask=source.valid_mask,
             null_indicators=source.null_indicators,
+            overflow=source.overflow,
         )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
@@ -349,16 +370,26 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         c_pad = max(
             target.null_indicators.shape[1], source.null_indicators.shape[1]
         )
-        tg_p = _pad_graph_arrays(target, n_pad, d_pad, c_pad)
-        sg_p = _pad_graph_arrays(source, n_pad, d_pad, c_pad)
+        e_pad = max(target.overflow.shape[0], source.overflow.shape[0])
+        tg_p = _pad_graph_arrays(target, n_pad, d_pad, c_pad, e_pad)
+        sg_p = _pad_graph_arrays(source, n_pad, d_pad, c_pad, e_pad)
         both = jax.tree.map(lambda a, b: jnp.stack([a, b]), tg_p, sg_p)
         lams2, vecs2, w2 = jax.vmap(
             lambda g, kk: _spectrum(g, k_total, kk, cfg)
         )(both, jnp.stack([keys[0], keys[1]]))
         lams_t, vecs_t = lams2[0], vecs2[0, : target.n_points]
         lams_s, vecs_s = lams2[1], vecs2[1, : source.n_points]
-        w_t = w2[0, : target.n_points, : target.neighbors.shape[1]]
-        w_s = w2[1, : source.n_points, : source.neighbors.shape[1]]
+        wt2, ovt2, ovwt2 = w2
+        w_t = (
+            wt2[0, : target.n_points, : target.neighbors.shape[1]],
+            ovt2[0],
+            ovwt2[0],
+        )
+        w_s = (
+            wt2[1, : source.n_points, : source.neighbors.shape[1]],
+            ovt2[1],
+            ovwt2[1],
+        )
     else:
         lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
         lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
@@ -439,11 +470,13 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     if cfg.smooth_correspondences:
         # (``focusr.py:368-399``)
         smoothed_tgt = graph_ops.mean_filter(
-            target.neighbors, w_t, target.points, cfg.graph_smoothing_iterations
+            target.neighbors, w_t[0], target.points,
+            cfg.graph_smoothing_iterations, w_t[1], w_t[2],
         )
         gathered = smoothed_tgt[init_corr]
         projected = graph_ops.mean_filter(
-            source.neighbors, w_s, gathered, cfg.projection_smooth_iterations
+            source.neighbors, w_s[0], gathered,
+            cfg.projection_smooth_iterations, w_s[1], w_s[2],
         )
         smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
         _, corr = nn_query(smoothed_q, projected)

@@ -116,6 +116,8 @@ class Graph:
         self._nbr_mask = jnp.asarray(self.topology.nbr_mask)
         self._edges_j = jnp.asarray(self.topology.edges)
         self._edge_faces_j = jnp.asarray(self.topology.edge_faces)
+        self._overflow = jnp.asarray(self.topology.overflow_edges)
+        self._ov_w = None  # computed with the adjacency weights
 
         # --- Spectrum slots (reference ``graph.py:78-82``) ---
         self.eig_vals = None
@@ -187,9 +189,11 @@ class Graph:
 
     def get_weighted_adjacency_matrix(self):
         """Compute ELL edge weights w = 1/dist (reference ``graph.py:148-178``)."""
+        coords = self._adjacency_coords()
         self._adjacency_weights = graph_ops.edge_weights(
-            self._adjacency_coords(), self._neighbors, self._nbr_mask
+            coords, self._neighbors, self._nbr_mask
         )
+        self._ov_w = graph_ops.overflow_weights(coords, self._overflow)
         return self._adjacency_weights
 
     @property
@@ -199,7 +203,9 @@ class Graph:
         return self._adjacency_weights
 
     def get_degree_matrix(self):
-        self._degrees = graph_ops.degree_vector(self.adjacency_weights)
+        self._degrees = graph_ops.degree_vector(
+            self.adjacency_weights, self._overflow, self._ov_w
+        )
         return self._degrees
 
     @property
@@ -232,7 +238,8 @@ class Graph:
     def laplacian_matvec(self, x):
         """Matrix-free L = G (D - W) (reference ``graph.py:221-226``)."""
         return graph_ops.laplacian_matvec(
-            self._neighbors, self.adjacency_weights, self.g, x
+            self._neighbors, self.adjacency_weights, self.g, x,
+            self._overflow, self._ov_w,
         )
 
     def to_scipy_sparse(self):
@@ -245,8 +252,16 @@ class Graph:
         rows = np.repeat(np.arange(self.n_points), self.topology.max_degree).reshape(
             self.n_points, -1
         )
+        data, ri, ci = w[mask], rows[mask], nbrs[mask]
+        if self._overflow.shape[0]:
+            ov = np.asarray(self._overflow)
+            ovw = np.asarray(self._ov_w)
+            real = ov[:, 0] != ov[:, 1]
+            data = np.concatenate([data, ovw[real]])
+            ri = np.concatenate([ri, ov[real, 0]])
+            ci = np.concatenate([ci, ov[real, 1]])
         return sp.coo_matrix(
-            (w[mask], (rows[mask], nbrs[mask])), shape=(self.n_points,) * 2
+            (data, (ri, ci)), shape=(self.n_points,) * 2
         ).tocsr()
 
     # ------------------------------------------------------------------
@@ -268,11 +283,15 @@ class Graph:
         ind[np.arange(self.n_points), self.topology.component_labels] = 1.0
         null_vec = jnp.asarray(ind) * (1.0 / s)[:, None]
 
-        def matvec(x):
-            return graph_ops.sym_laplacian_matvec(neighbors, weights, g, x)
+        ov, ov_w = self._overflow, self._ov_w
 
-        ws = graph_ops.spmv(neighbors, weights, s)
-        d = graph_ops.degree_vector(weights)
+        def matvec(x):
+            return graph_ops.sym_laplacian_matvec(
+                neighbors, weights, g, x, ov, ov_w
+            )
+
+        ws = graph_ops.spmv(neighbors, weights, s, ov, ov_w)
+        d = graph_ops.degree_vector(weights, ov, ov_w)
         lam_bound = jnp.max(s * (s * d + ws))
 
         # Retry-with-larger-k contract of ``recursive_eig``
@@ -347,6 +366,8 @@ class Graph:
             self.adjacency_weights,
             jnp.asarray(values, jnp.float32),
             iterations,
+            self._overflow,
+            self._ov_w,
         )
 
     # ------------------------------------------------------------------

@@ -12,7 +12,6 @@ Mapping (reference file:line -> here):
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
