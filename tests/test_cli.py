@@ -1,0 +1,62 @@
+"""CLI surface (register/info) via the module entry point, CPU backend."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = "/root/reference/data"
+
+
+def _run_cli(args, timeout=900):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.path.insert(0, %r); "
+        "from pyfocusr_tpu.cli import main; sys.exit(main(%r))"
+    ) % (REPO, args)
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+    )
+
+
+def test_info():
+    proc = _run_cli(["info", f"{DATA}/source_mesh.vtk"])
+    assert proc.returncode == 0, proc.stderr[-500:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["points"] == 5000
+    assert out["triangles"] == 9996
+    assert out["euler_characteristic"] == 2  # closed genus-0 surface
+
+
+@pytest.mark.slow
+def test_register(tmp_path):
+    proc = _run_cli(
+        [
+            "register",
+            f"{DATA}/target_mesh.vtk",
+            f"{DATA}/source_mesh.vtk",
+            "-o",
+            str(tmp_path),
+            "--non-rigid-max-iterations",
+            "30",
+            "--graph-smoothing-iterations",
+            "30",
+            "--n-coords-spectral-registration",
+            "500",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert (tmp_path / "transformed_source.vtk").exists()
+    assert (tmp_path / "average_mesh.vtk").exists()
+    corr = np.load(tmp_path / "correspondences.npy")
+    assert corr.shape == (5000,)

@@ -48,3 +48,35 @@ def test_multiple_arrays_roundtrip(tmp_path):
     _, _, pd2 = read_vtk_polydata(str(out))
     np.testing.assert_allclose(pd2["a"], pd["a"])
     np.testing.assert_allclose(pd2["b"], pd["b"])
+
+
+def test_binary_vtk_read(tmp_path):
+    """Legacy big-endian BINARY .vtk files parse identically to ASCII
+    (the reference's vtkPolyDataReader handles both; so do we)."""
+    import struct
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64)
+    tris = np.array([[0, 1, 2], [0, 1, 3]], np.int32)
+    scal = np.array([0.5, 1.5, 2.5, 3.5])
+    path = tmp_path / "bin.vtk"
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 4.2\n")
+        f.write(b"binary test\n")
+        f.write(b"BINARY\n")
+        f.write(b"DATASET POLYDATA\n")
+        f.write(b"POINTS 4 double\n")
+        f.write(pts.astype(">f8").tobytes())
+        f.write(b"\n")
+        conn = np.column_stack([np.full(2, 3, np.int32), tris]).ravel()
+        f.write(b"POLYGONS 2 8\n")
+        f.write(conn.astype(">i4").tobytes())
+        f.write(b"\n")
+        f.write(b"POINT_DATA 4\n")
+        f.write(b"SCALARS thickness double\n")
+        f.write(b"LOOKUP_TABLE default\n")
+        f.write(scal.astype(">f8").tobytes())
+        f.write(b"\n")
+    p2, t2, pd2 = read_vtk_polydata(str(path))
+    np.testing.assert_allclose(p2, pts)
+    np.testing.assert_array_equal(t2, tris)
+    np.testing.assert_allclose(pd2["thickness"], scal)
