@@ -229,9 +229,20 @@ def chebyshev_eigpairs(
     refine_cg_iters: int = 150,
     subspace_mask=None,
     lam_max_bound=None,
+    partition_masks=None,
 ):
     """k smallest nonzero eigenpairs of symmetric PSD A via Chebyshev-filtered
     subspace iteration + one shift-invert refinement.
+
+    ``partition_masks`` (f32 [N, P], disjoint 0/1 columns) enables the
+    *union-graph* mode: A is block-diagonal over P graph partitions (e.g. the
+    disjoint union of the target and source meshes), and ONE filtered
+    subspace of width k*P + extra yields k eigenpairs PER partition.  The
+    filter/polish run on the union (amortizing per-op dispatch cost across
+    meshes); the final Rayleigh-Ritz happens per partition, which exactly
+    un-mixes near-degenerate cross-partition pairs (similar meshes have
+    nearly identical spectra, so union Ritz vectors would otherwise blend
+    components).  Returns (lams [P, k], vecs [N, P, k], resid [P, k]).
 
     Rationale (TPU performance): shift-invert Lanczos with inner CG costs
     ``m x cg_iters`` *sequential* tiny ops — latency-bound on TPU (measured
@@ -247,7 +258,9 @@ def chebyshev_eigpairs(
     The lower cut ``a`` adapts per sweep from the current Ritz values.
     """
     n = null_vec.shape[0]
-    b = k + block_extra
+    n_parts = 0 if partition_masks is None else partition_masks.shape[1]
+    k_tot = k * max(n_parts, 1)
+    b = k_tot + block_extra
     if null_vec.ndim == 1:
         v0 = null_vec / jnp.linalg.norm(null_vec)
     else:
@@ -301,15 +314,15 @@ def chebyshev_eigpairs(
         H = 0.5 * (H + H.T)
         theta, S = jnp.linalg.eigh(H)  # ascending
         X_new = Q @ S
-        # Adapt the cut: just above the k-th Ritz value.  The upper clip caps
-        # the filter's amplification at e^(2*degree*sqrt(2e-3)) ~ 5e11 so the
-        # recurrence cannot overflow f32 within one sweep (QR renormalizes
+        # Adapt the cut: just above the (k*P)-th Ritz value.  The upper clip
+        # caps the filter's amplification at e^(2*degree*sqrt(2e-3)) ~ 5e11 so
+        # the recurrence cannot overflow f32 within one sweep (QR renormalizes
         # between sweeps).
-        a_new = jnp.clip(1.5 * theta[k - 1], lam_max * 1e-5, lam_max * 2e-3)
+        a_new = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-3)
         return (X_new, a_new), None
 
     (X, a), _ = jax.lax.scan(sweep, (X, a), None, length=sweeps)
-    ritz = X[:, :k]
+    ritz = X[:, :k_tot]
 
     # One block inverse-iteration polish: solve (A + sigma I) Z = ritz with
     # batched CG (the whole block advances per iteration — same latency as a
@@ -343,18 +356,37 @@ def chebyshev_eigpairs(
 
     Z, _, _, _ = jax.lax.fori_loop(0, refine_cg_iters, cg_body, (Z, R, Pm, rs))
     Z = _project_out(v0, Z)
-    Qz, _ = jnp.linalg.qr(Z)
-    AQz = matvec_block(Qz)
-    Hz = Qz.T @ AQz
-    Hz = 0.5 * (Hz + Hz.T)
-    mu, Sz = jnp.linalg.eigh(Hz)
-    vecs = Qz @ Sz
-    vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
-    Av = matvec_block(vecs)
-    lams = jnp.einsum("nk,nk->k", vecs, Av)
-    resid = jnp.linalg.norm(Av - vecs * lams[None, :], axis=0)
-    order = jnp.argsort(lams)[:k]
-    return lams[order], vecs[:, order], resid[order]
+
+    def _rr(Zp):
+        """Rayleigh-Ritz of A on span(Zp); returns k smallest eigpairs."""
+        Qz, _ = jnp.linalg.qr(Zp)
+        AQz = matvec_block(Qz)
+        Hz = Qz.T @ AQz
+        Hz = 0.5 * (Hz + Hz.T)
+        _, Sz = jnp.linalg.eigh(Hz)
+        vecs = Qz @ Sz
+        vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
+        Av = matvec_block(vecs)
+        lams = jnp.einsum("nk,nk->k", vecs, Av)
+        resid = jnp.linalg.norm(Av - vecs * lams[None, :], axis=0)
+        order = jnp.argsort(lams)[:k]
+        return lams[order], vecs[:, order], resid[order]
+
+    if partition_masks is None:
+        return _rr(Z)
+
+    # Per-partition Rayleigh-Ritz: A is block-diagonal over partitions, so
+    # restricting the polished subspace to a partition's rows and re-solving
+    # recovers that partition's eigenpairs exactly (and disentangles
+    # near-degenerate cross-partition Ritz mixtures).
+    out_l, out_v, out_r = [], [], []
+    for pidx in range(n_parts):
+        pm = partition_masks[:, pidx]
+        lams_p, vecs_p, resid_p = _rr(Z * pm[:, None])
+        out_l.append(lams_p)
+        out_v.append(vecs_p * pm[:, None])
+        out_r.append(resid_p)
+    return jnp.stack(out_l), jnp.stack(out_v, axis=1), jnp.stack(out_r)
 
 
 def smallest_nonzero_eigpairs(

@@ -80,11 +80,14 @@ class PipelineConfig:
     smooth_correspondences: bool = True
     graph_smoothing_iterations: int = 300
     projection_smooth_iterations: int = 40
-    # batch_spectra=True vmaps both meshes' eigensolves into one call.
-    # Measured SLOWER on v5e (1.67s vs 0.78s end-to-end): the outer vmap
-    # turns the ELL neighbor gathers into batched gathers that XLA lowers
-    # poorly, outweighing the sequential-op halving.  Kept as an option for
-    # backends where batched gathers are cheap.
+    # union_spectra=True solves BOTH meshes' eigenproblems in one Chebyshev
+    # run on their disjoint-union graph (block-diagonal Laplacian,
+    # per-partition Rayleigh-Ritz).  Exactly matches separate solves
+    # (verified to |cos|>=0.9999); measured NEUTRAL on v5e at 5k-15k (the
+    # filter is throughput-bound, and union ops cost proportionally more),
+    # so it stays off by default.  batch_spectra (vmap) was measured SLOWER
+    # (batched gathers); also off.
+    union_spectra: bool = False
     batch_spectra: bool = False
     eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
@@ -304,6 +307,88 @@ def _pad_graph_arrays(
     return GraphArrays(points, neighbors, nbr_mask, valid, nulls, ov)
 
 
+def _graph_weight_arrays(graph: GraphArrays):
+    """(ELL weights, overflow edges, overflow weights) for one mesh."""
+    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
+    ov_w = graph_ops.overflow_weights(graph.points, graph.overflow)
+    return (w, graph.overflow, ov_w)
+
+
+def _spectrum_union(target: GraphArrays, source: GraphArrays, k: int, key, cfg: PipelineConfig):
+    """Both meshes' spectra from ONE eigensolve on their disjoint union.
+
+    The union Laplacian is block-diagonal, so a single Chebyshev-filtered
+    subspace of width 2k+extra serves both meshes, amortizing the
+    (dispatch-latency-bound) filter iterations across the pair; the final
+    per-partition Rayleigh-Ritz in ops/eigen.py recovers exact per-mesh
+    eigenpairs even though similar meshes make the union spectrum
+    near-doubly-degenerate.  Returns (lams [2,k], vecs_t [Nt,k], vecs_s [Ns,k]).
+    """
+    nt, ns = target.n_points, source.n_points
+    dt, ds = target.neighbors.shape[1], source.neighbors.shape[1]
+    d_pad = max(dt, ds)
+
+    def pad_deg(g, d):
+        nbrs = jnp.pad(g.neighbors, ((0, 0), (0, d_pad - d)))
+        mask = jnp.pad(g.nbr_mask, ((0, 0), (0, d_pad - d)))
+        return nbrs, mask
+
+    nb_t, ms_t = pad_deg(target, dt)
+    nb_s, ms_s = pad_deg(source, ds)
+    points = jnp.concatenate([target.points, source.points])
+    neighbors = jnp.concatenate([nb_t, nb_s + nt])
+    nbr_mask = jnp.concatenate([ms_t, ms_s])
+    valid = jnp.concatenate([target.valid_mask, source.valid_mask])
+    ct, cs = target.null_indicators.shape[1], source.null_indicators.shape[1]
+    nulls = jnp.zeros((nt + ns, ct + cs), jnp.float32)
+    nulls = nulls.at[:nt, :ct].set(target.null_indicators)
+    nulls = nulls.at[nt:, ct:].set(source.null_indicators)
+    # Overflow: padding rows are src==dst, preserved under the +nt offset.
+    overflow = jnp.concatenate([target.overflow, source.overflow + nt])
+    union = GraphArrays(points, neighbors, nbr_mask, valid, nulls, overflow)
+
+    mask = union.valid_mask
+    w = graph_ops.edge_weights(union.points, union.neighbors, union.nbr_mask)
+    ov = union.overflow
+    ov_w = graph_ops.overflow_weights(union.points, ov)
+    d = graph_ops.degree_vector(w, ov, ov_w)
+    g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
+    sdiag = jnp.sqrt(g)
+
+    def matvec(x):
+        ax = graph_ops.sym_laplacian_matvec(
+            union.neighbors, w, g, x * mask, ov, ov_w
+        )
+        return ax * mask
+
+    null_basis = union.null_indicators * (1.0 / sdiag)[:, None] * mask[:, None]
+    ws = graph_ops.spmv(union.neighbors, w, sdiag, ov, ov_w)
+    lam_bound = jnp.max(mask * sdiag * (sdiag * d + ws))
+    part = jnp.stack(
+        [
+            jnp.concatenate([target.valid_mask, jnp.zeros((ns,), jnp.float32)]),
+            jnp.concatenate([jnp.zeros((nt,), jnp.float32), source.valid_mask]),
+        ],
+        axis=1,
+    )
+    lams, vecs, _ = chebyshev_eigpairs(
+        matvec, null_basis, key, k,
+        degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
+        refine_cg_iters=cfg.eig_cheb_refine_cg,
+        subspace_mask=mask, lam_max_bound=lam_bound,
+        partition_masks=part,
+    )
+    out = []
+    for pidx, (sl, m_p) in enumerate(
+        [(slice(0, nt), target.valid_mask), (slice(nt, nt + ns), source.valid_mask)]
+    ):
+        v = vecs[:, pidx, :] * sdiag[:, None]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-30)
+        v = _masked_minmax_norm(v[sl], m_p)
+        out.append(v)
+    return lams, out[0], out[1]
+
+
 def _rand_idxs(key, mask, n_samples: int):
     """Sample n_samples indices of real vertices (uniform, no replacement)."""
     n = mask.shape[0]
@@ -364,7 +449,14 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     # common static shape (proven spectrally inert by the masked-subspace
     # machinery) and batch — halves the sequential-op count of the pipeline's
     # dominant stage.
-    if cfg.batch_spectra:
+    if cfg.union_spectra:
+        lams2, vecs_t, vecs_s = _spectrum_union(
+            target, source, k_total, keys[0], cfg
+        )
+        lams_t, lams_s = lams2[0], lams2[1]
+        w_t = _graph_weight_arrays(target)
+        w_s = _graph_weight_arrays(source)
+    elif cfg.batch_spectra:
         n_pad = max(target.n_points, source.n_points)
         d_pad = max(target.neighbors.shape[1], source.neighbors.shape[1])
         c_pad = max(

@@ -132,3 +132,25 @@ def test_eigenvalues_match_graph_class(pair_5k):
     np.testing.assert_allclose(
         np.asarray(lams), np.asarray(graph.eig_vals), rtol=5e-3
     )
+
+
+def test_union_spectra_matches_separate(pair_5k):
+    """Disjoint-union eigensolve == per-mesh eigensolves (block-diagonal
+    Laplacian + per-partition Rayleigh-Ritz, ops/eigen.py partition mode)."""
+    import jax
+
+    from pyfocusr_tpu.pipeline import _spectrum, _spectrum_union
+
+    tg, sg = pair_5k
+    cfg = PipelineConfig()
+    lt, vt, _ = _spectrum(tg, 6, jax.random.PRNGKey(0), cfg)
+    ls, vs, _ = _spectrum(sg, 6, jax.random.PRNGKey(1), cfg)
+    lams2, vt2, vs2 = _spectrum_union(tg, sg, 6, jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(np.asarray(lams2[0]), np.asarray(lt), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(lams2[1]), np.asarray(ls), rtol=1e-3)
+    for a, b in [(vt, vt2), (vs, vs2)]:
+        for c in range(6):
+            x = np.asarray(a[:, c]) - np.asarray(a[:, c]).mean()
+            y = np.asarray(b[:, c]) - np.asarray(b[:, c]).mean()
+            cos = abs(x @ y) / (np.linalg.norm(x) * np.linalg.norm(y))
+            assert cos > 0.999, (c, cos)
