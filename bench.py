@@ -66,12 +66,16 @@ def main():
     jax.block_until_ready(res)
     t_compile_run = time.perf_counter() - t_c0
 
-    # Timed steady-state runs.
+    # Timed steady-state runs.  The timed region ends with a host transfer
+    # of an output array: on the remote-TPU runtime block_until_ready alone
+    # was observed to return early in rare cases, and the transfer guarantees
+    # the computation actually finished.
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         res = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
         jax.block_until_ready(res)
+        _ = np.asarray(res["correspondences"])
         times.append(time.perf_counter() - t0)
     t_run = float(np.median(times))
 

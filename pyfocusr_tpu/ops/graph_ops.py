@@ -31,6 +31,7 @@ __all__ = [
     "degree_vector",
     "spmv",
     "mean_filter",
+    "mean_filter_chebyshev",
     "g_vector",
     "laplacian_matvec",
     "sym_laplacian_matvec",
@@ -195,3 +196,72 @@ def sym_laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     return s[:, None] * (
         d[:, None] * sx - spmv(neighbors, weights, sx, overflow, ov_w)
     )
+
+
+def _chebyshev_power_coeffs(q: int, m: int):
+    """Chebyshev-series coefficients of f(t) = t^q on [-1, 1], degree m,
+    computed host-side to f64 accuracy via the discrete cosine transform at
+    Chebyshev points (exact for m >= q; tail decays like exp(-k^2 / 2q))."""
+    import numpy as np
+
+    n = m + 1
+    theta = (np.arange(n) + 0.5) * np.pi / n
+    t = np.cos(theta)
+    f = t.astype(np.float64) ** q
+    k = np.arange(n)[:, None]
+    c = (2.0 / n) * (np.cos(k * theta[None, :]) @ f)
+    c[0] *= 0.5
+    return c  # [m+1]
+
+
+@partial(jax.jit, static_argnames=("iterations", "degree"))
+@f32_matmuls
+def mean_filter_chebyshev(
+    neighbors, weights, values, iterations: int, overflow=None, ov_w=None,
+    degree: int = 0,
+):
+    """Chebyshev-accelerated graph low-pass: applies the SAME operator power
+    A^q (A = diag(1/(1+d))(W + I), reference ``graph.py:320-354``) as
+    ``mean_filter`` but as a degree-~sqrt(2 q ln 1/eps) Chebyshev polynomial
+    of the symmetrized operator — ~5x fewer SpMVs at q = 600 for ~1e-5
+    approximation error.  A is row-stochastic (spectrum in [-1, 1]) and
+    similar to S = D~^{-1/2}(W + I)D~^{-1/2}, so
+    A^q x = D~^{-1/2} p_m(S) D~^{1/2} x.
+
+    Opt-in (PipelineConfig.fast_smoothing): output differs from the exact
+    600-step iteration at the polynomial-truncation level, not bitwise.
+    """
+    import math
+
+    q = iterations
+    if degree <= 0:
+        degree = min(q, int(math.sqrt(2.0 * q * math.log(1e5))) + 8)
+    if degree >= q:
+        return mean_filter(neighbors, weights, values, q, overflow, ov_w)
+
+    squeeze = values.ndim == 1
+    x = values[:, None] if squeeze else values
+    d = degree_vector(weights, overflow, ov_w)
+    inv_sqrt = (1.0 + d) ** -0.5
+
+    def s_op(v):
+        # S v = D~^{-1/2} (W + I) D~^{-1/2} v
+        u = inv_sqrt[:, None] * v
+        return inv_sqrt[:, None] * (spmv(neighbors, weights, u, overflow, ov_w) + u)
+
+    coeffs = jnp.asarray(_chebyshev_power_coeffs(q, degree), jnp.float32)
+    x0 = x / inv_sqrt[:, None]  # D~^{1/2} x
+
+    t_prev = x0
+    t_cur = s_op(x0)
+    acc = coeffs[0] * t_prev + coeffs[1] * t_cur
+
+    def body(kk, carry):
+        t_prev, t_cur, acc = carry
+        t_next = 2.0 * s_op(t_cur) - t_prev
+        acc = acc + coeffs[kk] * t_next
+        return t_cur, t_next, acc
+
+    _, _, acc = jax.lax.fori_loop(2, degree + 1, body, (t_prev, t_cur, acc))
+    out = inv_sqrt[:, None] * acc
+    return out[:, 0] if squeeze else out

@@ -89,6 +89,11 @@ class PipelineConfig:
     # (batched gathers); also off.
     union_spectra: bool = False
     batch_spectra: bool = False
+    # 'chebyshev' applies the identical smoothing operator power A^q as a
+    # Chebyshev polynomial (~sqrt(q) SpMVs instead of q; rel err ~2e-6 —
+    # far below the pipeline's f32 noise).  'exact' runs the literal
+    # q-step iteration (reference semantics, graph.py:320-354).
+    smoothing_method: str = "chebyshev"
     eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
@@ -107,6 +112,8 @@ class PipelineConfig:
             raise ValueError("Error invalid transform mode")
         if self.eig_method not in ("chebyshev", "lanczos"):
             raise ValueError("eig_method must be 'chebyshev' or 'lanczos'")
+        if self.smoothing_method not in ("chebyshev", "exact"):
+            raise ValueError("smoothing_method must be 'chebyshev' or 'exact'")
         if self.non_rigid_alpha <= 0 or self.non_rigid_beta <= 0:
             raise ValueError("non_rigid_alpha/beta must be positive")
         for name in (
@@ -561,12 +568,17 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     projected = source.points
     if cfg.smooth_correspondences:
         # (``focusr.py:368-399``)
-        smoothed_tgt = graph_ops.mean_filter(
+        smooth_fn = (
+            graph_ops.mean_filter_chebyshev
+            if cfg.smoothing_method == "chebyshev"
+            else graph_ops.mean_filter
+        )
+        smoothed_tgt = smooth_fn(
             target.neighbors, w_t[0], target.points,
             cfg.graph_smoothing_iterations, w_t[1], w_t[2],
         )
         gathered = smoothed_tgt[init_corr]
-        projected = graph_ops.mean_filter(
+        projected = smooth_fn(
             source.neighbors, w_s[0], gathered,
             cfg.projection_smooth_iterations, w_s[1], w_s[2],
         )
