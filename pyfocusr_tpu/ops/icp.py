@@ -99,16 +99,27 @@ def icp(
     )
     moved0 = source_points + t0
 
-    def body(_, carry):
-        moved, _, _, _ = carry
+    scale = jnp.max(jnp.abs(target_points * tn[:, None])) + 1.0
+
+    def cond(carry):
+        _, _, _, _, it, delta = carry
+        return jnp.logical_and(it < max_iterations, delta > 1e-5 * scale)
+
+    def body(carry):
+        moved, _, _, _, it, _ = carry
         _, idx = nn_query(target_points, moved, precision=jax.lax.Precision.HIGH)
         matched = target_points[idx]
         s, R, t = umeyama(source_points, matched, with_scale, weights=source_mask)
-        moved = apply_rigid(source_points, s, R, t)
-        return moved, s, R, t
+        new_moved = apply_rigid(source_points, s, R, t)
+        # Mean vertex motion this iteration (masked): the convergence
+        # criterion vtk's ICP uses (mean distance mode) in spirit.
+        delta = jnp.sum(
+            jnp.linalg.norm(new_moved - moved, axis=1) * wn
+        )
+        return new_moved, s, R, t, it + 1, delta
 
     s0 = jnp.array(1.0, source_points.dtype)
     R0 = jnp.eye(3, dtype=source_points.dtype)
-    init = (moved0, s0, R0, t0)
-    moved, s, R, t = jax.lax.fori_loop(0, max_iterations, body, init)
+    init = (moved0, s0, R0, t0, jnp.int32(0), jnp.asarray(jnp.inf, source_points.dtype))
+    moved, s, R, t, _, _ = jax.lax.while_loop(cond, body, init)
     return (s, R, t), moved

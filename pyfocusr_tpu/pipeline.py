@@ -99,7 +99,7 @@ class PipelineConfig:
     eig_lanczos_iters: int = 0
     eig_cheb_degree: int = 150
     eig_cheb_sweeps: int = 3
-    eig_cheb_refine_cg: int = 100
+    eig_cheb_refine_cg: int = 40
 
     def __post_init__(self):
         # Validated at construction (SURVEY §5.6): fail fast on the knobs
