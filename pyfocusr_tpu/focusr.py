@@ -419,6 +419,79 @@ class Focusr(object):
     # ------------------------------------------------------------------
     # Main entry (reference ``focusr.py:514-570``)
     # ------------------------------------------------------------------
+    def _pipeline_compatible(self):
+        """The fused single-program pipeline covers this configuration?"""
+        return (
+            self.initial_correspondence_type == "kd"
+            and self.final_correspondence_type == "kd"
+            and self.target_eigenmap_as_reference is True
+            and not self.use_features_as_coords
+            and not self.include_points_as_features
+        )
+
+    def align_maps_pipeline(self):
+        """Run the registration as ONE compiled XLA program
+        (pipeline.register_pair) and populate the reference-named result
+        attributes.  ~10x faster than the stage-by-stage path on TPU; only
+        for configurations _pipeline_compatible() covers."""
+        import jax
+
+        from .pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
+
+        if not self._pipeline_compatible():
+            raise ValueError(
+                "configuration not supported by the fused pipeline "
+                "(needs kd correspondences, target as reference, no "
+                "feature/xyz coordinate appending); use align_maps()"
+            )
+        cfg = PipelineConfig(
+            icp_register_first=False,  # the constructor already pre-aligned
+            n_spectral_features=self.n_spectral_features,
+            n_extra_spectral=self.n_extra_spectral,
+            n_coords_spectral_ordering=self.graph_target.rand_idxs.shape[0],
+            n_coords_spectral_registration=self.n_coords_spectral_registration,
+            get_weighted_spectral_coords=self.get_weighted_spectral_coords,
+            rigid_before_non_rigid_reg=self.rigid_before_non_rigid_reg,
+            rigid_reg_max_iterations=self.rigid_reg_max_iterations,
+            rigid_tolerance=self.rigid_tolerance,
+            non_rigid_max_iterations=self.non_rigid_max_iterations,
+            non_rigid_tolerance=self.non_rigid_tolerance,
+            non_rigid_alpha=self.non_rigid_alpha,
+            non_rigid_beta=self.non_rigid_beta,
+            non_rigid_n_eigens=self.non_rigid_n_eigens,
+            smooth_correspondences=self.smooth_correspondences,
+            graph_smoothing_iterations=self.graph_smoothing_iterations,
+            projection_smooth_iterations=self.projection_smooth_iterations,
+        )
+        with self.timer.span("pipeline_register_pair"):
+            tg = mesh_to_graph_arrays(self.graph_target.mesh)
+            sg = mesh_to_graph_arrays(self.graph_source.mesh)
+            res = register_pair(tg, sg, cfg, jax.random.PRNGKey(self.seed))
+            jax.block_until_ready(res)
+
+        # Populate the reference-named attributes (``focusr.py:174-212``).
+        self.Q = res["Q"]
+        self.graph_target.eig_vals = res["eig_vals_target"]
+        self.graph_source.eig_vals = res["eig_vals_source"]
+        self.graph_target.eig_vecs = res["eig_vecs_target"]
+        self.graph_source.eig_vecs = res["eig_vecs_source_sorted"]
+        self.source_spectral_coords = res["spectral_coords_source"]
+        self.target_spectral_coords = res["spectral_coords_target"]
+        self.source_spectral_coords_b4_reg = res["spectral_coords_source"]
+        self.smoothed_target_coords = res["smoothed_target_coords"]
+        self.source_projected_on_target = res["source_projected_on_target"]
+        self.corresponding_target_idx_for_each_source_pt = np.asarray(
+            res["correspondences"]
+        )
+        self.nearest_neighbor_transformed_points = res["nearest_points"]
+        self.weighted_avg_transformed_points = res["weighted_points"]
+        if self.return_transformed_mesh:
+            if self.return_average_final_points:
+                self.get_source_mesh_transformed_weighted_avg()
+            if self.return_nearest_final_points:
+                self.get_source_mesh_transformed_nearest_neighbour()
+        return self.corresponding_target_idx_for_each_source_pt
+
     def align_maps(self):
         with self.timer.span("eigsort"):
             eig_map_sorter = eigsort(

@@ -613,7 +613,11 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         "average_points": average * smask,
         "eig_vals_target": lams_t,
         "eig_vals_source": lams_s,
+        "eig_vecs_target": vecs_t * tmask,
+        "eig_vecs_source_sorted": vecs_s_sorted * smask,
         "spectral_coords_target": tgt_coords_moved * tmask,
         "spectral_coords_source": src_coords * smask,
+        "smoothed_target_coords": smoothed_tgt * tmask,
+        "source_projected_on_target": projected * smask,
         "Q": Q,
     }

@@ -167,3 +167,36 @@ def test_hungarian_initial_correspondence(meshes):
     # After smoothing the final correspondences are KD (not unique), but the
     # pipeline must have consumed the unique initial assignment without error.
     assert len(np.unique(corr)) > 0.3 * 5000
+
+
+@pytest.mark.slow
+def test_align_maps_pipeline_fast_path(meshes):
+    """Focusr.align_maps_pipeline(): the fused single-program path populates
+    the same reference-named attributes with equivalent quality."""
+    target, source = meshes
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        get_weighted_spectral_coords=False,
+        list_features_to_calc=[],
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps_pipeline()
+    corr = reg.corresponding_target_idx_for_each_source_pt
+    assert corr.shape == (5000,)
+    assert len(np.unique(corr)) > 0.4 * 5000
+    assert reg.weighted_avg_transformed_mesh is not None
+    assert np.all(np.isfinite(np.asarray(reg.weighted_avg_transformed_points)))
+    assert reg.Q.shape == (6,)
+    # incompatible config raises
+    reg2 = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        icp_register_first=False,
+        initial_correspondence_type="hungarian",
+        list_features_to_calc=[],
+        **FAST,
+    )
+    with pytest.raises(ValueError, match="fused pipeline"):
+        reg2.align_maps_pipeline()
