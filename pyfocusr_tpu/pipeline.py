@@ -243,8 +243,9 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     """Laplacian spectrum of one mesh: k smallest nonzero eigenpairs,
     eigvecs min-max normalized to [-0.5, 0.5] (reference ``graph.py:228-257``).
 
-    Padding rows are decoupled (zero weights) and pinned at PAD_EIG via a
-    diagonal shift so they sit far above the sought spectrum.
+    Padding rows are dead coordinates: the eigensolver's iteration is
+    confined to the masked subspace (ops/eigen.py ``subspace_mask``), so the
+    padded spectrum is identical to the unpadded one.
     """
     mask = graph.valid_mask
     w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)

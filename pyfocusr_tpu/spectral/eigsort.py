@@ -25,6 +25,7 @@ exposes the same computation functionally for the jit pipeline.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,8 +84,6 @@ def _c_spatial_pair(t_vecs, s_vecs, t_points_norm, s_points_norm):
     n_t = t_vecs.shape[0]
     t_sq = jnp.sum(t_vecs * t_vecs, axis=0)  # [k]
     g_sq = jnp.sum(gathered * gathered, axis=0)
-    import jax
-
     cross = jnp.dot(t_vecs.T, gathered, precision=jax.lax.Precision.HIGHEST)  # [k, k]
     sq = t_sq[:, None] + g_sq[None, :] - 2.0 * cross
     sq_f = t_sq[:, None] + g_sq[None, :] + 2.0 * cross
