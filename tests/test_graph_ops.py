@@ -100,3 +100,31 @@ def test_g_vector_feature_variants(graph_arrays):
     # Default path equals (d + eps)^-1
     g0 = np.asarray(G.g_vector(None, d, fw, include_features=False))
     np.testing.assert_allclose(g0, (np.asarray(d) + 1e-8) ** -1, rtol=1e-6)
+
+
+def test_mean_filter_chebyshev_matches_exact(graph_arrays):
+    """Chebyshev-accelerated smoothing == exact q-step iteration to ~1e-5
+    relative (the polynomial-truncation level, ops/graph_ops.py)."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.ops.graph_ops import mean_filter, mean_filter_chebyshev
+
+    pts, nbrs, _, w = graph_arrays
+    for q in [40, 300]:
+        exact = mean_filter(nbrs, w, pts, q)
+        fast = mean_filter_chebyshev(nbrs, w, pts, q)
+        err = float(jnp.max(jnp.abs(exact - fast)))
+        scale = float(jnp.max(jnp.abs(exact)))
+        assert err / scale < 1e-4, (q, err / scale)
+
+
+def test_mean_filter_chebyshev_small_q_falls_back(graph_arrays):
+    """q <= polynomial degree: returns the exact iteration."""
+    import numpy as np
+
+    from pyfocusr_tpu.ops.graph_ops import mean_filter, mean_filter_chebyshev
+
+    pts, nbrs, _, w = graph_arrays
+    exact = mean_filter(nbrs, w, pts, 5)
+    fast = mean_filter_chebyshev(nbrs, w, pts, 5)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(fast), rtol=1e-6)
