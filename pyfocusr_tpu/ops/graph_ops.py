@@ -57,8 +57,11 @@ def edge_weights(coords: jnp.ndarray, neighbors: jnp.ndarray, nbr_mask: jnp.ndar
     diff = nbr_coords - coords[:, None, :]
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     # Padding slots point at the vertex itself (dist 0); mask them out and
-    # guard the reciprocal.
-    safe = jnp.where(nbr_mask > 0, dist, 1.0)
+    # guard the reciprocal.  Degenerate meshes with coincident CONNECTED
+    # vertices would make w = 1/0 = inf (the reference crashes the same way,
+    # graph.py:177-178); clamp to a huge-but-finite weight instead so the
+    # pipeline stays NaN-free.
+    safe = jnp.maximum(jnp.where(nbr_mask > 0, dist, 1.0), 1e-20)
     return jnp.where(nbr_mask > 0, 1.0 / safe, 0.0)
 
 
@@ -70,7 +73,8 @@ def overflow_weights(coords: jnp.ndarray, overflow: jnp.ndarray) -> jnp.ndarray:
     diff = coords[src] - coords[dst]
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     real = src != dst
-    return jnp.where(real, 1.0 / jnp.where(real, dist, 1.0), 0.0)
+    safe = jnp.maximum(jnp.where(real, dist, 1.0), 1e-20)
+    return jnp.where(real, 1.0 / safe, 0.0)
 
 
 def degree_vector(weights: jnp.ndarray, overflow=None, ov_w=None) -> jnp.ndarray:

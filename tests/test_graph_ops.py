@@ -128,3 +128,21 @@ def test_mean_filter_chebyshev_small_q_falls_back(graph_arrays):
     exact = mean_filter(nbrs, w, pts, 5)
     fast = mean_filter_chebyshev(nbrs, w, pts, 5)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(fast), rtol=1e-6)
+
+
+def test_coincident_vertices_no_inf():
+    """Coincident connected vertices must not produce inf/NaN weights
+    (the reference divides by zero there; we clamp)."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.mesh import build_topology
+
+    pts = np.array([[0, 0, 0], [0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    topo = build_topology(tris, 4)
+    w = G.edge_weights(
+        jnp.asarray(pts), jnp.asarray(topo.neighbors), jnp.asarray(topo.nbr_mask)
+    )
+    assert np.all(np.isfinite(np.asarray(w)))
+    d = G.degree_vector(w)
+    assert np.all(np.isfinite(np.asarray(d)))

@@ -45,3 +45,11 @@ def test_print_header(capsys):
     print_header("Hello")
     out = capsys.readouterr().out
     assert "Hello" in out and "=" * 72 in out
+
+
+def test_stage_timer_profiler_annotations():
+    """enable_profiler=True wraps spans in jax.profiler.TraceAnnotation."""
+    t = StageTimer(enable_profiler=True)
+    with t.span("annotated"):
+        pass
+    assert "annotated" in t.totals()
