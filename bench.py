@@ -61,9 +61,19 @@ def main():
     )
 
     # Warm-up: compile (cached across invocations via the persistent cache).
+    # The remote-TPU tunnel occasionally faults transiently (watchdog /
+    # infrastructure); retry rather than losing the round's benchmark.
     t_c0 = time.perf_counter()
-    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(res)
+    for attempt in range(3):
+        try:
+            res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(res)
+            break
+        except Exception as e:  # transient device errors
+            print(f"warmup attempt {attempt} failed: {e}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(10)
     t_compile_run = time.perf_counter() - t_c0
 
     # Timed steady-state runs.  The timed region ends with a host transfer
@@ -72,11 +82,19 @@ def main():
     # the computation actually finished.
     times = []
     for i in range(3):
-        t0 = time.perf_counter()
-        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(res)
-        _ = np.asarray(res["correspondences"])
-        times.append(time.perf_counter() - t0)
+        for attempt in range(3):
+            try:
+                t0 = time.perf_counter()
+                res = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
+                jax.block_until_ready(res)
+                _ = np.asarray(res["correspondences"])
+                times.append(time.perf_counter() - t0)
+                break
+            except Exception as e:
+                print(f"run {i} attempt {attempt} failed: {e}", file=sys.stderr)
+                if attempt == 2:
+                    raise
+                time.sleep(10)
     t_run = float(np.median(times))
 
     corr = np.asarray(res["correspondences"])

@@ -289,10 +289,24 @@ class Focusr(object):
     # Correspondences (reference ``focusr.py:340-431``)
     # ------------------------------------------------------------------
     def get_hungarian_correspondence(self, target_pts, spectral_pts):
-        d2 = np.asarray(pairwise_sq_dists(
-            jnp.asarray(spectral_pts), jnp.asarray(target_pts)
-        ))
-        _, target_idx = linear_sum_assignment(d2)
+        # Euclidean (not squared) costs: the assignment objective must match
+        # the reference's cdist + linear_sum_assignment (``focusr.py:340-349``)
+        # — minimizing summed distances and summed squared distances give
+        # different matchings.
+        import time as _time
+
+        tic = _time.time()
+        dists = np.sqrt(
+            np.asarray(
+                pairwise_sq_dists(jnp.asarray(spectral_pts), jnp.asarray(target_pts))
+            )
+        )
+        if self.verbose:
+            print("time to get cdist: {}".format(_time.time() - tic))
+        tic = _time.time()
+        _, target_idx = linear_sum_assignment(dists)
+        if self.verbose:
+            print("time to linear sum assignment: {}".format(_time.time() - tic))
         self.corresponding_target_idx_for_each_source_pt = np.asarray(target_idx)
 
     def get_kd_correspondence(self, target_pts, spectral_pts):

@@ -38,6 +38,7 @@ except AttributeError:  # pragma: no cover
 __all__ = [
     "stack_graph_arrays",
     "pad_cohort",
+    "check_cohort_config",
     "register_cohort",
     "cohort_mean_shape",
     "all_pairs_surface_errors",
@@ -79,6 +80,20 @@ def _batched_register(targets, template, cfg, keys):
     )(targets, keys)
 
 
+def check_cohort_config(meshes_min_points: int, cfg: PipelineConfig) -> None:
+    """Padded-cohort sampling constraint: subsample sizes must not exceed the
+    smallest real vertex count, or padding rows leak into the eigsort/CPD
+    subsamples (pipeline._rand_idxs has static sample sizes)."""
+    for name in ("n_coords_spectral_ordering", "n_coords_spectral_registration"):
+        if getattr(cfg, name) > meshes_min_points:
+            raise ValueError(
+                f"{name}={getattr(cfg, name)} exceeds the smallest cohort "
+                f"mesh size {meshes_min_points}; padding rows would leak "
+                "into subsamples. Lower it to at most the smallest real "
+                "vertex count."
+            )
+
+
 def register_cohort(
     template: GraphArrays,
     targets: GraphArrays,  # stacked, leading cohort axis (global batch)
@@ -98,6 +113,14 @@ def register_cohort(
     be averaged across the cohort directly.
     """
     batch = jax.tree.leaves(targets)[0].shape[0]
+    min_real = int(
+        min(
+            float(jnp.sum(targets.valid_mask[i]))
+            for i in range(batch)
+        )
+    )
+    min_real = min(min_real, int(float(jnp.sum(template.valid_mask))))
+    check_cohort_config(min_real, cfg)
     keys = jax.random.split(key, batch)
 
     if device_mesh is None:

@@ -398,7 +398,15 @@ def _spectrum_union(target: GraphArrays, source: GraphArrays, k: int, key, cfg: 
 
 
 def _rand_idxs(key, mask, n_samples: int):
-    """Sample n_samples indices of real vertices (uniform, no replacement)."""
+    """Sample n_samples indices of real vertices (uniform, no replacement).
+
+    Caveat for padded meshes: the sample SIZE is static, so if n_samples
+    meets or exceeds the padded length the arange fast path (and, when
+    n_valid < n_samples, even the weighted draw) necessarily includes padding
+    rows.  Keep ``n_coords_spectral_ordering`` / ``_registration`` at or
+    below the smallest REAL vertex count when batching padded cohorts
+    (parallel/cohort.pad_cohort enforces this with a check).
+    """
     n = mask.shape[0]
     if n_samples >= n:
         return jnp.arange(n)

@@ -138,3 +138,17 @@ def test_all_pairs_surface_errors():
     assert errs[0, 0] == 0 and errs[1, 1] == 0
     assert errs[0, 1] > 0 and errs[1, 0] > 0
     assert errs[0, 1] < 0.2  # warp scale bound
+
+
+def test_cohort_subsample_guard():
+    """Oversized subsample settings vs the smallest cohort mesh must raise
+    (padding rows would leak into eigsort/CPD subsamples)."""
+    import jax
+
+    template = mesh_to_graph_arrays(_sphere_mesh())
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(_sphere_mesh(warp=0.05))]
+    )
+    big = PipelineConfig(n_coords_spectral_ordering=10**6)
+    with pytest.raises(ValueError, match="smallest"):
+        register_cohort(template, subjects, big, jax.random.PRNGKey(0))
