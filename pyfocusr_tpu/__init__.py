@@ -16,6 +16,12 @@ from . import vtk_functions  # noqa: F401  (parity: submodule export)
 from .focusr import Focusr  # noqa: F401
 from .main import print_header  # noqa: F401
 from .mesh import TriMesh, load_mesh, save_mesh, build_topology  # noqa: F401
+from .pipeline import (  # noqa: F401
+    GraphArrays,
+    PipelineConfig,
+    mesh_to_graph_arrays,
+    register_pair,
+)
 from .spectral.eigsort import eigsort  # noqa: F401
 from .spectral.graph import Graph, features_dictionary  # noqa: F401
 

@@ -53,3 +53,41 @@ def test_stage_timer_profiler_annotations():
     with t.span("annotated"):
         pass
     assert "annotated" in t.totals()
+
+
+def test_focusr_state_checkpoint_roundtrip(tmp_path):
+    """focusr_state_dict -> save -> load -> restore re-populates the
+    reference-named result attributes (SURVEY §5.4 checkpoint/resume)."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.utils.checkpoint import (
+        focusr_state_dict,
+        load_results,
+        restore_focusr_state,
+        save_results,
+    )
+
+    class FakeReg:
+        Q = jnp.asarray([1.0, 2.0])
+        corresponding_target_idx_for_each_source_pt = jnp.arange(5)
+        weighted_avg_transformed_points = jnp.ones((5, 3))
+
+    state = focusr_state_dict(FakeReg())
+    assert set(state) == {
+        "Q",
+        "corresponding_target_idx_for_each_source_pt",
+        "weighted_avg_transformed_points",
+    }
+    p = str(tmp_path / "focusr.npz")
+    save_results(p, state)
+    loaded = load_results(p)
+
+    class Empty:
+        pass
+
+    reg2 = Empty()
+    restore_focusr_state(reg2, loaded)
+    np.testing.assert_array_equal(np.asarray(reg2.Q), [1.0, 2.0])
+    np.testing.assert_array_equal(
+        np.asarray(reg2.corresponding_target_idx_for_each_source_pt), np.arange(5)
+    )
