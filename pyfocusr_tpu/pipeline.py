@@ -94,6 +94,11 @@ class PipelineConfig:
     # far below the pipeline's f32 noise).  'exact' runs the literal
     # q-step iteration (reference semantics, graph.py:320-354).
     smoothing_method: str = "chebyshev"
+    # Beyond-reference quality signal: also compute the reverse (target ->
+    # source) nearest neighbors and flag mutually-consistent correspondences
+    # (cycle-consistent matches are the reliable ones; the mask is returned,
+    # nothing is filtered).
+    compute_mutual_consistency: bool = False
     eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
@@ -571,6 +576,15 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
 
     # --- Initial correspondences (``focusr.py:545``) ---
     _, init_corr = nn_query(tgt_coords_q, src_coords)
+    mutual = None
+    if cfg.compute_mutual_consistency:
+        src_q = jnp.where(
+            source.valid_mask[:, None] > 0, src_coords, SENTINEL
+        )
+        _, rev_corr = nn_query(src_q, tgt_coords_moved)
+        mutual = (rev_corr[init_corr] == jnp.arange(init_corr.shape[0])).astype(
+            jnp.float32
+        ) * source.valid_mask
 
     corr = init_corr
     smoothed_tgt = target.points
@@ -629,4 +643,5 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         "smoothed_target_coords": smoothed_tgt * tmask,
         "source_projected_on_target": projected * smask,
         "Q": Q,
+        **({"mutual_consistency": mutual} if mutual is not None else {}),
     }

@@ -200,3 +200,40 @@ def test_align_maps_pipeline_fast_path(meshes):
     )
     with pytest.raises(ValueError, match="fused pipeline"):
         reg2.align_maps_pipeline()
+
+
+@pytest.mark.slow
+def test_features_in_adjacency(meshes):
+    """include_features_in_adj_matrix=True augments the edge-weight distance
+    with mean-range-scaled features (``graph.py:166-178``): weights must
+    change but stay finite, and the registration must still complete."""
+    target, source = meshes
+    from pyfocusr_tpu.spectral.graph import Graph
+
+    g_plain = Graph(target, list_features_to_calc=["max_curvature"], seed=0)
+    g_feat = Graph(
+        target,
+        list_features_to_calc=["max_curvature"],
+        include_features_in_adj_matrix=True,
+        seed=0,
+    )
+    w0 = np.asarray(g_plain.adjacency_weights)
+    w1 = np.asarray(g_feat.adjacency_weights)
+    mask = np.asarray(g_plain._nbr_mask) > 0
+    assert np.all(np.isfinite(w1[mask]))
+    assert not np.allclose(w0[mask], w1[mask])  # features changed distances
+    # Augmented distances are >= xyz distances => weights can only shrink.
+    assert np.all(w1[mask] <= w0[mask] + 1e-6)
+
+    reg = Focusr(
+        vtk_mesh_target=target,
+        vtk_mesh_source=source,
+        list_features_to_calc=["max_curvature"],
+        include_features_in_adj_matrix=True,
+        get_weighted_spectral_coords=False,
+        rigid_before_non_rigid_reg=False,
+        **FAST,
+    )
+    reg.align_maps()
+    assert np.all(np.isfinite(np.asarray(reg.graph_target.eig_vals)))
+    assert reg.corresponding_target_idx_for_each_source_pt.shape == (5000,)

@@ -154,3 +154,19 @@ def test_union_spectra_matches_separate(pair_5k):
             y = np.asarray(b[:, c]) - np.asarray(b[:, c]).mean()
             cos = abs(x @ y) / (np.linalg.norm(x) * np.linalg.norm(y))
             assert cos > 0.999, (c, cos)
+
+
+@pytest.mark.slow
+def test_mutual_consistency_mask(pair_5k):
+    """compute_mutual_consistency returns a 0/1 mask of cycle-consistent
+    initial correspondences — a quality signal the reference lacks."""
+    import jax
+
+    tg, sg = pair_5k
+    cfg = PipelineConfig(compute_mutual_consistency=True, **FAST)
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    m = np.asarray(res["mutual_consistency"])
+    assert m.shape == (5000,)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    # For a well-registered similar pair, a large fraction is mutual.
+    assert m.mean() > 0.3, m.mean()
