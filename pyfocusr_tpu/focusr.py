@@ -27,6 +27,8 @@ ports directly.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -293,20 +295,18 @@ class Focusr(object):
         # the reference's cdist + linear_sum_assignment (``focusr.py:340-349``)
         # — minimizing summed distances and summed squared distances give
         # different matchings.
-        import time as _time
-
-        tic = _time.time()
+        tic = time.time()
         dists = np.sqrt(
             np.asarray(
                 pairwise_sq_dists(jnp.asarray(spectral_pts), jnp.asarray(target_pts))
             )
         )
         if self.verbose:
-            print("time to get cdist: {}".format(_time.time() - tic))
-        tic = _time.time()
+            print("time to get cdist: {}".format(time.time() - tic))
+        tic = time.time()
         _, target_idx = linear_sum_assignment(dists)
         if self.verbose:
-            print("time to linear sum assignment: {}".format(_time.time() - tic))
+            print("time to linear sum assignment: {}".format(time.time() - tic))
         self.corresponding_target_idx_for_each_source_pt = np.asarray(target_idx)
 
     def get_kd_correspondence(self, target_pts, spectral_pts):
@@ -354,6 +354,12 @@ class Focusr(object):
         """Inverse-distance-weighted average of the 3 closest smoothed-target
         points, with the exact-hit short-circuit (reference
         ``focusr.py:401-426``) — vectorized over all source points."""
+        if self.smoothed_target_coords is None:
+            raise ValueError(
+                "weighted final locations need smoothed correspondences: run "
+                "with smooth_correspondences=True (the reference crashes on "
+                "a None KDTree here; we raise instead)"
+            )
         dists, idxs = knn_query(
             jnp.asarray(self.smoothed_target_coords),
             jnp.asarray(self.source_projected_on_target),
