@@ -170,3 +170,34 @@ def test_mutual_consistency_mask(pair_5k):
     assert set(np.unique(m)).issubset({0.0, 1.0})
     # For a well-registered similar pair, a large fraction is mutual.
     assert m.mean() > 0.3, m.mean()
+
+
+@pytest.mark.slow
+def test_register_pair_15k_real_data():
+    """The bundled 15k pair end-to-end: exercises the REAL disconnected mesh
+    (source_mesh_15k has two isolated vertices) and pins the eigenvalues to
+    the ARPACK goldens (computed once with scipy shift-invert)."""
+    import jax
+
+    tg = mesh_to_graph_arrays(load_mesh(f"{DATA}/target_mesh_15k.vtk"))
+    sg = mesh_to_graph_arrays(load_mesh(f"{DATA}/source_mesh_15k.vtk"))
+    cfg = PipelineConfig(
+        non_rigid_max_iterations=100,
+        graph_smoothing_iterations=300,
+        projection_smooth_iterations=1,
+        n_coords_spectral_registration=1000,
+    )
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    # ARPACK golden eigenvalues (scipy eigs, sigma=1e-10 shift-invert).
+    golden_t = [0.0002803, 0.00053345, 0.0007212, 0.00103689, 0.00126139, 0.00135421]
+    golden_s = [0.00027989, 0.00054738, 0.00070142, 0.00102764, 0.00129613, 0.00130917]
+    np.testing.assert_allclose(
+        np.asarray(res["eig_vals_target"]), golden_t, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["eig_vals_source"]), golden_s, rtol=2e-3
+    )
+    corr = np.asarray(res["correspondences"])
+    assert corr.shape == (14996,)
+    assert len(np.unique(corr)) > 0.6 * 14996
+    assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
