@@ -25,6 +25,13 @@ import sys
 import time
 
 import jax
+
+try:  # persistent compile cache: cold pipeline compiles take minutes
+    jax.config.update("jax_compilation_cache_dir",
+                      __import__("os").environ.get("JAX_COMPILATION_CACHE_DIR",
+                                                   "/root/.jax_cache"))
+except Exception:
+    pass
 import numpy as np
 
 sys.path.insert(0, ".")

@@ -79,6 +79,14 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+        )
+    except Exception:
+        pass
+
     from .pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
 
     cfg = PipelineConfig(
