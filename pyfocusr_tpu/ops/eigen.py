@@ -313,8 +313,8 @@ def chebyshev_eigpairs(
         pw = _estimate_lambda_max(matvec, n, key, subspace_mask=subspace_mask)
         lam_max = pw * 1.3
 
-    def cheb_filter(X, a):
-        """T_degree((2A - (a+lam_max)) / (lam_max - a)) applied to block X."""
+    def cheb_filter(X, a, deg):
+        """T_deg((2A - (a+lam_max)) / (lam_max - a)) applied to block X."""
         c = (lam_max + a) / 2.0
         e = (lam_max - a) / 2.0
         if filter_op_factory is not None:
@@ -331,7 +331,7 @@ def chebyshev_eigpairs(
             t_next = op(t_cur) - t_prev
             return t_cur, t_next
 
-        _, t_cur = jax.lax.fori_loop(0, degree - 1, body, (t_prev, t_cur))
+        _, t_cur = jax.lax.fori_loop(0, deg - 1, body, (t_prev, t_cur))
         return t_cur
 
     X = jax.random.normal(key, (n, b), dtype=jnp.float32)
@@ -340,24 +340,24 @@ def chebyshev_eigpairs(
     X = _project_out(v0, X)
     a = lam_max * 1e-3  # initial cut; adapted from Ritz values per sweep
 
-    def sweep(carry, _):
-        X, a = carry
-        Y = cheb_filter(X, a)
+    # Static python loop over sweeps so each sweep can use its own degree:
+    # the FIRST sweep only needs a rough subspace + a cut estimate, so it
+    # runs at ~40% degree; later sweeps do the real separation.
+    for si in range(sweeps):
+        deg = max(degree * 2 // 5, 32) if si == 0 and sweeps > 1 else degree
+        Y = cheb_filter(X, a, deg)
         Y = _project_out(v0, Y)
         Q, _ = jnp.linalg.qr(Y)
         AQ = matvec_block(Q)
         H = Q.T @ AQ
         H = 0.5 * (H + H.T)
         theta, S = jnp.linalg.eigh(H)  # ascending
-        X_new = Q @ S
+        X = Q @ S
         # Adapt the cut: just above the (k*P)-th Ritz value.  The upper clip
         # caps the filter's amplification at e^(2*degree*sqrt(2e-3)) ~ 5e11 so
         # the recurrence cannot overflow f32 within one sweep (QR renormalizes
         # between sweeps).
-        a_new = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-3)
-        return (X_new, a_new), None
-
-    (X, a), _ = jax.lax.scan(sweep, (X, a), None, length=sweeps)
+        a = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-3)
     ritz = X[:, :k_tot]
 
     # One block inverse-iteration polish: solve (A + sigma I) Z = ritz with
