@@ -298,8 +298,14 @@ def _deformable_cpd_run(
 @partial(jax.jit, static_argnames=("tile",))
 @f32_matmuls
 def _kernel_transform(points, Y0, W, beta, tile: int = 2048):
-    """G(points, Y0) @ W, tiled over point rows (out-of-sample transform)."""
+    """G(points, Y0) @ W, tiled over point rows (out-of-sample transform).
+    Small products (< 32M kernel entries) run single-shot — fewer sequential
+    ops on the latency-bound TPU runtime."""
     n = points.shape[0]
+    if n * Y0.shape[0] <= 32_000_000:
+        return points + jnp.dot(
+            gaussian_kernel(points, Y0, beta), W, precision=_PREC
+        )
     n_pad = ((n + tile - 1) // tile) * tile
     pts = jnp.pad(points, ((0, n_pad - n), (0, 0)))
     tiles = pts.reshape(n_pad // tile, tile, -1)

@@ -52,7 +52,7 @@ def pairwise_sq_dists(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("tile", "precision"))
 @f32_matmuls
-def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048, precision=None):
+def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=None):
     """Nearest neighbor of each query point among ref points.
 
     Returns (distances [Nq], indices [Nq]) — the same contract as
@@ -96,7 +96,7 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 2048, precision=N
 
 @partial(jax.jit, static_argnames=("k", "tile"))
 @f32_matmuls
-def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 2048):
+def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192):
     """k nearest neighbors of each query among ref, ascending by distance.
 
     Returns (distances [Nq, k], indices [Nq, k]) — the contract of
