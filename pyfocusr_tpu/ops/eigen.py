@@ -74,16 +74,23 @@ def _cg_solve(matvec, b, iters: int, v0):
     p = r
     rs = jnp.dot(r, r)
 
+    rs0 = rs
+
     def body(_, carry):
         x, r, p, rs = carry
+        # Freeze once converged: fixed-iteration CG run far past convergence
+        # in f32 AMPLIFIES rounding noise (observed: a converged 1e-8
+        # residual corrupted back to O(1) after ~100 extra iterations,
+        # wrecking downstream Rayleigh-Ritz).
+        live = rs > 1e-12 * rs0
         ap = _project_out(v0, matvec(p))
         denom = jnp.dot(p, ap)
-        alpha = rs / jnp.where(denom > 0, denom, 1.0)
+        alpha = jnp.where(live, rs / jnp.where(denom > 0, denom, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
         r = _project_out(v0, r)
         rs_new = jnp.dot(r, r)
-        beta = rs_new / jnp.where(rs > 0, rs, 1.0)
+        beta = jnp.where(live, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
         p = r + beta * p
         return x, r, p, rs_new
 
@@ -246,8 +253,8 @@ def chebyshev_eigpairs(
     key: jax.Array,
     k: int,
     block_extra: int = 8,
-    degree: int = 200,
-    sweeps: int = 4,
+    degree: int = 75,
+    sweeps: int = 6,
     refine_cg_iters: int = 150,
     subspace_mask=None,
     lam_max_bound=None,
@@ -343,6 +350,16 @@ def chebyshev_eigpairs(
     # Static python loop over sweeps so each sweep can use its own degree:
     # the FIRST sweep only needs a rough subspace + a cut estimate, so it
     # runs at ~40% degree; later sweeps do the real separation.
+    #
+    # Sweep-length / count tradeoff (learned from randomized-mesh fuzzing):
+    # the WITHIN-sweep amplification disparity between the most- and
+    # least-amplified wanted modes grows like e^(2*degree*d_sqrt_gap); past
+    # ~e^7 the least-amplified mode falls below f32 resolution in the still-
+    # mixed block and is lost (observed as one unconverged eigenpair whose
+    # survival depended on compiler-specific rounding).  The per-sweep
+    # Rayleigh-Ritz isolates modes into their own columns, resetting the
+    # disparity — so MANY SHORT sweeps are strictly more robust than few
+    # long ones at identical total SpMV count.  Default: 6 x degree-75.
     for si in range(sweeps):
         deg = max(degree * 2 // 5, 32) if si == 0 and sweeps > 1 else degree
         Y = cheb_filter(X, a, deg)
@@ -354,10 +371,14 @@ def chebyshev_eigpairs(
         theta, S = jnp.linalg.eigh(H)  # ascending
         X = Q @ S
         # Adapt the cut: just above the (k*P)-th Ritz value.  The upper clip
-        # caps the filter's amplification at e^(2*degree*sqrt(2e-3)) ~ 5e11 so
-        # the recurrence cannot overflow f32 within one sweep (QR renormalizes
-        # between sweeps).
-        a = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-3)
+        # caps the filter's amplification at e^(2*degree*sqrt(2e-2)) ~ e^42,
+        # safely inside f32 range, so the recurrence cannot overflow within
+        # one sweep (QR renormalizes between sweeps).  The clip must sit
+        # ABOVE lambda_k/lambda_max of the target spectrum: graph Laplacians
+        # of small/irregular meshes reach lambda_k ~ 1e-2 * lambda_max
+        # (found by randomized-mesh fuzzing — a 2e-3 clip starved the filter
+        # and returned garbage there).
+        a = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-2)
     ritz = X[:, :k_tot]
 
     # One block inverse-iteration polish: solve (A + sigma I) Z = ritz with
@@ -377,16 +398,21 @@ def chebyshev_eigpairs(
     Pm = R
     rs = jnp.sum(R * R, axis=0)
 
+    rs0 = rs
+
     def cg_body(_, carry):
         Z, R, Pm, rs = carry
+        # Per-column freeze once converged (see _cg_solve: f32 CG past
+        # convergence amplifies noise and corrupts the polished subspace).
+        live = rs > 1e-12 * rs0
         AP = _project_out(v0, shifted_block(Pm))
         denom = jnp.sum(Pm * AP, axis=0)
-        alpha = rs / jnp.where(denom > 0, denom, 1.0)
+        alpha = jnp.where(live, rs / jnp.where(denom > 0, denom, 1.0), 0.0)
         Z = Z + alpha[None, :] * Pm
         R = R - alpha[None, :] * AP
         R = _project_out(v0, R)
         rs_new = jnp.sum(R * R, axis=0)
-        beta = rs_new / jnp.where(rs > 0, rs, 1.0)
+        beta = jnp.where(live, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
         Pm = R + beta[None, :] * Pm
         return Z, R, Pm, rs_new
 

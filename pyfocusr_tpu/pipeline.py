@@ -102,8 +102,8 @@ class PipelineConfig:
     eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
-    eig_cheb_degree: int = 150
-    eig_cheb_sweeps: int = 3
+    eig_cheb_degree: int = 75
+    eig_cheb_sweeps: int = 6
     eig_cheb_refine_cg: int = 40
 
     def __post_init__(self):
