@@ -66,6 +66,7 @@ class Focusr(object):
         non_rigid_alpha=0.5,
         non_rigid_beta=3.0,
         non_rigid_n_eigens=100,
+        non_rigid_outlier_w=0.0,  # beyond-reference: CPD outlier weight in [0,1)
         include_points_as_features=False,
         get_weighted_spectral_coords=True,
         graph_smoothing_iterations=300,
@@ -113,6 +114,7 @@ class Focusr(object):
         self.non_rigid_alpha = non_rigid_alpha
         self.non_rigid_beta = non_rigid_beta
         self.non_rigid_n_eigens = non_rigid_n_eigens
+        self.non_rigid_outlier_w = non_rigid_outlier_w
         self.initial_correspondence_type = initial_correspondence_type
         self.smooth_correspondences = smooth_correspondences
         self.return_average_final_points = return_average_final_points
@@ -268,6 +270,7 @@ class Focusr(object):
                 tolerance=self.non_rigid_tolerance,
                 alpha=self.non_rigid_alpha,
                 beta=self.non_rigid_beta,
+                w=self.non_rigid_outlier_w,
                 verbose=self.verbose,
                 seed=self.seed,
             )
@@ -479,6 +482,7 @@ class Focusr(object):
             non_rigid_alpha=self.non_rigid_alpha,
             non_rigid_beta=self.non_rigid_beta,
             non_rigid_n_eigens=self.non_rigid_n_eigens,
+            non_rigid_outlier_w=self.non_rigid_outlier_w,
             smooth_correspondences=self.smooth_correspondences,
             graph_smoothing_iterations=self.graph_smoothing_iterations,
             projection_smooth_iterations=self.projection_smooth_iterations,

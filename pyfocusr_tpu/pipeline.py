@@ -77,6 +77,10 @@ class PipelineConfig:
     non_rigid_alpha: float = 0.01
     non_rigid_beta: float = 50.0
     non_rigid_n_eigens: int = 100
+    # CPD outlier/noise weight w in [0, 1) (Myronenko & Song eq. 6 uniform
+    # component).  The reference pins cycpd's default w=0; exposing it enables
+    # partial-overlap / outlier-robust registration without any other change.
+    non_rigid_outlier_w: float = 0.0
     smooth_correspondences: bool = True
     graph_smoothing_iterations: int = 300
     projection_smooth_iterations: int = 40
@@ -121,6 +125,8 @@ class PipelineConfig:
             raise ValueError("smoothing_method must be 'chebyshev' or 'exact'")
         if self.non_rigid_alpha <= 0 or self.non_rigid_beta <= 0:
             raise ValueError("non_rigid_alpha/beta must be positive")
+        if not 0.0 <= self.non_rigid_outlier_w < 1.0:
+            raise ValueError("non_rigid_outlier_w must be in [0, 1)")
         for name in (
             "n_coords_spectral_ordering",
             "n_coords_spectral_registration",
@@ -561,6 +567,7 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     _, W, _, _ = cpd_ops._deformable_cpd_run(
         X, Y, Qg, lam_g,
         cfg.non_rigid_alpha, cfg.non_rigid_max_iterations, cfg.non_rigid_tolerance,
+        w=cfg.non_rigid_outlier_w,
         estep_impl=estep_impl,
     )
     w_proj = Qg @ (Qg.T @ W)

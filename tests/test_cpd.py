@@ -86,6 +86,32 @@ class TestDeformable:
         err = np.linalg.norm(TY2 - np.asarray(TY), axis=1)
         assert err.max() < 0.02
 
+    def test_outlier_w_downweights_gross_outliers(self):
+        """Myronenko & Song's uniform outlier component (w > 0): with gross
+        outlier points appended to the target, w=0 drags the warp toward them
+        while w=0.3 keeps the clean-data fit.  Beyond-reference knob — the
+        reference pins cycpd's default w=0 (``focusr.py:299-316``)."""
+        rng = np.random.default_rng(3)
+        M = 400
+        Y = rng.uniform(-1, 1, size=(M, 3)).astype(np.float32)
+        warp = lambda p: p + 0.1 * np.sin(2 * p[:, [1, 2, 0]])
+        X_clean = warp(Y).astype(np.float32)
+        outliers = rng.uniform(4, 6, size=(60, 3)).astype(np.float32)
+        X = np.vstack([X_clean, outliers])
+
+        def fit_err(w):
+            reg = deformable_registration(
+                X=X, Y=Y, num_eig=60, max_iterations=300, tolerance=1e-10,
+                alpha=2.0, beta=2.0, w=w,
+            )
+            TY, _ = reg.register()
+            return np.linalg.norm(np.asarray(TY) - X_clean, axis=1).mean()
+
+        err_robust = fit_err(0.3)
+        err_naive = fit_err(0.0)
+        assert err_robust < 0.05
+        assert err_robust < err_naive
+
     def test_out_of_sample_interpolates(self):
         rng = np.random.default_rng(2)
         M = 600

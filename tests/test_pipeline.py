@@ -50,6 +50,24 @@ def test_register_pair_end_to_end(pair_5k):
     assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
 
 
+def test_outlier_w_validation():
+    with pytest.raises(ValueError, match="non_rigid_outlier_w"):
+        PipelineConfig(non_rigid_outlier_w=1.0)
+    with pytest.raises(ValueError, match="non_rigid_outlier_w"):
+        PipelineConfig(non_rigid_outlier_w=-0.1)
+
+
+def test_register_pair_with_outlier_w(pair_5k):
+    """w > 0 (uniform outlier component in the CPD E-step) must leave
+    clean-data registration quality intact."""
+    tg, sg = pair_5k
+    cfg = PipelineConfig(non_rigid_outlier_w=0.1, **FAST)
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    corr = np.asarray(res["correspondences"])
+    assert len(np.unique(corr)) > 0.5 * 5000
+    assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
+
+
 @pytest.mark.slow
 def test_register_pair_deterministic(pair_5k):
     tg, sg = pair_5k
