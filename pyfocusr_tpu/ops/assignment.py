@@ -29,7 +29,7 @@ import numpy as np
 
 from ..utils.precision import f32_matmuls
 
-__all__ = ["lap_host", "auction_lap", "linear_sum_assignment"]
+__all__ = ["lap_host", "auction_lap", "exact_lap_small", "linear_sum_assignment"]
 
 
 def lap_host(cost: np.ndarray):
@@ -187,6 +187,31 @@ def auction_lap(
         assignment, prices = _auction_scaling_phase(cost_neg, eps, prices, max_rounds)
         eps = eps / 6.0
     return assignment
+
+
+def exact_lap_small(cost: jnp.ndarray) -> jnp.ndarray:
+    """EXACT square LAP for tiny k (k <= 8) by static enumeration, on device.
+
+    All k! permutations are a host-side static constant; the device work is
+    one [k!, k] gather + sum + argmin.  Unlike the epsilon-scaling auction
+    (optimal only to within n*eps_final = spread/4), this is exact regardless
+    of cost magnitude or ties — which matters for the eigsort k x k matching,
+    whose cost entries shrink toward the auction's epsilon floor as the
+    eigsort subsample grows (observed wrong matchings on near-identical
+    meshes at ``n_coords_spectral_ordering=1000``).
+
+    Returns the column assigned to each row (i32 [k]).
+    """
+    import itertools
+
+    k = cost.shape[0]
+    if k > 8:
+        raise ValueError(f"exact_lap_small enumerates k! permutations; k={k} > 8")
+    perms = jnp.asarray(
+        np.array(list(itertools.permutations(range(k))), np.int32)
+    )  # [k!, k]
+    totals = jnp.sum(jnp.asarray(cost)[jnp.arange(k)[None, :], perms], axis=1)
+    return perms[jnp.argmin(totals)]
 
 
 def linear_sum_assignment(cost, device_threshold: int | None = None):

@@ -40,6 +40,8 @@ __all__ = [
     "pad_cohort",
     "check_cohort_config",
     "register_cohort",
+    "iterate_template",
+    "build_ssm_template",
     "cohort_mean_shape",
     "all_pairs_surface_errors",
 ]
@@ -160,6 +162,95 @@ def register_cohort(
         check_vma=False,
     )
     return jax.jit(fn)(targets, template, keys)
+
+
+def iterate_template(
+    template: GraphArrays,
+    targets: GraphArrays,  # stacked, leading cohort axis
+    cfg: PipelineConfig,
+    key: jax.Array,
+    n_iterations: int = 3,
+    device_mesh: Mesh | None = None,
+    tolerance: float = 0.0,
+):
+    """Groupwise template iteration — the standard SSM loop.
+
+    Each round registers the current template to every cohort subject
+    (``register_cohort``: one sharded fan-out + one cross-chip ``psum``) and
+    moves the template's vertices to the cohort-mean corresponding locations.
+    The template TOPOLOGY is fixed; only its geometry evolves, so every
+    iteration reuses the same compiled executable (static shapes).
+
+    This realizes the workflow the reference only gestures at
+    (``focusr.py:32-35``: template eigenmaps as the cohort reference) but
+    never implements — its scalability story stops at one pair at a time.
+
+    Returns ``(template, results, motions)``: the converged template
+    GraphArrays, the FINAL round's per-pair results pytree, and the mean
+    per-vertex template motion (same units as the points) per iteration —
+    a monotone-decreasing motion trace is the convergence certificate.
+    Stops early once motion < ``tolerance`` (if nonzero).
+    """
+    import dataclasses as _dc
+
+    n_valid = jnp.maximum(jnp.sum(template.valid_mask), 1.0)
+    motions: List[float] = []
+    results = None
+    for _ in range(int(n_iterations)):
+        key, sub = jax.random.split(key)
+        results, mean_shape = register_cohort(
+            template, targets, cfg, sub, device_mesh
+        )
+        new_pts = jnp.where(
+            template.valid_mask[:, None] > 0, mean_shape, template.points
+        )
+        motion = float(
+            jnp.sum(
+                jnp.linalg.norm(new_pts - template.points, axis=1)
+                * template.valid_mask
+            )
+            / n_valid
+        )
+        template = _dc.replace(template, points=new_pts)
+        motions.append(motion)
+        if tolerance and motion < tolerance:
+            break
+    return template, results, motions
+
+
+def build_ssm_template(
+    meshes: Sequence[TriMesh],
+    cfg: PipelineConfig,
+    key: jax.Array,
+    n_iterations: int = 3,
+    template_index: int = 0,
+    device_mesh: Mesh | None = None,
+    tolerance: float = 0.0,
+):
+    """End-to-end SSM template construction from raw meshes.
+
+    Pads + stacks the cohort, seeds the template from
+    ``meshes[template_index]``, runs ``iterate_template``, and returns
+    ``(template_mesh, results, motions)`` where ``template_mesh`` is a
+    TriMesh on the seed subject's topology with the converged mean-shape
+    geometry.  The seed subject stays in the cohort (it is a subject too;
+    the template drifts toward the true mean regardless of the seed).
+    """
+    meshes = list(meshes)
+    graphs = pad_cohort(meshes)
+    template = graphs[template_index]
+    targets = stack_graph_arrays(graphs)
+    template, results, motions = iterate_template(
+        template, targets, cfg, key,
+        n_iterations=n_iterations,
+        device_mesh=device_mesh,
+        tolerance=tolerance,
+    )
+    n_real = meshes[template_index].n_points
+    template_mesh = TriMesh(
+        template.points[:n_real], meshes[template_index].triangles
+    )
+    return template_mesh, results, motions
 
 
 def cohort_mean_shape(template: TriMesh, weighted_points_mean) -> TriMesh:

@@ -4,9 +4,9 @@ the single-program jit pipeline (pipeline.py) and under vmap/shard_map for
 cohort registration.
 
 Differences from the host version (spectral/eigsort.py):
-  * the k x k assignment solves on device with the auction algorithm
-    (ops/assignment.auction_lap) instead of host JV — identical matchings for
-    the well-separated eigsort cost matrices;
+  * the k x k assignment solves on device EXACTLY by static permutation
+    enumeration (ops/assignment.exact_lap_small, k <= 8; tight-epsilon
+    auction beyond) instead of host JV;
   * the column permutation + sign flip are applied with a one-hot permutation
     matrix (an MXU matmul) because gather indices are traced;
   * only the equal-sample-size Wasserstein path is supported (the pipeline
@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.assignment import auction_lap
+from ..ops.assignment import auction_lap, exact_lap_small
 from ..ops.knn import nn_query
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -71,7 +71,14 @@ def sort_eigenmaps_jit(
     S = c > c_f
 
     # Assignment on device (rows=target modes, cols=source modes).
-    src_of_tgt = auction_lap(Q, eps_scaling_steps=5, max_rounds=1000)  # [k]
+    # k <= 8: exact static enumeration.  The auction's epsilon floor
+    # (spread/(4k)) is too coarse for eigsort costs, whose entries shrink
+    # toward ~1e-4 as the subsample grows — it returned wrong permutations
+    # on near-identical meshes (e.g. template-iteration rounds).
+    if k <= 8:
+        src_of_tgt = exact_lap_small(Q)  # [k]
+    else:
+        src_of_tgt = auction_lap(Q, eps_scaling_steps=12, max_rounds=100000)
     rows = jnp.arange(k)
     Q_vec = Q[rows, src_of_tgt]
     flipped = S[rows, src_of_tgt]

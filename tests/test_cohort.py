@@ -10,6 +10,8 @@ from jax.sharding import Mesh
 from pyfocusr_tpu.mesh import TriMesh
 from pyfocusr_tpu.parallel.cohort import (
     all_pairs_surface_errors,
+    build_ssm_template,
+    iterate_template,
     pad_cohort,
     register_cohort,
     stack_graph_arrays,
@@ -116,6 +118,62 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(mean_u), np.asarray(mean_s), atol=0.05 * extent
     )
+
+
+def test_build_ssm_template_mechanics():
+    """Fast loop-mechanics check on tiny spheres: shapes, finiteness, motion
+    trace.  (Geometric convergence is asserted on the bone meshes below —
+    sphere-like shapes have near-degenerate spectra, so their maps are
+    ambiguous and the mean shape is not meaningful.)"""
+    meshes = [_sphere_mesh(warp=0.04 * (i + 1)) for i in range(2)]
+    tmpl_mesh, results, motions = build_ssm_template(
+        meshes, TINY, jax.random.PRNGKey(0), n_iterations=2
+    )
+    assert len(motions) == 2 and all(np.isfinite(motions))
+    assert tmpl_mesh.n_points == meshes[0].n_points
+    assert np.all(np.isfinite(np.asarray(tmpl_mesh.points)))
+    assert results["correspondences"].shape[0] == 2
+
+
+@pytest.mark.slow
+def test_iterate_template_bone_converges():
+    """Groupwise SSM loop on real bone meshes: after 3 rounds the template
+    must lie ON the cohort's surfaces (mean NN distance well under 2% of the
+    extent) with bounded per-round motion.
+
+    Regression guard: before exact_lap_small, the eigsort auction returned
+    wrong k x k matchings on the near-identical template-vs-subject pairs of
+    round >= 2, scrambling the map (template drifted to ~5% of extent)."""
+    from pyfocusr_tpu import load_mesh
+    from pyfocusr_tpu.ops.knn import nn_query
+
+    bone = load_mesh("/root/reference/data/target_mesh.vtk")
+    pts = np.asarray(bone.points)
+
+    def warped(i):
+        w = pts * (1.0 + 0.004 * (i + 1) * np.sin(0.05 * pts[:, [1]]))
+        return TriMesh(jnp.asarray(w, jnp.float32), bone.triangles)
+
+    meshes = [warped(i) for i in range(2)]
+    tmpl, results, motions = build_ssm_template(
+        meshes, TINY, jax.random.PRNGKey(0), n_iterations=3
+    )
+    ext = float(np.linalg.norm(np.ptp(pts, axis=0)))
+    for m in meshes:
+        d, _ = nn_query(jnp.asarray(m.points), jnp.asarray(tmpl.points))
+        assert float(jnp.mean(d)) < 0.02 * ext
+    assert max(motions) < 0.1 * ext
+
+
+def test_iterate_template_tolerance_stops_early():
+    meshes = [_sphere_mesh(warp=0.02), _sphere_mesh(warp=0.04)]
+    graphs = pad_cohort(meshes)
+    targets = stack_graph_arrays(graphs)
+    _, _, motions = iterate_template(
+        graphs[0], targets, TINY, jax.random.PRNGKey(0),
+        n_iterations=5, tolerance=1e9,  # absurdly large -> stop after round 1
+    )
+    assert len(motions) == 1
 
 
 def test_pad_cohort_mixed_sizes():

@@ -83,6 +83,27 @@ class TestAssignment:
         r2, c2 = scipy_lap(c)
         assert abs(c[r1, c1].sum() - c[r2, c2].sum()) < 1e-9
 
+    def test_exact_lap_small_exact_at_any_scale(self):
+        """Regression: eigsort cost matrices shrink to ~1e-4 magnitude at
+        large subsamples, below the auction's epsilon floor (it returned
+        wrong permutations on near-identical meshes).  The enumeration solver
+        must be exact regardless of cost magnitude."""
+        from pyfocusr_tpu.ops.assignment import exact_lap_small
+
+        rng = np.random.default_rng(3)
+        for k in (2, 4, 6, 8):
+            for scale in (1.0, 1e-4, 1e-6):
+                c = (rng.random((k, k)) * scale).astype(np.float32)
+                got = np.asarray(exact_lap_small(jnp.asarray(c)))
+                assert len(set(got.tolist())) == k
+                r2, c2 = scipy_lap(c.astype(np.float64))
+                assert (
+                    abs(c[np.arange(k), got].sum() - c[r2, c2].sum())
+                    <= 1e-6 * scale * k
+                )
+        with pytest.raises(ValueError, match="k=9"):
+            exact_lap_small(jnp.zeros((9, 9)))
+
     @pytest.mark.slow
     def test_auction_near_optimal(self):
         rng = np.random.default_rng(2)
