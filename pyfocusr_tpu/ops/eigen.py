@@ -260,6 +260,7 @@ def chebyshev_eigpairs(
     lam_max_bound=None,
     partition_masks=None,
     filter_op_factory=None,
+    resid_tol: float = 1e-6,
 ):
     """k smallest nonzero eigenpairs of symmetric PSD A via Chebyshev-filtered
     subspace iteration + one shift-invert refinement.
@@ -345,23 +346,20 @@ def chebyshev_eigpairs(
     if subspace_mask is not None:
         X = X * subspace_mask[:, None]
     X = _project_out(v0, X)
-    a = lam_max * 1e-3  # initial cut; adapted from Ritz values per sweep
 
-    # Static python loop over sweeps so each sweep can use its own degree:
-    # the FIRST sweep only needs a rough subspace + a cut estimate, so it
-    # runs at ~40% degree; later sweeps do the real separation.
-    #
-    # Sweep-length / count tradeoff (learned from randomized-mesh fuzzing):
-    # the WITHIN-sweep amplification disparity between the most- and
-    # least-amplified wanted modes grows like e^(2*degree*d_sqrt_gap); past
-    # ~e^7 the least-amplified mode falls below f32 resolution in the still-
-    # mixed block and is lost (observed as one unconverged eigenpair whose
-    # survival depended on compiler-specific rounding).  The per-sweep
-    # Rayleigh-Ritz isolates modes into their own columns, resetting the
-    # disparity — so MANY SHORT sweeps are strictly more robust than few
-    # long ones at identical total SpMV count.  Default: 6 x degree-75.
-    for si in range(sweeps):
-        deg = max(degree * 2 // 5, 32) if si == 0 and sweeps > 1 else degree
+    def sweep(X, a, deg):
+        """One filtered subspace iteration.
+
+        Returns (X', a', max wanted-mode residual).  The cut adapts to just
+        above the (k*P)-th Ritz value.  The upper clip caps the filter's
+        amplification at e^(2*degree*sqrt(2e-2)) ~ e^42, safely inside f32
+        range, so the recurrence cannot overflow within one sweep (QR
+        renormalizes between sweeps).  The clip must sit ABOVE
+        lambda_k/lambda_max of the target spectrum: graph Laplacians of
+        small/irregular meshes reach lambda_k ~ 1e-2 * lambda_max (found by
+        randomized-mesh fuzzing — a 2e-3 clip starved the filter and
+        returned garbage there).
+        """
         Y = cheb_filter(X, a, deg)
         Y = _project_out(v0, Y)
         Q, _ = jnp.linalg.qr(Y)
@@ -370,15 +368,49 @@ def chebyshev_eigpairs(
         H = 0.5 * (H + H.T)
         theta, S = jnp.linalg.eigh(H)  # ascending
         X = Q @ S
-        # Adapt the cut: just above the (k*P)-th Ritz value.  The upper clip
-        # caps the filter's amplification at e^(2*degree*sqrt(2e-2)) ~ e^42,
-        # safely inside f32 range, so the recurrence cannot overflow within
-        # one sweep (QR renormalizes between sweeps).  The clip must sit
-        # ABOVE lambda_k/lambda_max of the target spectrum: graph Laplacians
-        # of small/irregular meshes reach lambda_k ~ 1e-2 * lambda_max
-        # (found by randomized-mesh fuzzing — a 2e-3 clip starved the filter
-        # and returned garbage there).
+        resid = jnp.linalg.norm(
+            (AQ @ S)[:, :k_tot] - X[:, :k_tot] * theta[None, :k_tot], axis=0
+        )
         a = jnp.clip(1.5 * theta[k_tot - 1], lam_max * 1e-5, lam_max * 2e-2)
+        return X, a, jnp.max(resid)
+
+    # The FIRST sweep only needs a rough subspace + a cut estimate, so it
+    # runs at ~40% degree; later sweeps do the real separation.
+    deg0 = max(degree * 2 // 5, 32) if sweeps > 1 else degree
+    X, a, _ = sweep(X, lam_max * 1e-3, deg0)
+
+    # Sweep-length / count tradeoff (learned from randomized-mesh fuzzing):
+    # the WITHIN-sweep amplification disparity between the most- and
+    # least-amplified wanted modes grows like e^(2*degree*d_sqrt_gap); past
+    # ~e^7 the least-amplified mode falls below f32 resolution in the still-
+    # mixed block and is lost (observed as one unconverged eigenpair whose
+    # survival depended on compiler-specific rounding).  The per-sweep
+    # Rayleigh-Ritz isolates modes into their own columns, resetting the
+    # disparity — so MANY SHORT sweeps are strictly more robust than few
+    # long ones at identical total SpMV count.  Cap: 6 x degree-75.
+    #
+    # ADAPTIVE STOP: converged sweeps sit at a ~2e-7*lam_max residual floor,
+    # unconverged ones at >= 1e-4, and the fuzz-found failure mode (a wanted
+    # mode lost to f32 rounding) at >= 0.1.  The certificate is 1e-6*lam_max:
+    # 1e-5 measurably degraded the 15k mesh's clustered lambda_4/lambda_5
+    # pair (|cos| 0.9989 vs 1.0000 against ARPACK — stopped one sweep
+    # early), while 1e-6 keeps full parity and still exits well before the
+    # cap on easy meshes.  A mesh whose floor exceeds the tolerance simply
+    # runs to the cap — identical to the old static schedule.
+    tol = lam_max * resid_tol
+
+    def _cond(carry):
+        _X, _a, si, r = carry
+        return jnp.logical_and(si < sweeps - 1, r > tol)
+
+    def _body(carry):
+        Xc, ac, si, _ = carry
+        Xc, ac, r = sweep(Xc, ac, degree)
+        return Xc, ac, si + 1, r
+
+    X, a, _, _ = jax.lax.while_loop(
+        _cond, _body, (X, a, jnp.int32(0), jnp.asarray(jnp.inf, jnp.float32))
+    )
     ritz = X[:, :k_tot]
 
     # One block inverse-iteration polish: solve (A + sigma I) Z = ritz with
