@@ -260,7 +260,7 @@ def chebyshev_eigpairs(
     lam_max_bound=None,
     partition_masks=None,
     filter_op_factory=None,
-    resid_tol: float = 1e-6,
+    resid_tol: float = 0.0,
 ):
     """k smallest nonzero eigenpairs of symmetric PSD A via Chebyshev-filtered
     subspace iteration + one shift-invert refinement.
@@ -389,27 +389,41 @@ def chebyshev_eigpairs(
     # disparity — so MANY SHORT sweeps are strictly more robust than few
     # long ones at identical total SpMV count.  Cap: 6 x degree-75.
     #
-    # ADAPTIVE STOP: converged sweeps sit at a ~2e-7*lam_max residual floor,
-    # unconverged ones at >= 1e-4, and the fuzz-found failure mode (a wanted
-    # mode lost to f32 rounding) at >= 0.1.  The certificate is 1e-6*lam_max:
-    # 1e-5 measurably degraded the 15k mesh's clustered lambda_4/lambda_5
-    # pair (|cos| 0.9989 vs 1.0000 against ARPACK — stopped one sweep
-    # early), while 1e-6 keeps full parity and still exits well before the
-    # cap on easy meshes.  A mesh whose floor exceeds the tolerance simply
-    # runs to the cap — identical to the old static schedule.
-    tol = lam_max * resid_tol
+    # OPTIONAL adaptive stop (resid_tol > 0) on a two-part certificate:
+    #   (1) wanted Ritz RESIDUALS < resid_tol*lam_max (converged floor
+    #       ~2e-7, unconverged >= 1e-4);
+    #   (2) SUBSPACE CHANGE < 1e-5 — largest principal angle between
+    #       consecutive wanted blocks (sign/rotation invariant).
+    # DISABLED BY DEFAULT (resid_tol=0 -> always run to the cap), after a
+    # measured quality regression: for TIGHT eigenvalue clusters (the 5k
+    # bones' lambda_4/lambda_5 are 2e-5*lam_max apart) a residual r still
+    # allows ~r/gap of IN-CLUSTER eigenvector rotation, which the
+    # downstream eigsort can only sign-flip/permute — never rotate back.
+    # Stopping at the certificate left ~0.05 rad of rotation and scrambled
+    # the correspondence map under one XLA device partitioning (unique
+    # fraction 0.35, mean displacement 24 mm vs 4.8 mm) while passing every
+    # direct ARPACK parity probe.  Extra sweeps shrink the rotation
+    # (run-to-cap leaves ~0.01 rad, robust in practice); the ~10%% end-to-
+    # end saving was not worth the cluster-sensitivity risk.
+    tol_r = lam_max * resid_tol
 
     def _cond(carry):
-        _X, _a, si, r = carry
-        return jnp.logical_and(si < sweeps - 1, r > tol)
+        _X, _a, si, r, ch = carry
+        return jnp.logical_and(
+            si < sweeps - 1, jnp.logical_or(r > tol_r, ch > 1e-5)
+        )
 
     def _body(carry):
-        Xc, ac, si, _ = carry
+        Xc, ac, si, _, _ = carry
+        prev = Xc[:, :k_tot]
         Xc, ac, r = sweep(Xc, ac, degree)
-        return Xc, ac, si + 1, r
+        overlap = jnp.dot(prev.T, Xc[:, :k_tot], precision=jax.lax.Precision.HIGHEST)
+        change = 1.0 - jnp.min(jnp.linalg.svd(overlap, compute_uv=False))
+        return Xc, ac, si + 1, r, change
 
-    X, a, _, _ = jax.lax.while_loop(
-        _cond, _body, (X, a, jnp.int32(0), jnp.asarray(jnp.inf, jnp.float32))
+    inf32 = jnp.asarray(jnp.inf, jnp.float32)
+    X, a, _, _, _ = jax.lax.while_loop(
+        _cond, _body, (X, a, jnp.int32(0), inf32, inf32)
     )
     ritz = X[:, :k_tot]
 

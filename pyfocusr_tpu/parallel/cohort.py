@@ -42,6 +42,7 @@ __all__ = [
     "register_cohort",
     "iterate_template",
     "build_ssm_template",
+    "cohort_shape_modes",
     "cohort_mean_shape",
     "all_pairs_surface_errors",
 ]
@@ -251,6 +252,49 @@ def build_ssm_template(
         template.points[:n_real], meshes[template_index].triangles
     )
     return template_mesh, results, motions
+
+
+def cohort_shape_modes(corresponded_points, n_modes: int | None = None):
+    """Statistical shape model from corresponded cohorts: PCA of shapes.
+
+    ``corresponded_points``: [B, N, 3] per-subject point sets in TEMPLATE
+    vertex order — exactly the stacked ``results['weighted_points']`` of
+    ``register_cohort``/``iterate_template`` (every subject's corresponding
+    locations for each template vertex, so rows are comparable across
+    subjects).  This is the deliverable of the SSM workflow the reference
+    gestures at with ``target_eigenmap_as_reference`` (``focusr.py:32-35``)
+    but never implements.
+
+    Returns ``(mean_shape [N, 3], modes [m, N, 3], variances [m])``:
+    ``modes[i]`` is the i-th unit principal displacement field and
+    ``variances[i]`` its variance across the cohort (descending); a shape is
+    synthesized as ``mean + sum_i b_i * sqrt(variances[i]) * modes[i]``.
+    At most B-1 modes are nonzero; ``n_modes`` truncates further.
+
+    TPU shape: the PCA runs through the [B, B] Gram matrix of centered
+    flattened shapes (B = cohort size << 3N), so device work is one
+    [B, 3N] x [3N, B] matmul + a tiny eigh — no [3N, 3N] covariance ever
+    materializes.
+    """
+    P = jnp.asarray(corresponded_points, jnp.float32)  # [B, N, 3]
+    B, N, D = P.shape
+    flat = P.reshape(B, N * D)
+    mean = jnp.mean(flat, axis=0)
+    C = flat - mean[None, :]
+    gram = jnp.dot(C, C.T, precision=jax.lax.Precision.HIGHEST) / max(B - 1, 1)
+    evals, evecs = jnp.linalg.eigh(gram)  # ascending
+    m = min(n_modes, B) if n_modes is not None else B
+    idx = jnp.arange(B - 1, B - 1 - m, -1)  # descending variance
+    variances = jnp.maximum(evals[idx], 0.0)
+    # modes = C^T y / ||C^T y||; columns with ~zero variance stay zero.
+    raw = jnp.dot(C.T, evecs[:, idx], precision=jax.lax.Precision.HIGHEST)
+    norms = jnp.linalg.norm(raw, axis=0, keepdims=True)
+    modes = jnp.where(norms > 1e-20, raw / jnp.maximum(norms, 1e-20), 0.0)
+    return (
+        mean.reshape(N, D),
+        modes.T.reshape(m, N, D),
+        variances,
+    )
 
 
 def cohort_mean_shape(template: TriMesh, weighted_points_mean) -> TriMesh:

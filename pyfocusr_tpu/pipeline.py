@@ -550,7 +550,8 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
 
     if cfg.rigid_before_non_rigid_reg:
         _, B, t_vec, _, _ = cpd_ops._affine_cpd_run(
-            X, Y, cfg.rigid_reg_max_iterations, cfg.rigid_tolerance
+            X, Y, cfg.rigid_reg_max_iterations, cfg.rigid_tolerance,
+            w=cfg.non_rigid_outlier_w,
         )
         Y = jnp.dot(Y, B.T, precision=_PREC) + t_vec[None, :]
         tgt_coords = jnp.dot(tgt_coords, B.T, precision=_PREC) + t_vec[None, :]

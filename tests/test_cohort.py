@@ -176,6 +176,36 @@ def test_iterate_template_tolerance_stops_early():
     assert len(motions) == 1
 
 
+def test_cohort_shape_modes_recovers_planted_modes():
+    """PCA of corresponded shapes: plant two orthogonal displacement fields
+    with known variances; the modes and variances must come back (B-1 cap)."""
+    from pyfocusr_tpu.parallel.cohort import cohort_shape_modes
+
+    rng = np.random.default_rng(0)
+    N, B = 500, 12
+    base = rng.normal(size=(N, 3)).astype(np.float32)
+    U1 = rng.normal(size=(N, 3)); U1 /= np.linalg.norm(U1)
+    U2 = rng.normal(size=(N, 3)); U2 -= U1 * np.sum(U1 * U2); U2 /= np.linalg.norm(U2)
+    c1 = rng.normal(scale=2.0, size=B).astype(np.float32)
+    c2 = rng.normal(scale=0.5, size=B).astype(np.float32)
+    shapes = base[None] + c1[:, None, None] * U1[None] + c2[:, None, None] * U2[None]
+
+    mean, modes, variances = cohort_shape_modes(shapes)
+    mean, modes, variances = map(np.asarray, (mean, modes, variances))
+    np.testing.assert_allclose(mean, shapes.mean(axis=0), atol=1e-4)
+    # mode 0 ~ U1 (dominant), mode 1 ~ U2 (up to sign)
+    for i, U in enumerate((U1, U2)):
+        cos = abs(np.sum(modes[i] * U))
+        assert cos > 0.99, (i, cos)
+    np.testing.assert_allclose(variances[0], c1.var(ddof=1), rtol=0.05)
+    np.testing.assert_allclose(variances[1], c2.var(ddof=1), rtol=0.05)
+    # only B-1 can be nonzero; the rest are numerically tiny
+    assert np.all(variances[2:] < 1e-4 * variances[0])
+    # n_modes truncation
+    _, m2, v2 = cohort_shape_modes(shapes, n_modes=2)
+    assert np.asarray(m2).shape == (2, N, 3) and np.asarray(v2).shape == (2,)
+
+
 def test_pad_cohort_mixed_sizes():
     meshes = [
         _sphere_mesh(n_theta=8, n_phi=16),
