@@ -26,7 +26,9 @@ from pyfocusr_tpu import load_mesh, save_mesh
 from pyfocusr_tpu.mesh import TriMesh
 from pyfocusr_tpu.parallel.cohort import (
     all_pairs_surface_errors,
+    build_ssm_template,
     cohort_mean_shape,
+    cohort_shape_modes,
     register_cohort,
     stack_graph_arrays,
 )
@@ -82,6 +84,25 @@ def main(out_dir="cohort_output", n_subjects=8):
     np.save(os.path.join(out_dir, "all_pairs_surface_errors.npy"), errs)
     print("all-pairs surface errors (mm):")
     print(np.round(errs, 3))
+
+    # Groupwise SSM: iterate the template onto the cohort mean shape, then
+    # extract the statistical shape model (mean + principal modes).
+    t0 = time.time()
+    ssm_template, ssm_results, motions = build_ssm_template(
+        subjects, cfg, jax.random.PRNGKey(1),
+        n_iterations=3, device_mesh=dev_mesh,
+    )
+    print(f"template iteration: {time.time() - t0:.1f}s, "
+          f"per-round motion (mm): {[round(m, 2) for m in motions]}")
+    mean, modes, variances = cohort_shape_modes(
+        ssm_results["weighted_points"], n_modes=min(4, n_subjects - 1)
+    )
+    save_mesh(os.path.join(out_dir, "ssm_template.vtk"), ssm_template)
+    np.save(os.path.join(out_dir, "ssm_modes.npy"), np.asarray(modes))
+    np.save(os.path.join(out_dir, "ssm_variances.npy"), np.asarray(variances))
+    tot = float(jnp.sum(variances))
+    print("mode variance fractions:",
+          np.round(np.asarray(variances) / max(tot, 1e-30), 3))
     print("wrote results to", out_dir)
 
 
