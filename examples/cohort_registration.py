@@ -107,4 +107,7 @@ def main(out_dir="cohort_output", n_subjects=8):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    _args = sys.argv[1:]
+    if len(_args) > 1:
+        _args[1] = int(_args[1])
+    main(*_args)
