@@ -472,10 +472,12 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
-    # Both eigensolves run as ONE vmapped call: pad the two graphs to a
-    # common static shape (proven spectrally inert by the masked-subspace
-    # machinery) and batch — halves the sequential-op count of the pipeline's
-    # dominant stage.
+    # Default: the two eigensolves run sequentially (the `else` branch) —
+    # measured fastest on TPU.  Two alternative batching modes exist and are
+    # OFF by default because both benched neutral-or-slower on v5e:
+    # ``batch_spectra`` pads the two graphs to a common static shape and
+    # vmaps one eigensolve over them; ``union_spectra`` stacks them into one
+    # block-diagonal operator.
     if cfg.union_spectra:
         lams2, vecs_t, vecs_s = _spectrum_union(
             target, source, k_total, keys[0], cfg

@@ -79,6 +79,14 @@ def sort_eigenmaps_jit(
         src_of_tgt = exact_lap_small(Q)  # [k]
     else:
         src_of_tgt = auction_lap(Q, eps_scaling_steps=12, max_rounds=100000)
+        # The auction can leave rows unassigned (-1) when max_rounds is hit;
+        # under jit a -1 gather index is silently clamped, corrupting the
+        # permutation.  Fall back to the identity permutation for the whole
+        # solve in that case — a valid (if unsorted) permutation beats a
+        # silently corrupt one.
+        src_of_tgt = jnp.where(
+            jnp.any(src_of_tgt < 0), jnp.arange(k), src_of_tgt
+        )
     rows = jnp.arange(k)
     Q_vec = Q[rows, src_of_tgt]
     flipped = S[rows, src_of_tgt]

@@ -10,6 +10,7 @@ serialization: ``save_results``/``load_results`` round-trip any result pytree
 
 from __future__ import annotations
 
+import re
 
 import jax
 import jax.numpy as jnp
@@ -66,9 +67,32 @@ def focusr_state_dict(reg) -> dict:
     return out
 
 
-def restore_focusr_state(reg, state: dict) -> None:
+_PYTREE_KEY_RE = re.compile(r"^\[['\"](.+)['\"]\]$")
+
+
+def _attr_from_path(name: str) -> str:
+    """Map a flattened pytree path (e.g. ``\"['Q']\"``) or a bare attribute
+    name to the Focusr attribute it denotes."""
+    leaf = name.rsplit("/", 1)[-1]
+    m = _PYTREE_KEY_RE.match(leaf)
+    return m.group(1) if m else leaf
+
+
+def restore_focusr_state(reg, state: dict, strict: bool = True) -> None:
+    """Restore a :func:`focusr_state_dict` / :func:`load_results` snapshot
+    onto a Focusr instance.
+
+    Only attributes in the known result-attribute set are restored; an
+    unrecognized key raises (``strict=True``, default) rather than silently
+    setting a mis-parsed attribute name.
+    """
     for name, val in state.items():
-        key = name.split("/")[-1] if "/" in name else name
-        # strip pytree-path decorations like "['Q']"
-        key = key.strip("[]'\"")
+        key = _attr_from_path(name)
+        if key not in _FOCUSR_RESULT_ATTRS:
+            if strict:
+                raise KeyError(
+                    f"checkpoint key {name!r} -> {key!r} is not a known "
+                    f"Focusr result attribute; pass strict=False to skip"
+                )
+            continue
         setattr(reg, key, jnp.asarray(val))
