@@ -104,14 +104,62 @@ def main():
                 time.sleep(10)
     t_run = float(np.median(times))
 
+    # --- Quality metrics (BASELINE.json tracked; VERDICT r1 task #2) ---
     corr = np.asarray(res["correspondences"])
     uniq = len(np.unique(corr))
+    weighted = np.asarray(res["weighted_points"], np.float64)
+    src_pts = np.asarray(source.points, np.float64)
+    tgt_pts = np.asarray(target.points, np.float64)
+    mean_displacement = float(
+        np.linalg.norm(weighted - src_pts, axis=1).mean()
+    )
+    # Symmetric surface (point-cloud) distance: transformed source <-> target.
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.ops.knn import nn_query
+
+    wj = jnp.asarray(weighted, jnp.float32)
+    tj = jnp.asarray(tgt_pts, jnp.float32)
+    d_fwd, _ = nn_query(tj, wj)
+    d_rev, _ = nn_query(wj, tj)
+    surface_dist = float(
+        (np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0
+    )
+
+    # --- Standalone k=6 eigensolve time (BASELINE.json tracked metric) ---
+    from functools import partial
+
+    from pyfocusr_tpu.pipeline import _spectrum
+
+    @partial(jax.jit, static_argnames=("k", "cfg"))
+    def eigensolve(g, k, key, cfg):
+        lams, vecs, _ = _spectrum(g, k, key, cfg)
+        return lams, vecs
+
+    eig_times = []
+    _ = jax.block_until_ready(
+        eigensolve(tg, cfg.n_total, jax.random.PRNGKey(0), cfg)
+    )  # compile
+    for i in range(3):
+        t0 = time.perf_counter()
+        out_t = eigensolve(tg, cfg.n_total, jax.random.PRNGKey(i), cfg)
+        out_s = eigensolve(sg, cfg.n_total, jax.random.PRNGKey(i), cfg)
+        jax.block_until_ready((out_t, out_s))
+        _ = np.asarray(out_t[0])
+        eig_times.append(time.perf_counter() - t0)
+    t_eig = float(np.median(eig_times))
+
     diag = {
         "device": str(jax.devices()[0]),
         "mesh_load_s": round(t_load, 3),
         "first_run_s": round(t_compile_run, 3),
         "runs_s": [round(t, 3) for t in times],
         "unique_correspondences": f"{uniq}/{corr.shape[0]}",
+        "unique_fraction": round(uniq / corr.shape[0], 4),
+        "mean_displacement_mm": round(mean_displacement, 4),
+        "symmetric_surface_dist_mm": round(surface_dist, 4),
+        "eigensolve_k6_both_meshes_s": round(t_eig, 4),
+        "eigensolve_runs_s": [round(t, 4) for t in eig_times],
     }
     print(json.dumps(diag), file=sys.stderr)
     print(

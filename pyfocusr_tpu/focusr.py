@@ -507,6 +507,7 @@ class Focusr(object):
         self.corresponding_target_idx_for_each_source_pt = np.asarray(
             res["correspondences"]
         )
+        self.initial_correspondences = np.asarray(res["initial_correspondences"])
         self.nearest_neighbor_transformed_points = res["nearest_points"]
         self.weighted_avg_transformed_points = res["weighted_points"]
         if self.return_transformed_mesh:
@@ -557,6 +558,11 @@ class Focusr(object):
 
         with self.timer.span("initial_correspondences"):
             self.get_initial_correspondences()
+        # Kept for parity diagnostics (the reference overwrites this slot
+        # during smoothing, focusr.py:368-399).
+        self.initial_correspondences = np.asarray(
+            self.corresponding_target_idx_for_each_source_pt
+        )
         if self.verbose:
             print(
                 "Number of unique correspondences: {}".format(

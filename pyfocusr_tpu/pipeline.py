@@ -567,17 +567,14 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         estep_impl = "pallas" if jax.default_backend() == "tpu" else "tiled"
     else:
         estep_impl = "dense"
-    _, W, _, _ = cpd_ops._deformable_cpd_run(
+    _, z_cpd, _, _ = cpd_ops._deformable_cpd_run(
         X, Y, Qg, lam_g,
         cfg.non_rigid_alpha, cfg.non_rigid_max_iterations, cfg.non_rigid_tolerance,
         w=cfg.non_rigid_outlier_w,
         estep_impl=estep_impl,
     )
-    w_proj = Qg @ (Qg.T @ W)
-    tgt_coords_moved = tgt_coords + jnp.dot(
-        cpd_ops.gaussian_kernel(tgt_coords, Y, cfg.non_rigid_beta),
-        w_proj,
-        precision=_PREC,
+    tgt_coords_moved = cpd_ops.lowrank_transform(
+        tgt_coords, Y, Qg, lam_g, z_cpd, cfg.non_rigid_beta
     )
 
     # Padding target rows must never be selected as neighbors.

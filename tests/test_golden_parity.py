@@ -1,0 +1,115 @@
+"""End-to-end parity gates against the executable reference golden.
+
+The goldens (tests/goldens/reference_golden_*.npz) are produced by
+tools/make_reference_golden.py: a seeded numpy/scipy transcription of the
+FULL reference pipeline (tools/reference_pipeline.py — ARPACK shift-invert
+eigs, scipy KDTree / linear_sum_assignment / wasserstein, f64 low-rank CPD)
+run on the bundled meshes under the reference example notebook's
+configuration (/root/reference/examples/Example_registering_two_bone_meshes
+.ipynb cell 3).
+
+Gate calibration: the reference pipeline is itself stochastic (unseeded
+subsampling for CPD, reference ``graph.py:290``, ``focusr.py:300-306``); two
+seeded golden runs (seed 0 vs 1) agree on only 49% of final correspondence
+indices with a 1.0 mm mean pick distance.  The TPU pipeline measures 65%
+exact / 0.67 mm against the golden — i.e. *within the reference's own noise
+band* — and the gates below sit between the two.
+"""
+
+import numpy as np
+import pytest
+
+GOLD = "tests/goldens/reference_golden_5k_kd.npz"
+
+NOTEBOOK_COMMON = dict(
+    n_spectral_features=3,
+    n_extra_spectral=3,
+    get_weighted_spectral_coords=False,
+    non_rigid_alpha=0.01,
+    non_rigid_beta=50.0,
+    non_rigid_n_eigens=100,
+    non_rigid_max_iterations=300,
+    rigid_before_non_rigid_reg=False,
+    projection_smooth_iterations=1,
+    graph_smoothing_iterations=600,
+    n_coords_spectral_registration=1000,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLD)
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(mesh_5k_target, mesh_5k_source):
+    import jax
+
+    from pyfocusr_tpu.pipeline import (
+        PipelineConfig,
+        mesh_to_graph_arrays,
+        register_pair,
+    )
+
+    cfg = PipelineConfig(n_coords_spectral_ordering=10000, **NOTEBOOK_COMMON)
+    tg = mesh_to_graph_arrays(mesh_5k_target)
+    sg = mesh_to_graph_arrays(mesh_5k_source)
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(res)
+    return res
+
+
+@pytest.mark.slow
+class TestGoldenParity5k:
+    """North-star gate (BASELINE.json): correspondence parity vs the CPU
+    reference on the bundled 5k pair, notebook config, 'kd' correspondences."""
+
+    def test_eigenvalues(self, pipeline_result, golden):
+        for key in ("eig_vals_target", "eig_vals_source"):
+            ours = np.asarray(pipeline_result[key], np.float64)
+            ref = golden[key]
+            rel = np.abs(ours - ref) / ref
+            assert rel.max() < 1e-4, (key, rel)
+
+    def test_eigenvectors_mod_sign(self, pipeline_result, golden):
+        for key in ("eig_vecs_target", "eig_vecs_source_sorted"):
+            ours = np.asarray(pipeline_result[key], np.float64)
+            ref = golden[key]
+            cos = np.abs(
+                (ours * ref).sum(0)
+                / (np.linalg.norm(ours, axis=0) * np.linalg.norm(ref, axis=0))
+            )
+            assert cos.min() > 0.999, (key, cos)
+
+    def test_final_correspondence_agreement(
+        self, pipeline_result, golden, mesh_5k_target
+    ):
+        corr = np.asarray(pipeline_result["correspondences"])
+        corr_g = golden["correspondences"]
+        agree = float((corr == corr_g).mean())
+        # Reference self-noise (seed 0 vs 1) is 49% exact; measured 65%.
+        assert agree > 0.55, agree
+        tgt = np.asarray(mesh_5k_target.points, np.float64)
+        pick_d = np.linalg.norm(tgt[corr] - tgt[corr_g], axis=1)
+        # Reference self-noise is 1.0 mm mean; measured 0.67 mm.
+        assert pick_d.mean() < 0.9, pick_d.mean()
+
+    def test_weighted_final_locations(self, pipeline_result, golden):
+        ours = np.asarray(pipeline_result["weighted_points"], np.float64)
+        ref = golden["weighted_points"]
+        d = np.linalg.norm(ours - ref, axis=1)
+        # Reference self-noise is 0.92 mm mean; measured 0.63 mm.
+        assert d.mean() < 0.85, d.mean()
+        assert np.percentile(d, 95) < 2.5, np.percentile(d, 95)
+
+    def test_registration_quality_matches_reference(
+        self, pipeline_result, golden
+    ):
+        """Unique-correspondence fraction — the quality number the bench
+        tracks — must match the reference's, not just exceed a floor."""
+        corr = np.asarray(pipeline_result["correspondences"])
+        uniq = len(np.unique(corr)) / corr.shape[0]
+        uniq_g = len(np.unique(golden["correspondences"])) / len(
+            golden["correspondences"]
+        )
+        assert abs(uniq - uniq_g) < 0.05, (uniq, uniq_g)

@@ -126,8 +126,10 @@ class TestCPDOracle:
 
     @staticmethod
     def _numpy_lowrank_cpd(X, Y, alpha, beta, iters, num_eig):
-        """pycpd/cycpd ``low_rank`` algorithm with exact f64 eigh and the
-        same noise-floor truncation rule as ops/cpd.low_rank_gaussian."""
+        """pycpd/cycpd ``low_rank`` algorithm with exact f64 eigh.  The
+        noise-floor truncation below is inert at this test's num_eig/beta
+        (all retained modes are far above the floor); ops/cpd keeps all
+        modes and solves in the balanced eigenbasis instead."""
         M, D = Y.shape
         N = X.shape[0]
         G = np.exp(

@@ -1,0 +1,90 @@
+"""Generate the reference-pipeline goldens for parity testing.
+
+Runs tools/reference_pipeline.py (the seeded numpy/scipy transcription of
+the reference) on the bundled 5k bone-mesh pair under the reference example
+notebook's configuration (/root/reference/examples/
+Example_registering_two_bone_meshes.ipynb cell 3), once with the notebook's
+'hungarian' initial correspondences and once with 'kd', and writes
+tests/goldens/reference_golden_5k_{hungarian,kd}.npz.
+
+Usage:  python tools/make_reference_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyfocusr_tpu.io.vtk_io import read_vtk_polydata  # noqa: E402
+from tools.reference_pipeline import run_reference_pipeline  # noqa: E402
+
+DATA = "/root/reference/data"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "goldens")
+
+# The reference example notebook's exact configuration (cell 3).
+NOTEBOOK_CONFIG = dict(
+    n_spectral_features=3,
+    n_extra_spectral=3,
+    get_weighted_spectral_coords=False,
+    non_rigid_alpha=0.01,
+    non_rigid_beta=50.0,
+    non_rigid_n_eigens=100,
+    non_rigid_max_iterations=300,
+    rigid_before_non_rigid_reg=False,
+    projection_smooth_iterations=1,
+    graph_smoothing_iterations=600,
+    n_coords_spectral_ordering=10000,
+    n_coords_spectral_registration=1000,
+    final_correspondence_type="kd",
+    seed=0,
+)
+
+
+def run_one(pair_name, tgt_path, src_path, init_type):
+    tgt_p, tgt_t, _ = read_vtk_polydata(tgt_path)
+    src_p, src_t, _ = read_vtk_polydata(src_path)
+    t0 = time.time()
+    res = run_reference_pipeline(
+        tgt_p, tgt_t, src_p, src_t,
+        initial_correspondence_type=init_type,
+        **NOTEBOOK_CONFIG,
+    )
+    dt = time.time() - t0
+    out = os.path.join(OUT_DIR, f"reference_golden_{pair_name}_{init_type}.npz")
+    np.savez_compressed(
+        out, **{k: np.asarray(v) for k, v in res.items()},
+        config_initial_correspondence_type=init_type,
+    )
+    uniq = len(np.unique(res["correspondences"]))
+    disp = np.linalg.norm(
+        res["weighted_points"] - np.asarray(src_p, np.float64), axis=1
+    ).mean()
+    print(
+        f"[{pair_name}/{init_type}] {dt:.1f}s"
+        f"  eig_t={np.round(res['eig_vals_target'], 6)}"
+        f"\n  unique final corr: {uniq}/{len(res['correspondences'])}"
+        f" ({100.0 * uniq / len(res['correspondences']):.1f}%)"
+        f"  mean |weighted - source|: {disp:.3f}  -> {out}"
+    )
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for init_type in ("hungarian", "kd"):
+        run_one("5k", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk", init_type)
+    # 15k pair has unequal vertex counts -> 'kd' only (reference guard,
+    # focusr.py:377-385).  This run answers whether the bench's unique
+    # fraction on 15k is reference-equivalent.
+    run_one(
+        "15k", f"{DATA}/target_mesh_15k.vtk", f"{DATA}/source_mesh_15k.vtk", "kd"
+    )
+
+
+if __name__ == "__main__":
+    main()

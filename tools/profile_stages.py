@@ -90,10 +90,10 @@ def main():
         "cpd deformable 300 it",
         lambda: cpd_ops._deformable_cpd_run(X, Y, Qg, lam_g, 0.01, 300, 1e-8)[0],
     )
-    W = jnp.zeros((1000, 3))
+    z_cpd = jnp.zeros((100, 3))
     timeit(
         "cpd transform 15k pts",
-        lambda: cpd_ops._kernel_transform(vecs_t[:, :3], Y, W, 50.0),
+        lambda: cpd_ops.lowrank_transform(vecs_t[:, :3], Y, Qg, lam_g, z_cpd, 50.0),
     )
 
     # correspondence + smoothing
