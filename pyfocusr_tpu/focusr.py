@@ -444,9 +444,15 @@ class Focusr(object):
     # ------------------------------------------------------------------
     def _pipeline_compatible(self):
         """The fused single-program pipeline covers this configuration?"""
+        hungarian = (
+            self.initial_correspondence_type == "hungarian"
+            or self.final_correspondence_type == "hungarian"
+        )
         return (
-            self.initial_correspondence_type == "kd"
-            and self.final_correspondence_type == "kd"
+            (
+                not hungarian
+                or self.graph_target.n_points == self.graph_source.n_points
+            )
             and self.target_eigenmap_as_reference is True
             and not self.use_features_as_coords
             and not self.include_points_as_features
@@ -464,11 +470,14 @@ class Focusr(object):
         if not self._pipeline_compatible():
             raise ValueError(
                 "configuration not supported by the fused pipeline "
-                "(needs kd correspondences, target as reference, no "
-                "feature/xyz coordinate appending); use align_maps()"
+                "(hungarian needs equal vertex counts; needs target as "
+                "reference and no feature/xyz coordinate appending); "
+                "use align_maps()"
             )
         cfg = PipelineConfig(
             icp_register_first=False,  # the constructor already pre-aligned
+            initial_correspondence_type=self.initial_correspondence_type,
+            final_correspondence_type=self.final_correspondence_type,
             n_spectral_features=self.n_spectral_features,
             n_extra_spectral=self.n_extra_spectral,
             n_coords_spectral_ordering=self.graph_target.rand_idxs.shape[0],

@@ -29,7 +29,13 @@ import numpy as np
 
 from ..utils.precision import f32_matmuls
 
-__all__ = ["lap_host", "auction_lap", "exact_lap_small", "linear_sum_assignment"]
+__all__ = [
+    "lap_host",
+    "auction_lap",
+    "sinkhorn_auction_lap",
+    "exact_lap_small",
+    "linear_sum_assignment",
+]
 
 
 def lap_host(cost: np.ndarray):
@@ -189,6 +195,234 @@ def auction_lap(
     return assignment
 
 
+@partial(jax.jit, static_argnames=("levels", "iters_per_level"))
+@f32_matmuls
+def _sinkhorn_duals(cost, T0, T_factor: float, levels: int, iters_per_level: int):
+    """Annealed log-domain Sinkhorn: dual potentials (f, g) of the entropic
+    OT relaxation of the assignment LP, temperature T0 * T_factor^level.
+    As T -> 0 the potentials converge to optimal LAP duals; each iteration is
+    two [n, n] logsumexp reductions — pure VPU streaming work."""
+
+    def one_T(carry, T):
+        f, g = carry
+
+        def one_iter(carry2, _):
+            f, g = carry2
+            f = -T * jax.nn.logsumexp((g[None, :] - cost) / T, axis=1)
+            g = -T * jax.nn.logsumexp((f[:, None] - cost) / T, axis=0)
+            return (f, g), None
+
+        (f, g), _ = jax.lax.scan(
+            one_iter, (f, g), None, length=iters_per_level
+        )
+        return (f, g), None
+
+    n = cost.shape[0]
+    Ts = T0 * T_factor ** jnp.arange(levels, dtype=cost.dtype)
+    f0 = jnp.zeros((n,), cost.dtype)
+    g0 = jnp.zeros((n,), cost.dtype)
+    (f, g), _ = jax.lax.scan(one_T, (f0, g0), Ts)
+    return f, g
+
+
+def _greedy_complete(assignment, n):
+    """Pair any still-unassigned rows with the free columns (index order).
+    Safety net preserving the permutation invariant if the auction round cap
+    is ever hit; with Sinkhorn warm-started prices this is a no-op in
+    practice."""
+    taken = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.where(assignment >= 0, assignment, n)
+    ].set(1)[:n]
+    free_rank = jnp.cumsum(1 - taken) - 1  # rank of each free column
+    # For the r-th unassigned row, pick the r-th free column.
+    order = jnp.argsort(jnp.where(taken > 0, n, free_rank))  # free cols first
+    unassigned_rank = jnp.cumsum(assignment < 0) - 1
+    fill = order[jnp.clip(unassigned_rank, 0, n - 1)]
+    return jnp.where(assignment < 0, fill, assignment)
+
+
+_BIG = jnp.float32(1e30)
+
+
+@partial(jax.jit, static_argnames=("max_total_steps",))
+@f32_matmuls
+def _jv_device(cost, v0, max_total_steps: int):
+    """Jonker-Volgenant shortest-augmenting-path LAP entirely on device.
+
+    Structure mirrors the production JV implementations (e.g. scipy's):
+
+      1. *Tight-edge bulk matching* (the vectorized analog of JV column
+         reduction): with feasible duals (u = row minima of the reduced
+         cost), every row's argmin column is a zero-reduced-cost edge;
+         one scatter-min resolves column conflicts and assigns the ~90%
+         of rows that win their argmin — a single [n, n] pass.
+      2. *Dijkstra augmentation* for each remaining row (deferred dual
+         updates, as in scipy's `_lsap`): each step touches ONE cost row
+         (an [n] relax + masked argmin), so total work is
+         sum-of-path-lengths * n — orders of magnitude less than auction
+         rounds, which rescan the full [n, n] matrix per round and whose
+         price wars tripped the TPU watchdog on contested geometric costs.
+
+    ``v0`` warm-starts the column duals (annealed-Sinkhorn potentials
+    shorten the augmenting paths).  ``max_total_steps`` is a global
+    Dijkstra-step budget (watchdog guard): on exhaustion remaining rows
+    stay unassigned for ``_greedy_complete``; the result is exact whenever
+    the budget was not hit (none observed in practice).
+    Returns (col_of_row i32 [n], steps_used).
+    """
+    n = cost.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    u0 = jnp.min(cost - v0[None, :], axis=1)  # feasible row duals
+
+    # --- Phase 1: tight-edge bulk matching -----------------------------
+    j_star = jnp.argmin(cost - u0[:, None] - v0[None, :], axis=1)
+    col_winner = (
+        jnp.full((n + 1,), n, jnp.int32).at[j_star].min(rows)
+    )
+    won = col_winner[j_star] == rows
+    col4row0 = jnp.where(won, j_star, -1)
+    row4col0 = (
+        jnp.full((n + 1,), -1, jnp.int32)
+        .at[jnp.where(won, j_star, n)]
+        .set(rows)[:n]
+    )
+
+    # --- Phase 2: Dijkstra augmentation per unassigned row -------------
+    def augment_row(carry, i_start):
+        u, v, row4col, col4row, steps_left = carry
+
+        def run(args):
+            u, v, row4col, col4row, steps_left = args
+
+            def dj_cond(s):
+                _spc, _path, _scanned, _rvis, _i, _mv, sink, sl = s
+                return jnp.logical_and(sink < 0, sl > 0)
+
+            def dj_body(s):
+                spc, path, scanned, rvis, i_cur, minVal, sink, sl = s
+                rvis = rvis.at[i_cur].set(True)
+                r = minVal + cost[i_cur] - u[i_cur] - v
+                better = jnp.logical_and(~scanned, r < spc)
+                spc = jnp.where(better, r, spc)
+                path = jnp.where(better, i_cur, path)
+                masked = jnp.where(scanned, _BIG, spc)
+                j1 = jnp.argmin(masked)
+                lowest = masked[j1]
+                scanned = scanned.at[j1].set(True)
+                owner = row4col[j1]
+                is_free = owner < 0
+                sink = jnp.where(is_free, j1, -1)
+                i_cur = jnp.where(is_free, i_cur, owner)
+                return (spc, path, scanned, rvis, i_cur, lowest, sink, sl - 1)
+
+            spc0 = jnp.full((n,), _BIG)
+            path0 = jnp.full((n,), -1, jnp.int32)
+            scanned0 = jnp.zeros((n,), bool)
+            rvis0 = jnp.zeros((n,), bool)
+            spc, path, scanned, rvis, _, minVal, sink, steps_left = (
+                jax.lax.while_loop(
+                    dj_cond,
+                    dj_body,
+                    (spc0, path0, scanned0, rvis0, i_start,
+                     jnp.float32(0.0), jnp.int32(-1), steps_left),
+                )
+            )
+
+            def apply_augment(args):
+                u, v, row4col, col4row = args
+                # Deferred dual updates (scipy _lsap): over visited rows
+                # (via their pre-augmentation columns) and scanned columns.
+                spc_of_row = spc[jnp.clip(col4row, 0, n - 1)]
+                upd_rows = jnp.logical_and(rvis, rows != i_start)
+                u = jnp.where(upd_rows, u + minVal - spc_of_row, u)
+                u = u.at[i_start].add(minVal)
+                v = jnp.where(scanned, v - (minVal - spc), v)
+
+                def aug_cond(s):
+                    j, _, _ = s
+                    return j >= 0
+
+                def aug_body(s):
+                    j, row4col, col4row = s
+                    i = path[j]
+                    row4col = row4col.at[j].set(i)
+                    j_next = col4row[i]
+                    col4row = col4row.at[i].set(j)
+                    return (j_next, row4col, col4row)
+
+                _, row4col, col4row = jax.lax.while_loop(
+                    aug_cond, aug_body, (sink, row4col, col4row)
+                )
+                return u, v, row4col, col4row
+
+            u, v, row4col, col4row = jax.lax.cond(
+                sink >= 0,
+                apply_augment,
+                lambda a: a,
+                (u, v, row4col, col4row),
+            )
+            return u, v, row4col, col4row, steps_left
+
+        u, v, row4col, col4row, steps_left = jax.lax.cond(
+            jnp.logical_and(col4row[i_start] < 0, steps_left > 0),
+            run,
+            lambda a: a,
+            (u, v, row4col, col4row, steps_left),
+        )
+        return (u, v, row4col, col4row, steps_left), None
+
+    (u, v, row4col, col4row, steps_left), _ = jax.lax.scan(
+        augment_row,
+        (u0, v0, row4col0, col4row0, jnp.int32(max_total_steps)),
+        rows,
+    )
+    return col4row, jnp.int32(max_total_steps) - steps_left
+
+
+def sinkhorn_jv_lap(
+    cost: jnp.ndarray,
+    levels: int = 14,
+    iters_per_level: int = 30,
+    max_total_steps: int | None = None,
+    warm_start: bool = True,
+) -> jnp.ndarray:
+    """EXACT square LAP on device: annealed-Sinkhorn duals warm-start a
+    device Jonker-Volgenant solve.
+
+    Replaces the cold-started epsilon-scaling auction for large contested
+    problems: on the bundled 5k spectral-correspondence cost the auction's
+    price wars ran past the TPU watchdog (worker crash, reproduced), while
+    this solve is EXACT and measured ~2.0 s on one v5e chip (0.96 s
+    Sinkhorn + 1.03 s JV, 118k Dijkstra steps) vs 6.7 s scipy / 11 s native
+    host JV — gap 0.000000% and full index agreement with scipy on that
+    cost.  The Sinkhorn warm start is two [n, n] logsumexp reductions per
+    iteration (pure VPU streaming) and cuts JV augmentation steps ~2.4x.
+
+    Returns the column assigned to each row (i32 [n], always a permutation;
+    rows beyond the step budget — none observed in practice — are paired
+    with leftover columns).
+    """
+    cost = jnp.asarray(cost, jnp.float32)
+    n = cost.shape[0]
+    if max_total_steps is None:
+        max_total_steps = 60 * n
+    if warm_start and n >= 512:
+        spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12)
+        _, g = _sinkhorn_duals(
+            cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level
+        )
+        v0 = g
+    else:
+        v0 = jnp.zeros((n,), cost.dtype)
+    assignment, _ = _jv_device(cost, v0, max_total_steps)
+    return _greedy_complete(assignment, n)
+
+
+# Backwards-compatible alias (round-1 name; auction superseded by JV).
+def sinkhorn_auction_lap(cost, **kwargs):
+    return sinkhorn_jv_lap(cost)
+
+
 def exact_lap_small(cost: jnp.ndarray) -> jnp.ndarray:
     """EXACT square LAP for tiny k (k <= 8) by static enumeration, on device.
 
@@ -214,17 +448,14 @@ def exact_lap_small(cost: jnp.ndarray) -> jnp.ndarray:
     return perms[jnp.argmin(totals)]
 
 
-def linear_sum_assignment(cost, device_threshold: int | None = None):
+def linear_sum_assignment(cost, device_threshold: int | None = 2048):
     """Dispatcher with the scipy contract: returns (row_ind, col_ind).
 
-    Default: exact host JV at every size (the native C++ solver handles
-    5000 x 5000 in ~11 s — comparable to what the reference's scipy call
-    printed timings for at ``focusr.py:341-348``).  The device auction is
-    available by passing ``device_threshold``: square problems larger than it
-    solve on-device.  Auction caveat, measured on v5e: with *contested*
-    geometric costs (many rows sharing a best column, e.g. two nearly
-    identical point clouds) the bidding can run long enough to trip the TPU
-    watchdog — use it for well-separated costs or moderate n only.
+    Square problems larger than ``device_threshold`` solve on-device with
+    the exact Sinkhorn-warmed JV (``sinkhorn_jv_lap``: ~2.0 s at 5k on one
+    v5e chip vs ~11 s for the native C++ host JV); smaller or rectangular
+    problems use the host JV (no device round-trip is worth it there).
+    Pass ``device_threshold=None`` to force the host path at every size.
     """
     cost_np = np.asarray(cost)
     n_rows, n_cols = cost_np.shape
@@ -234,5 +465,5 @@ def linear_sum_assignment(cost, device_threshold: int | None = None):
         or max(n_rows, n_cols) <= device_threshold
     ):
         return lap_host(cost_np)
-    col_ind = np.asarray(auction_lap(jnp.asarray(cost_np)))
+    col_ind = np.asarray(sinkhorn_jv_lap(jnp.asarray(cost_np)))
     return np.arange(n_rows), col_ind

@@ -21,9 +21,11 @@ Krylov iteration is confined to the masked coordinate subspace, padded points
 sit at a 1e30 sentinel so no KNN query selects them, the ICP fit weights them
 out, and all subsampling draws only real vertices.
 
-Restrictions vs the class API (all static-config): correspondence type is
-'kd' (the default; 'hungarian' needs a host LAP at 5k+ — use the class),
-and the eigsort Wasserstein uses the equal-sample-size path.
+Restrictions vs the class API (all static-config): the eigsort Wasserstein
+uses the equal-sample-size path, and 'hungarian' correspondences (solved
+on-device by the exact Sinkhorn-warmed JV, ops/assignment.sinkhorn_jv_lap)
+require equal unpadded vertex counts — the reference's own guard
+(``focusr.py:377-385``).
 """
 
 from __future__ import annotations
@@ -64,6 +66,13 @@ class PipelineConfig:
     icp_registration_mode: str = "rigid"
     icp_iterations: int = 100
     icp_n_landmarks: int = 2000
+    # 'kd' (brute-force NN, reference default) or 'hungarian' (one-to-one
+    # assignment via the exact on-device Sinkhorn-warmed JV solver,
+    # ops/assignment.sinkhorn_jv_lap — the reference notebook's 5k config).
+    # 'hungarian' requires equal, unpadded vertex counts (reference guard
+    # focusr.py:377-385).
+    initial_correspondence_type: str = "kd"
+    final_correspondence_type: str = "kd"
     n_spectral_features: int = 3
     n_extra_spectral: int = 3
     n_coords_spectral_ordering: int = 5000
@@ -123,6 +132,9 @@ class PipelineConfig:
             raise ValueError("eig_method must be 'chebyshev' or 'lanczos'")
         if self.smoothing_method not in ("chebyshev", "exact"):
             raise ValueError("smoothing_method must be 'chebyshev' or 'exact'")
+        for name in ("initial_correspondence_type", "final_correspondence_type"):
+            if getattr(self, name) not in ("kd", "hungarian"):
+                raise ValueError(f"{name} must be 'kd' or 'hungarian'")
         if self.non_rigid_alpha <= 0 or self.non_rigid_beta <= 0:
             raise ValueError("non_rigid_alpha/beta must be positive")
         if not 0.0 <= self.non_rigid_outlier_w < 1.0:
@@ -581,8 +593,34 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     tmask = target.valid_mask[:, None]
     tgt_coords_q = jnp.where(tmask > 0, tgt_coords_moved, SENTINEL)
 
+    use_hungarian = (
+        cfg.initial_correspondence_type == "hungarian"
+        or cfg.final_correspondence_type == "hungarian"
+    )
+    if use_hungarian and target.n_points != source.n_points:
+        # Reference guard (``focusr.py:377-385``).  Padded cohort batches
+        # are likewise unsupported: assignment is one-to-one over ALL rows.
+        raise ValueError(
+            "If number vertices between source & target don't match, "
+            "correspondence type must be 'kd' and not 'hungarian'."
+        )
+
+    def _hungarian(ref_pts, query_pts):
+        # Euclidean (not squared) costs: the assignment objective must match
+        # the reference's cdist + linear_sum_assignment (``focusr.py:340-349``).
+        from .ops.assignment import sinkhorn_jv_lap
+        from .ops.knn import pairwise_sq_dists
+
+        cost = jnp.sqrt(
+            jnp.maximum(pairwise_sq_dists(query_pts, ref_pts), 0.0)
+        )
+        return sinkhorn_jv_lap(cost)
+
     # --- Initial correspondences (``focusr.py:545``) ---
-    _, init_corr = nn_query(tgt_coords_q, src_coords)
+    if cfg.initial_correspondence_type == "hungarian":
+        init_corr = _hungarian(tgt_coords_moved, src_coords)
+    else:
+        _, init_corr = nn_query(tgt_coords_q, src_coords)
     mutual = None
     if cfg.compute_mutual_consistency:
         src_q = jnp.where(
@@ -613,7 +651,10 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
             cfg.projection_smooth_iterations, w_s[1], w_s[2],
         )
         smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
-        _, corr = nn_query(smoothed_q, projected)
+        if cfg.final_correspondence_type == "hungarian":
+            corr = _hungarian(smoothed_tgt, projected)
+        else:
+            _, corr = nn_query(smoothed_q, projected)
         final_ref = smoothed_q
     else:
         final_ref = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)

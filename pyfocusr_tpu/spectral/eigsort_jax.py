@@ -5,8 +5,8 @@ cohort registration.
 
 Differences from the host version (spectral/eigsort.py):
   * the k x k assignment solves on device EXACTLY by static permutation
-    enumeration (ops/assignment.exact_lap_small, k <= 8; tight-epsilon
-    auction beyond) instead of host JV;
+    enumeration (ops/assignment.exact_lap_small, k <= 8; exact device JV
+    beyond) instead of host JV;
   * the column permutation + sign flip are applied with a one-hot permutation
     matrix (an MXU matmul) because gather indices are traced;
   * only the equal-sample-size Wasserstein path is supported (the pipeline
@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.assignment import auction_lap, exact_lap_small
+from ..ops.assignment import _jv_device, exact_lap_small
 from ..ops.knn import nn_query
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -71,19 +71,19 @@ def sort_eigenmaps_jit(
     S = c > c_f
 
     # Assignment on device (rows=target modes, cols=source modes).
-    # k <= 8: exact static enumeration.  The auction's epsilon floor
-    # (spread/(4k)) is too coarse for eigsort costs, whose entries shrink
-    # toward ~1e-4 as the subsample grows — it returned wrong permutations
-    # on near-identical meshes (e.g. template-iteration rounds).
+    # k <= 8: exact static enumeration.  k > 8: exact device JV
+    # (ops/assignment._jv_device) — replaces the round-1 epsilon-scaling
+    # auction fallback, whose epsilon floor was too coarse for eigsort
+    # costs (entries shrink toward ~1e-4 as the subsample grows; observed
+    # wrong permutations on near-identical meshes).  Both paths are exact.
     if k <= 8:
         src_of_tgt = exact_lap_small(Q)  # [k]
     else:
-        src_of_tgt = auction_lap(Q, eps_scaling_steps=12, max_rounds=100000)
-        # The auction can leave rows unassigned (-1) when max_rounds is hit;
-        # under jit a -1 gather index is silently clamped, corrupting the
-        # permutation.  Fall back to the identity permutation for the whole
-        # solve in that case — a valid (if unsorted) permutation beats a
-        # silently corrupt one.
+        src_of_tgt, _ = _jv_device(
+            Q, jnp.zeros((k,), jnp.float32), 64 * k
+        )
+        # Safety net for the (never-observed) step-budget bail: -1 gather
+        # indices would silently clamp under jit, so substitute identity.
         src_of_tgt = jnp.where(
             jnp.any(src_of_tgt < 0), jnp.arange(k), src_of_tgt
         )

@@ -113,3 +113,44 @@ class TestGoldenParity5k:
             golden["correspondences"]
         )
         assert abs(uniq - uniq_g) < 0.05, (uniq, uniq_g)
+
+
+@pytest.mark.slow
+class TestGoldenParityHungarian:
+    """The reference notebook's ACTUAL 5k config uses
+    initial_correspondence_type='hungarian' (notebook cell 3); round 2 made
+    this run fully on-device inside the jit pipeline (exact Sinkhorn-warmed
+    JV, ops/assignment.sinkhorn_jv_lap)."""
+
+    def test_hungarian_pipeline_matches_golden(
+        self, mesh_5k_target, mesh_5k_source
+    ):
+        import jax
+
+        from pyfocusr_tpu.pipeline import (
+            PipelineConfig,
+            mesh_to_graph_arrays,
+            register_pair,
+        )
+
+        golden = np.load("tests/goldens/reference_golden_5k_hungarian.npz")
+        cfg = PipelineConfig(
+            n_coords_spectral_ordering=10000,
+            initial_correspondence_type="hungarian",
+            **NOTEBOOK_COMMON,
+        )
+        tg = mesh_to_graph_arrays(mesh_5k_target)
+        sg = mesh_to_graph_arrays(mesh_5k_source)
+        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(res)
+
+        corr = np.asarray(res["correspondences"])
+        corr_g = golden["correspondences"]
+        agree = float((corr == corr_g).mean())
+        assert agree > 0.55, agree  # reference self-noise is ~49%
+        tgt = np.asarray(mesh_5k_target.points, np.float64)
+        pick_d = np.linalg.norm(tgt[corr] - tgt[corr_g], axis=1)
+        assert pick_d.mean() < 0.95, pick_d.mean()
+        uniq = len(np.unique(corr)) / corr.shape[0]
+        uniq_g = len(np.unique(corr_g)) / len(corr_g)
+        assert abs(uniq - uniq_g) < 0.05, (uniq, uniq_g)

@@ -114,3 +114,41 @@ class TestAssignment:
         r2, c2 = scipy_lap(c)
         gap = c[np.arange(n), a].sum() - c[r2, c2].sum()
         assert gap < 0.05 * abs(c[r2, c2].sum()) + 1e-6
+
+
+class TestDeviceJV:
+    """Exact on-device Jonker-Volgenant (ops/assignment.sinkhorn_jv_lap) —
+    the solver behind 'hungarian' correspondences inside the jit pipeline
+    (reference solves these with scipy JV on host, ``focusr.py:340-349``)."""
+
+    def test_exact_on_random_and_geometric(self):
+        from pyfocusr_tpu.ops.assignment import sinkhorn_jv_lap
+        from scipy.spatial.distance import cdist
+
+        rng = np.random.default_rng(0)
+        cases = []
+        for n in (30, 120, 400):
+            cases.append(rng.uniform(0, 1, (n, n)).astype(np.float32))
+        a = rng.normal(size=(300, 3))
+        # Contested geometric costs (two near-identical clouds) — the case
+        # that stalled the round-1 auction solver.
+        cases.append(cdist(a, a + 0.005 * rng.normal(size=a.shape)).astype(np.float32))
+        for C in cases:
+            n = C.shape[0]
+            got = np.asarray(sinkhorn_jv_lap(jnp.asarray(C)))
+            assert len(np.unique(got)) == n  # permutation
+            r2, c2 = scipy_lap(C.astype(np.float64))
+            obj = C[np.arange(n), got].astype(np.float64).sum()
+            ref = C[r2, c2].astype(np.float64).sum()
+            assert obj <= ref * (1 + 1e-5) + 1e-6, (n, obj, ref)
+
+    def test_warm_start_matches_cold(self):
+        from pyfocusr_tpu.ops.assignment import sinkhorn_jv_lap
+
+        rng = np.random.default_rng(5)
+        C = rng.uniform(0, 1, (600, 600)).astype(np.float32)
+        warm = np.asarray(sinkhorn_jv_lap(jnp.asarray(C), warm_start=True))
+        cold = np.asarray(sinkhorn_jv_lap(jnp.asarray(C), warm_start=False))
+        obj_w = C[np.arange(600), warm].astype(np.float64).sum()
+        obj_c = C[np.arange(600), cold].astype(np.float64).sum()
+        assert abs(obj_w - obj_c) <= 1e-4 * max(obj_w, obj_c)

@@ -128,7 +128,10 @@ def main():
         )
 
         cfg = PipelineConfig(
-            n_coords_spectral_ordering=10000, **common
+            n_coords_spectral_ordering=10000,
+            initial_correspondence_type=init_type,
+            final_correspondence_type="kd",
+            **common,
         )
         tg = mesh_to_graph_arrays(target)
         sg = mesh_to_graph_arrays(source)
