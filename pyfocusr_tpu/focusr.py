@@ -449,14 +449,9 @@ class Focusr(object):
             or self.final_correspondence_type == "hungarian"
         )
         return (
-            (
-                not hungarian
-                or self.graph_target.n_points == self.graph_source.n_points
-            )
-            and self.target_eigenmap_as_reference is True
-            and not self.use_features_as_coords
-            and not self.include_points_as_features
-        )
+            not hungarian
+            or self.graph_target.n_points == self.graph_source.n_points
+        ) and self.target_eigenmap_as_reference is True
 
     def align_maps_pipeline(self):
         """Run the registration as ONE compiled XLA program
@@ -471,13 +466,19 @@ class Focusr(object):
             raise ValueError(
                 "configuration not supported by the fused pipeline "
                 "(hungarian needs equal vertex counts; needs target as "
-                "reference and no feature/xyz coordinate appending); "
-                "use align_maps()"
+                "reference); use align_maps()"
             )
         cfg = PipelineConfig(
             icp_register_first=False,  # the constructor already pre-aligned
             initial_correspondence_type=self.initial_correspondence_type,
             final_correspondence_type=self.final_correspondence_type,
+            use_features_as_coords=bool(
+                self.use_features_as_coords
+                and self.graph_source.n_extra_features > 0
+            ),
+            feature_smoothing_iterations=self.feature_smoothing_iterations,
+            include_points_as_features=self.include_points_as_features,
+            norm_physical_and_spectral=self.norm_physical_and_spectral,
             n_spectral_features=self.n_spectral_features,
             n_extra_spectral=self.n_extra_spectral,
             n_coords_spectral_ordering=self.graph_target.rand_idxs.shape[0],
@@ -497,8 +498,22 @@ class Focusr(object):
             projection_smooth_iterations=self.projection_smooth_iterations,
         )
         with self.timer.span("pipeline_register_pair"):
-            tg = mesh_to_graph_arrays(self.graph_target.mesh)
-            sg = mesh_to_graph_arrays(self.graph_source.mesh)
+            feats_t = (
+                jnp.stack(self.graph_target.node_features, axis=1)
+                if self.graph_target.n_extra_features > 0
+                else None
+            )
+            feats_s = (
+                jnp.stack(self.graph_source.node_features, axis=1)
+                if self.graph_source.n_extra_features > 0
+                else None
+            )
+            tg = mesh_to_graph_arrays(
+                self.graph_target.mesh, node_features=feats_t
+            )
+            sg = mesh_to_graph_arrays(
+                self.graph_source.mesh, node_features=feats_s
+            )
             res = register_pair(tg, sg, cfg, jax.random.PRNGKey(self.seed))
             jax.block_until_ready(res)
 

@@ -446,13 +446,52 @@ def _read_binary(raw: bytes):
             dtype = _VTK_DTYPES[parts[2].lower()]
             points = read_array(n_points * 3, dtype).astype(np.float64).reshape(-1, 3)
         elif key == "POLYGONS":
+            n_head = int(parts[1])
             n_vals = int(parts[2])
-            data = read_array(n_vals, np.int32).astype(np.int64)
-            triangles = _triangulate_polys(data)
+            # VTK >= 5.1 binary layout: OFFSETS / CONNECTIVITY sub-blocks.
+            save = pos
+            sub = next_line().split()
+            if sub and sub[0].upper() == "OFFSETS":
+                offsets = read_array(
+                    n_head, _VTK_DTYPES[sub[1].lower()]
+                ).astype(np.int64)
+                sub2 = next_line().split()
+                assert sub2[0].upper() == "CONNECTIVITY"
+                conn = read_array(
+                    n_vals, _VTK_DTYPES[sub2[1].lower()]
+                ).astype(np.int64)
+                counts = np.diff(offsets)
+                stream = []
+                for c, start in zip(counts, offsets[:-1]):
+                    stream.append(np.asarray([c], np.int64))
+                    stream.append(conn[start : start + c])
+                data = (
+                    np.concatenate(stream) if stream else np.zeros(0, np.int64)
+                )
+                triangles = _triangulate_polys(data)
+            else:
+                pos = save
+                data = read_array(n_vals, np.int32).astype(np.int64)
+                triangles = _triangulate_polys(data)
         elif key == "POINT_DATA":
             in_point_data = True
         elif key == "CELL_DATA":
             in_point_data = False
+        elif key == "FIELD":
+            # FIELD <name> <num_arrays>; each array:
+            #   <name> <numComponents> <numTuples> <dataType>\n<binary payload>
+            n_arrays = int(parts[2])
+            for _ in range(n_arrays):
+                spec = next_line().split()
+                while not spec:  # tolerate blank separator lines
+                    spec = next_line().split()
+                a_name, n_comp, n_tup = spec[0], int(spec[1]), int(spec[2])
+                dtype = _VTK_DTYPES[spec[3].lower()]
+                vals = read_array(n_comp * n_tup, dtype).astype(np.float64)
+                if in_point_data and n_tup == n_points:
+                    point_data[a_name] = (
+                        vals if n_comp == 1 else vals.reshape(n_tup, n_comp)
+                    )
         elif key == "SCALARS":
             name = parts[1]
             dtype = _VTK_DTYPES[parts[2].lower()]

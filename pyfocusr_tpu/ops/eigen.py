@@ -47,7 +47,12 @@ import jax.numpy as jnp
 
 from ..utils.precision import f32_matmuls
 
-__all__ = ["smallest_nonzero_eigpairs", "lanczos_shift_invert", "chebyshev_eigpairs"]
+__all__ = [
+    "smallest_nonzero_eigpairs",
+    "lanczos_shift_invert",
+    "chebyshev_eigpairs",
+    "chebyshev_eigpairs_wide",
+]
 
 
 def _project_out(v0, x):
@@ -232,6 +237,151 @@ def lanczos_shift_invert(
 
     order = jnp.argsort(lams)
     return lams[order], ritz[:, order], resid[order]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "matvec",
+        "k",
+        "block_width",
+        "chunk_degree",
+        "chunks",
+        "cut_index",
+        "filter_op_factory",
+    ),
+)
+@f32_matmuls
+def chebyshev_eigpairs_wide(
+    matvec,
+    null_vec: jnp.ndarray,
+    key: jax.Array,
+    k: int,
+    block_width: int = 128,
+    chunk_degree: int = 33,
+    chunks: int = 6,
+    cut_index: int = 23,
+    subspace_mask=None,
+    lam_max_bound=None,
+    filter_op_factory=None,
+):
+    """k smallest nonzero eigenpairs via a WIDE-block Chebyshev filter.
+
+    Round-2 redesign of ``chebyshev_eigpairs`` exploiting a measured TPU
+    fact: the per-step cost of the ELL gather-SpMV is *width-independent* up
+    to 128 lanes (612 us/step at widths 14, 64 AND 128 on the bundled 15k
+    mesh — the gather pays for full 128-lane rows regardless).  A 128-wide
+    subspace therefore costs the same per filter step as the old 14-wide one
+    while making the filter's job categorically easier: the modes competing
+    with the k wanted ones start at lambda_129 instead of lambda_15, so the
+    adaptive lower cut sits far higher and ~200 filter steps replace ~405.
+
+    Differences from the narrow solver:
+      * orthonormalization by SVQB (Stathopoulos & Wu) — eigh of the [b, b]
+        Gram with a rank floor — instead of Householder QR: a strong filter
+        near-collapses a 128-block onto the smallest modes, which breaks
+        Cholesky/QR in f32 but SVQB handles by construction (collapsed
+        directions re-seed as filtered noise, acting as fresh restarts);
+      * no CG polish: the wide subspace converges residuals to ~1e-7 *
+        lam_max (better than the narrow solver's ~2e-7) and final
+        eigenvalues come from direct Rayleigh quotients, whose f32 rounding
+        sqrt-cancels over N (measured 1.7e-5 rel vs ARPACK on the 5k mesh,
+        f32-floor-matching 3.6e-3 on 15k — identical to the old solver+polish).
+
+    Measured (v5e, 15k mesh, k=6): 103 ms vs 198 ms for the narrow solver at
+    equal-or-better accuracy.  Returns (lams [k], vecs [N, k], resid [k]).
+    """
+    n = null_vec.shape[0]
+    if null_vec.ndim == 1:
+        v0 = null_vec / jnp.linalg.norm(null_vec)
+        n_null = 1
+    else:
+        norms = jnp.linalg.norm(null_vec, axis=0, keepdims=True)
+        v0 = null_vec / jnp.maximum(norms, 1e-30)
+        n_null = null_vec.shape[1]
+    b = min(block_width, max(n - n_null - 1, k + 2))
+    cut = min(cut_index, max(b - 4, k))
+
+    def matvec_block(X):
+        return jax.vmap(matvec, in_axes=1, out_axes=1)(X)
+
+    if lam_max_bound is not None:
+        lam_max = lam_max_bound * 1.005
+    else:
+        pw = _estimate_lambda_max(matvec, n, key, subspace_mask=subspace_mask)
+        lam_max = pw * 1.3
+
+    def cheb_filter(X, a, deg):
+        c = (lam_max + a) / 2.0
+        e = (lam_max - a) / 2.0
+        if filter_op_factory is not None:
+            op = filter_op_factory(c, e)
+        else:
+            def op(T):
+                return (2.0 / e) * (matvec_block(T) - c * T)
+
+        t_prev = X
+        t_cur = 0.5 * op(X)
+
+        def body(_, carry):
+            tp, tc = carry
+            return tc, op(tc) - tp
+
+        _, t_cur = jax.lax.fori_loop(0, deg - 1, body, (t_prev, t_cur))
+        return t_cur
+
+    def svqb_rr(Y, rk):
+        """Rank-robust orthonormalize + Rayleigh-Ritz; returns (X, theta).
+
+        Gram directions below the rank floor (the filter can collapse a
+        128-wide block onto few dominant modes) are REFILLED with fresh
+        projected noise instead of zeroed: a zero Ritz column would
+        otherwise surface as a spurious theta=0 / NaN mode sorted in front
+        of the wanted eigenpairs (observed on the 5k mesh under the XLA:CPU
+        backend).  Refilled columns act as filtered restarts; their slight
+        non-orthogonality is cleaned by the next chunk's SVQB and their
+        Rayleigh values land mid-spectrum, far from the selected k."""
+        nrm = jnp.linalg.norm(Y, axis=0, keepdims=True)
+        Y = Y / jnp.maximum(nrm, 1e-30)
+        G = Y.T @ Y
+        e, U = jnp.linalg.eigh(G)
+        floor = e[-1] * 1e-10
+        valid = e > floor
+        inv = jnp.where(valid, 1.0 / jnp.sqrt(jnp.maximum(e, floor)), 0.0)
+        Q = Y @ (U * inv[None, :])
+        noise = jax.random.normal(rk, Q.shape, dtype=Q.dtype)
+        if subspace_mask is not None:
+            noise = noise * subspace_mask[:, None]
+        noise = _project_out(v0, noise)
+        noise = noise / jnp.maximum(
+            jnp.linalg.norm(noise, axis=0, keepdims=True), 1e-30
+        )
+        Q = jnp.where(valid[None, :], Q, noise)
+        AQ = matvec_block(Q)
+        H = Q.T @ AQ
+        H = 0.5 * (H + H.T)
+        theta, S = jnp.linalg.eigh(H)
+        return Q @ S, theta
+
+    key, k0 = jax.random.split(key)
+    X = jax.random.normal(k0, (n, b), dtype=jnp.float32)
+    if subspace_mask is not None:
+        X = X * subspace_mask[:, None]
+    X = _project_out(v0, X)
+    a = lam_max * 1e-3
+    for _ in range(chunks):
+        key, kc = jax.random.split(key)
+        X = cheb_filter(X, a, chunk_degree)
+        X = _project_out(v0, X)
+        X, theta = svqb_rr(X, kc)
+        a = jnp.clip(1.5 * theta[cut], lam_max * 1e-5, lam_max * 2e-2)
+
+    V = X[:, :k]
+    V = V / jnp.linalg.norm(V, axis=0, keepdims=True)
+    Av = matvec_block(V)
+    lams = jnp.einsum("nk,nk->k", V, Av)
+    resid = jnp.linalg.norm(Av - V * lams[None, :], axis=0)
+    return lams, V, resid
 
 
 @partial(

@@ -173,6 +173,7 @@ def iterate_template(
     n_iterations: int = 3,
     device_mesh: Mesh | None = None,
     tolerance: float = 0.0,
+    procrustes: bool = True,
 ):
     """Groupwise template iteration — the standard SSM loop.
 
@@ -181,6 +182,15 @@ def iterate_template(
     moves the template's vertices to the cohort-mean corresponding locations.
     The template TOPOLOGY is fixed; only its geometry evolves, so every
     iteration reuses the same compiled executable (static shapes).
+
+    ``procrustes=True`` (default) rigidly aligns each round's mean shape
+    back onto the PREVIOUS template pose (closed-form Kabsch on the 1:1
+    vertex correspondence, rotation+translation, no scale) before applying
+    it.  Without this, per-round re-registration lets a global pose drift
+    accumulate in the template, and downstream SSM mode variances mix pose
+    with shape (the round-1 ROADMAP caveat).  With it, mode variances are
+    invariant to global rotations injected into the subjects
+    (tests/test_cohort.py).
 
     This realizes the workflow the reference only gestures at
     (``focusr.py:32-35``: template eigenmaps as the cohort reference) but
@@ -194,6 +204,8 @@ def iterate_template(
     """
     import dataclasses as _dc
 
+    from ..ops.icp import apply_rigid, umeyama
+
     n_valid = jnp.maximum(jnp.sum(template.valid_mask), 1.0)
     motions: List[float] = []
     results = None
@@ -202,6 +214,12 @@ def iterate_template(
         results, mean_shape = register_cohort(
             template, targets, cfg, sub, device_mesh
         )
+        if procrustes:
+            s_, R_, t_ = umeyama(
+                mean_shape, template.points, with_scale=False,
+                weights=template.valid_mask,
+            )
+            mean_shape = apply_rigid(mean_shape, s_, R_, t_)
         new_pts = jnp.where(
             template.valid_mask[:, None] > 0, mean_shape, template.points
         )
@@ -227,6 +245,7 @@ def build_ssm_template(
     template_index: int = 0,
     device_mesh: Mesh | None = None,
     tolerance: float = 0.0,
+    procrustes: bool = True,
 ):
     """End-to-end SSM template construction from raw meshes.
 
@@ -246,6 +265,7 @@ def build_ssm_template(
         n_iterations=n_iterations,
         device_mesh=device_mesh,
         tolerance=tolerance,
+        procrustes=procrustes,
     )
     n_real = meshes[template_index].n_points
     template_mesh = TriMesh(

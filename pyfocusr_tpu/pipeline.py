@@ -21,11 +21,12 @@ Krylov iteration is confined to the masked coordinate subspace, padded points
 sit at a 1e30 sentinel so no KNN query selects them, the ICP fit weights them
 out, and all subsampling draws only real vertices.
 
-Restrictions vs the class API (all static-config): the eigsort Wasserstein
-uses the equal-sample-size path, and 'hungarian' correspondences (solved
-on-device by the exact Sinkhorn-warmed JV, ops/assignment.sinkhorn_jv_lap)
-require equal unpadded vertex counts — the reference's own guard
-(``focusr.py:377-385``).
+Restriction vs the class API: 'hungarian' correspondences (solved on-device
+by the exact Sinkhorn-warmed JV, ops/assignment.sinkhorn_jv_lap) require
+equal unpadded vertex counts — the reference's own guard
+(``focusr.py:377-385``).  Everything else the reference's ``align_maps``
+covers — feature/xyz coordinate appending, weighted spectral coords,
+unequal eigsort sample counts — runs inside the single program.
 """
 
 from __future__ import annotations
@@ -41,7 +42,11 @@ import numpy as np
 from .mesh import TriMesh, build_topology
 from .ops import cpd as cpd_ops
 from .ops import graph_ops
-from .ops.eigen import chebyshev_eigpairs, smallest_nonzero_eigpairs
+from .ops.eigen import (
+    chebyshev_eigpairs,
+    chebyshev_eigpairs_wide,
+    smallest_nonzero_eigpairs,
+)
 from .ops.knn import knn_query, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
 from .utils.precision import f32_matmuls
@@ -73,6 +78,16 @@ class PipelineConfig:
     # focusr.py:377-385).
     initial_correspondence_type: str = "kd"
     final_correspondence_type: str = "kd"
+    # Extra-feature / xyz coordinate appending (reference ``focusr.py:218-295``).
+    # use_features_as_coords appends each graph's (pre-normalized)
+    # ``node_features`` — graph-smoothed, min-max normalized, rescaled by the
+    # spectral-coordinate ptp — as extra registration dimensions;
+    # include_points_as_features appends xyz (normalized, or raw with the
+    # spectral coords upscaled, per norm_physical_and_spectral).
+    use_features_as_coords: bool = False
+    feature_smoothing_iterations: int = 40
+    include_points_as_features: bool = False
+    norm_physical_and_spectral: bool = True
     n_spectral_features: int = 3
     n_extra_spectral: int = 3
     n_coords_spectral_ordering: int = 5000
@@ -112,12 +127,20 @@ class PipelineConfig:
     # (cycle-consistent matches are the reliable ones; the mask is returned,
     # nothing is filtered).
     compute_mutual_consistency: bool = False
-    eig_method: str = "chebyshev"  # 'chebyshev' (fast, block-parallel) | 'lanczos'
+    # 'chebyshev': wide-block Chebyshev filter (chebyshev_eigpairs_wide) for
+    # meshes >= 2048 vertices, narrow-block for smaller; 'chebyshev-narrow'
+    # forces the round-1 narrow solver; 'lanczos' = shift-invert Lanczos.
+    eig_method: str = "chebyshev"
     eig_cg_iters: int = 300
     eig_lanczos_iters: int = 0
     eig_cheb_degree: int = 75
     eig_cheb_sweeps: int = 6
     eig_cheb_refine_cg: int = 40
+    # Wide-block solver schedule (see ops/eigen.chebyshev_eigpairs_wide):
+    # measured 103 ms vs 198 ms per 15k mesh at equal-or-better accuracy.
+    eig_wide_block: int = 128
+    eig_wide_degree: int = 33
+    eig_wide_chunks: int = 6
 
     def __post_init__(self):
         # Validated at construction (SURVEY §5.6): fail fast on the knobs
@@ -128,8 +151,10 @@ class PipelineConfig:
             raise ValueError("n_extra_spectral must be >= 0")
         if self.icp_registration_mode not in ("rigid", "similarity"):
             raise ValueError("Error invalid transform mode")
-        if self.eig_method not in ("chebyshev", "lanczos"):
-            raise ValueError("eig_method must be 'chebyshev' or 'lanczos'")
+        if self.eig_method not in ("chebyshev", "chebyshev-narrow", "lanczos"):
+            raise ValueError(
+                "eig_method must be 'chebyshev', 'chebyshev-narrow' or 'lanczos'"
+            )
         if self.smoothing_method not in ("chebyshev", "exact"):
             raise ValueError("smoothing_method must be 'chebyshev' or 'exact'")
         for name in ("initial_correspondence_type", "final_correspondence_type"):
@@ -164,6 +189,18 @@ class GraphArrays:
     valid_mask: jnp.ndarray  # f32 [N]  1 = real vertex, 0 = padding
     null_indicators: jnp.ndarray  # f32 [N, C] per-component indicator columns
     overflow: jnp.ndarray = None  # i32 [E_o, 2] hub-vertex spill edges
+    node_features: jnp.ndarray = None  # f32 [N, K] normalized extra features
+
+    def __post_init__(self):
+        # Default node_features to an empty [N, 0] array.  Guard for tree
+        # contexts (shard_map spec trees, tree_map with None leaves) where
+        # tree_unflatten reconstructs the class from non-array leaves.
+        if self.node_features is None and hasattr(self.points, "shape"):
+            object.__setattr__(
+                self,
+                "node_features",
+                jnp.zeros((self.points.shape[0], 0), jnp.float32),
+            )
 
     def tree_flatten(self):
         return (
@@ -173,6 +210,7 @@ class GraphArrays:
             self.valid_mask,
             self.null_indicators,
             self.overflow,
+            self.node_features,
         ), None
 
     @classmethod
@@ -191,6 +229,7 @@ def mesh_to_graph_arrays(
     pad_components: Optional[int] = None,
     pad_overflow: Optional[int] = None,
     degree_cap: Optional[int] = 24,
+    node_features=None,
 ) -> GraphArrays:
     """Build pipeline arrays from a mesh, optionally padded to a fixed size
     for batching.  ``null_indicators`` carries one indicator column per
@@ -211,9 +250,20 @@ def mesh_to_graph_arrays(
     n_comp = max(topo.n_components, 1)
     indicators = np.zeros((n, n_comp), np.float32)
     indicators[np.arange(n), topo.component_labels] = 1.0
+    if node_features is None:
+        feats = np.zeros((n, 0), np.float32)
+    else:
+        feats = np.asarray(node_features, np.float32)
+        if feats.ndim == 1:
+            feats = feats[:, None]
+        if feats.shape[0] != n:  # accept [K, N] layout too
+            feats = feats.T
     if pad_n_points is not None and pad_n_points > n:
         extra = pad_n_points - n
         points = np.concatenate([points, np.zeros((extra, 3), np.float32)])
+        feats = np.concatenate(
+            [feats, np.zeros((extra, feats.shape[1]), np.float32)]
+        )
         neighbors = np.concatenate(
             [
                 neighbors,
@@ -248,6 +298,7 @@ def mesh_to_graph_arrays(
         valid_mask=jnp.asarray(valid),
         null_indicators=jnp.asarray(indicators),
         overflow=jnp.asarray(overflow),
+        node_features=jnp.asarray(feats),
     )
 
 
@@ -289,16 +340,53 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     # Kernel basis: one column per connected component, scaled by 1/s
     # (A (1/s * 1_c) = s (D - W) 1_c = 0 on each component).
     null_basis = graph.null_indicators * (1.0 / s)[:, None] * mask[:, None]
-    if cfg.eig_method == "chebyshev":
+    if cfg.eig_method in ("chebyshev", "chebyshev-narrow"):
         # Exact Gershgorin bound for A = S(D-W)S: max_i s_i(s_i d_i + (Ws)_i).
         ws = graph_ops.spmv(graph.neighbors, w, s, ov, ov_w)
         lam_bound = jnp.max(mask * s * (s * d + ws))
-        lams, vecs_a, _ = chebyshev_eigpairs(
-            matvec, null_basis, key, k,
-            degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
-            refine_cg_iters=cfg.eig_cheb_refine_cg,
-            subspace_mask=mask, lam_max_bound=lam_bound,
-        )
+        if cfg.eig_method == "chebyshev" and graph.n_points >= 2048:
+            # Wide-block solver with a FUSED scaled filter operator: the
+            # symmetrized weights sw_ij = s_i w_ij s_j and diagonal s_i^2 d_i
+            # are precomputed once, so each recurrence step is one
+            # gather-einsum plus one fused elementwise op.
+            sw = s[:, None] * w * s[graph.neighbors]
+            sd = s * s * d * mask
+            has_ov = ov is not None and ov.shape[0] > 0
+            if has_ov:
+                ov_sw = ov_w * s[ov[:, 0]] * s[ov[:, 1]]
+
+            def factory(c, e):
+                alpha = 2.0 / e
+                What = alpha * sw
+                a_diag = alpha * (sd - c * mask)
+
+                def op(T):
+                    y = a_diag[:, None] * T - jnp.einsum(
+                        "nd,ndc->nc", What, T[graph.neighbors]
+                    )
+                    if has_ov:
+                        y = y.at[ov[:, 0]].add(
+                            -(alpha * ov_sw)[:, None] * T[ov[:, 1]]
+                        )
+                    return y
+
+                return op
+
+            lams, vecs_a, _ = chebyshev_eigpairs_wide(
+                matvec, null_basis, key, k,
+                block_width=cfg.eig_wide_block,
+                chunk_degree=cfg.eig_wide_degree,
+                chunks=cfg.eig_wide_chunks,
+                subspace_mask=mask, lam_max_bound=lam_bound,
+                filter_op_factory=factory,
+            )
+        else:
+            lams, vecs_a, _ = chebyshev_eigpairs(
+                matvec, null_basis, key, k,
+                degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
+                refine_cg_iters=cfg.eig_cheb_refine_cg,
+                subspace_mask=mask, lam_max_bound=lam_bound,
+            )
         vecs = vecs_a * s[:, None]
         vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
     else:
@@ -335,7 +423,8 @@ def _pad_graph_arrays(
     ov = g.overflow
     if e_pad is not None and e_pad > ov.shape[0]:
         ov = jnp.pad(ov, ((0, e_pad - ov.shape[0]), (0, 0)))  # src==dst: w=0
-    return GraphArrays(points, neighbors, nbr_mask, valid, nulls, ov)
+    feats = jnp.pad(g.node_features, ((0, extra_n), (0, 0)))
+    return GraphArrays(points, neighbors, nbr_mask, valid, nulls, ov, feats)
 
 
 def _graph_weight_arrays(graph: GraphArrays):
@@ -474,13 +563,8 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
             max_iterations=cfg.icp_iterations,
         )
         moved = apply_rigid(source.points, _s, _R, _t)
-        source = GraphArrays(
-            points=moved * source.valid_mask[:, None],
-            neighbors=source.neighbors,
-            nbr_mask=source.nbr_mask,
-            valid_mask=source.valid_mask,
-            null_indicators=source.null_indicators,
-            overflow=source.overflow,
+        source = dataclasses.replace(
+            source, points=moved * source.valid_mask[:, None]
         )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
@@ -528,11 +612,13 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
 
     # --- eigsort (reference ``focusr.py:514-521``) ---
-    n_rand = min(
-        cfg.n_coords_spectral_ordering, target.n_points, source.n_points
-    )
-    idx_t = _rand_idxs(keys[2], target.valid_mask, n_rand)
-    idx_s = _rand_idxs(keys[3], source.valid_mask, n_rand)
+    # Per-mesh sample sizes (reference: each graph draws its own rand_idxs,
+    # ``graph.py:274-290``); unequal counts take the merged-CDF Wasserstein
+    # path inside sort_eigenmaps_jit.
+    n_rand_t = min(cfg.n_coords_spectral_ordering, target.n_points)
+    n_rand_s = min(cfg.n_coords_spectral_ordering, source.n_points)
+    idx_t = _rand_idxs(keys[2], target.valid_mask, n_rand_t)
+    idx_s = _rand_idxs(keys[3], source.valid_mask, n_rand_s)
     vecs_s_sorted, Q = sort_eigenmaps_jit(
         lams_t,
         lams_s,
@@ -554,6 +640,70 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         wspec = jnp.exp(-(wspec**2) / (2.0 * sigma**2))
         src_coords = src_coords * wspec[None, :]
         tgt_coords = tgt_coords * wspec[None, :]
+
+    def _masked_minmax(arr, m):
+        big = jnp.where(m[:, None] > 0, arr, -jnp.inf)
+        small = jnp.where(m[:, None] > 0, arr, jnp.inf)
+        return jnp.min(small, axis=0), jnp.max(big, axis=0)
+
+    smooth_fn = (
+        graph_ops.mean_filter_chebyshev
+        if cfg.smoothing_method == "chebyshev"
+        else graph_ops.mean_filter
+    )
+
+    # --- Extra-feature appending (reference ``focusr.py:218-269``) ---
+    if cfg.use_features_as_coords and target.node_features.shape[1] > 0:
+        if target.node_features.shape[1] != source.node_features.shape[1]:
+            raise Exception(
+                "Number of extra features between target ({}) and source "
+                "({}) dont match!".format(
+                    target.node_features.shape[1], source.node_features.shape[1]
+                )
+            )
+
+        def _feature_cols(graph, w_arr, coords):
+            # Smooth each feature on its own graph, min-max to [0, 1], then
+            # rescale by the (scalar) ptp of this mesh's spectral coords.
+            mn_c, mx_c = _masked_minmax(coords, graph.valid_mask)
+            ptp = jnp.max(mx_c) - jnp.min(mn_c)
+            sm = smooth_fn(
+                graph.neighbors, w_arr[0], graph.node_features,
+                cfg.feature_smoothing_iterations, w_arr[1], w_arr[2],
+            )
+            mn, mx = _masked_minmax(sm, graph.valid_mask)
+            sm = (sm - mn[None, :]) / jnp.maximum(mx - mn, 1e-30)[None, :]
+            return ptp * sm * graph.valid_mask[:, None]
+
+        src_coords = jnp.concatenate(
+            [src_coords, _feature_cols(source, w_s, src_coords)], axis=1
+        )
+        tgt_coords = jnp.concatenate(
+            [tgt_coords, _feature_cols(target, w_t, tgt_coords)], axis=1
+        )
+
+    # --- XYZ-as-feature appending (reference ``focusr.py:271-295``) ---
+    if cfg.include_points_as_features:
+
+        def _normed_points(graph):
+            mn, mx = _masked_minmax(graph.points, graph.valid_mask)
+            mean_range = jnp.mean(mx - mn)
+            return (graph.points - mn[None, :]) / jnp.maximum(
+                mean_range, 1e-30
+            ) * graph.valid_mask[:, None], mean_range
+
+        np_s, range_s = _normed_points(source)
+        np_t, range_t = _normed_points(target)
+        if cfg.norm_physical_and_spectral:
+            src_coords = jnp.concatenate([src_coords, np_s], axis=1)
+            tgt_coords = jnp.concatenate([tgt_coords, np_t], axis=1)
+        else:
+            src_coords = jnp.concatenate(
+                [src_coords * range_s, source.points], axis=1
+            )
+            tgt_coords = jnp.concatenate(
+                [tgt_coords * range_t, target.points], axis=1
+            )
 
     # --- CPD: move TARGET spectral cloud onto SOURCE (``focusr.py:297-334``) ---
     n_reg = min(
@@ -635,12 +785,7 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     smoothed_tgt = target.points
     projected = source.points
     if cfg.smooth_correspondences:
-        # (``focusr.py:368-399``)
-        smooth_fn = (
-            graph_ops.mean_filter_chebyshev
-            if cfg.smoothing_method == "chebyshev"
-            else graph_ops.mean_filter
-        )
+        # (``focusr.py:368-399``; smooth_fn chosen above)
         smoothed_tgt = smooth_fn(
             target.neighbors, w_t[0], target.points,
             cfg.graph_smoothing_iterations, w_t[1], w_t[2],

@@ -9,8 +9,9 @@ Differences from the host version (spectral/eigsort.py):
     beyond) instead of host JV;
   * the column permutation + sign flip are applied with a one-hot permutation
     matrix (an MXU matmul) because gather indices are traced;
-  * only the equal-sample-size Wasserstein path is supported (the pipeline
-    subsamples both meshes to the same ``n_coords_spectral_ordering``).
+  * both the equal-sample-size (sorted-difference) and unequal-sample-size
+    (merged-CDF, vmapped) Wasserstein paths are supported; sample counts are
+    static shapes, so the choice happens at trace time.
 """
 
 from __future__ import annotations
@@ -48,12 +49,27 @@ def sort_eigenmaps_jit(
     diff = eig_vals_target[:, None] - eig_vals_source[None, :]
     c_lambda = jnp.exp(diff**2 / (2.0 * gap**2))
 
-    # c_hist (eigsort.py:162-189), equal sample sizes -> sorted-difference W1
-    lt = jnp.sort(jnp.log(jnp.maximum(rand_target_eig_vecs + 0.5 + eps, eps)), axis=0)
-    ls = jnp.sort(jnp.log(jnp.maximum(rand_source_eig_vecs + 0.5 + eps, eps)), axis=0)
-    lsf = jnp.sort(jnp.log(jnp.maximum(-rand_source_eig_vecs + 0.5 + eps, eps)), axis=0)
-    c_hist = jnp.mean(jnp.abs(lt[:, :, None] - ls[:, None, :]), axis=0)
-    c_hist_f = jnp.mean(jnp.abs(lt[:, :, None] - lsf[:, None, :]), axis=0)
+    # c_hist (eigsort.py:162-189).  Equal sample sizes -> sorted-difference
+    # W1 (one sort per matrix); unequal (reference: each graph keeps its own
+    # rand_idxs, graph.py:274-290) -> exact merged-CDF W1 vmapped over the
+    # k x k column pairs — both fully jittable (static shapes).
+    lt_r = jnp.log(jnp.maximum(rand_target_eig_vecs + 0.5 + eps, eps))
+    ls_r = jnp.log(jnp.maximum(rand_source_eig_vecs + 0.5 + eps, eps))
+    lsf_r = jnp.log(jnp.maximum(-rand_source_eig_vecs + 0.5 + eps, eps))
+    if rand_target_eig_vecs.shape[0] == rand_source_eig_vecs.shape[0]:
+        lt = jnp.sort(lt_r, axis=0)
+        ls = jnp.sort(ls_r, axis=0)
+        lsf = jnp.sort(lsf_r, axis=0)
+        c_hist = jnp.mean(jnp.abs(lt[:, :, None] - ls[:, None, :]), axis=0)
+        c_hist_f = jnp.mean(jnp.abs(lt[:, :, None] - lsf[:, None, :]), axis=0)
+    else:
+        from ..ops.wasserstein import wasserstein_1d
+
+        pairwise_w1 = jax.vmap(
+            jax.vmap(wasserstein_1d, in_axes=(None, 1)), in_axes=(1, None)
+        )
+        c_hist = pairwise_w1(lt_r, ls_r)
+        c_hist_f = pairwise_w1(lt_r, lsf_r)
 
     # c_spatial (eigsort.py:191-233)
     _, idx = nn_query(rand_source_points, rand_target_points)

@@ -240,3 +240,63 @@ def test_cohort_subsample_guard():
     big = PipelineConfig(n_coords_spectral_ordering=10**6)
     with pytest.raises(ValueError, match="smallest"):
         register_cohort(template, subjects, big, jax.random.PRNGKey(0))
+
+
+def test_iterate_template_procrustes_removes_pose_drift():
+    """Procrustes-normalized template iteration (round-2, VERDICT r1 task 8):
+    injecting a global rotation into every subject must not rotate the
+    template — the mean shape is re-aligned to the previous template pose
+    each round, so shape modes exclude pose."""
+    from scipy.spatial.transform import Rotation
+
+    def asym_mesh(extra):
+        m = _sphere_mesh()
+        p = np.asarray(m.points, np.float64)
+        # Strongly asymmetric warp so ICP has a unique pose optimum.
+        p = p * (
+            1.0
+            + 0.25 * np.sin(2.1 * p[:, [0]] + 0.7)
+            + 0.15 * np.cos(3.3 * p[:, [1]])
+            + extra * np.sin(3.0 * p[:, [2]])
+        )
+        return TriMesh(jnp.asarray(p, jnp.float32), m.triangles)
+
+    base = [asym_mesh(0.04 * (i + 1)) for i in range(2)]
+    R = Rotation.from_euler("xyz", [8, -5, 10], degrees=True).as_matrix()
+    rotated = [
+        TriMesh(
+            jnp.asarray(np.asarray(m.points) @ R.T, jnp.float32), m.triangles
+        )
+        for m in base
+    ]
+    template = asym_mesh(0.0)
+    key = jax.random.PRNGKey(0)
+
+    def run(subjects):
+        tg = mesh_to_graph_arrays(template)
+        targets = stack_graph_arrays([mesh_to_graph_arrays(m) for m in subjects])
+        out, _, _ = iterate_template(
+            tg, targets, TINY, key, n_iterations=2, procrustes=True
+        )
+        return np.asarray(out.points, np.float64)
+
+    t_base = run(base)
+    t_rot = run(rotated)
+    # Same template pose regardless of the subjects' global rotation: the
+    # two results agree directly (no re-alignment needed for comparison).
+    dev = np.linalg.norm(t_base - t_rot, axis=1).mean()
+    scale = np.ptp(t_base)
+    assert dev < 0.05 * scale, (dev, scale)
+
+    # Without procrustes the same rotation injection visibly MOVES the
+    # template (the drift the normalization exists to remove).
+    def run_np(subjects):
+        tg = mesh_to_graph_arrays(template)
+        targets = stack_graph_arrays([mesh_to_graph_arrays(m) for m in subjects])
+        out, _, _ = iterate_template(
+            tg, targets, TINY, key, n_iterations=2, procrustes=False
+        )
+        return np.asarray(out.points, np.float64)
+
+    dev_np = np.linalg.norm(run_np(base) - run_np(rotated), axis=1).mean()
+    assert dev_np > dev, (dev_np, dev)

@@ -219,3 +219,41 @@ def test_register_pair_15k_real_data():
     assert corr.shape == (14996,)
     assert len(np.unique(corr)) > 0.6 * 14996
     assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
+
+
+def test_unequal_eigsort_samples_in_pipeline():
+    """Unequal eigsort sample counts inside the jit pipeline (round-2,
+    VERDICT r1 task 5): when n_coords_spectral_ordering exceeds one mesh's
+    vertex count, each mesh keeps its own sample size (reference
+    ``graph.py:274-290``) and c_hist takes the merged-CDF Wasserstein path."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh
+
+    p1, t1 = make_sphere(n_theta=12, n_phi=24)   # 266 pts
+    p2, t2 = make_sphere(n_theta=14, n_phi=26)   # 314 pts
+    rng = np.random.default_rng(0)
+    m1 = TriMesh(jnp.asarray(p1, jnp.float32), jnp.asarray(t1))
+    m2 = TriMesh(
+        jnp.asarray(p2 * (1.0 + 0.03 * np.sin(3 * p2[:, [1]])), jnp.float32),
+        jnp.asarray(t2),
+    )
+    tg = mesh_to_graph_arrays(m1)
+    sg = mesh_to_graph_arrays(m2)
+    cfg = PipelineConfig(
+        n_coords_spectral_ordering=100000,  # > both counts -> unequal (266 vs 314)
+        n_coords_spectral_registration=200,
+        non_rigid_max_iterations=20,
+        graph_smoothing_iterations=10,
+        projection_smooth_iterations=2,
+        icp_iterations=10,
+    )
+    res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    corr = np.asarray(res["correspondences"])
+    assert corr.shape == (sg.n_points,)
+    assert np.all((corr >= 0) & (corr < tg.n_points))
+    assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
+    assert len(np.unique(corr)) > 0.3 * sg.n_points
