@@ -154,3 +154,47 @@ class TestGoldenParityHungarian:
         uniq = len(np.unique(corr)) / corr.shape[0]
         uniq_g = len(np.unique(corr_g)) / len(corr_g)
         assert abs(uniq - uniq_g) < 0.05, (uniq, uniq_g)
+
+
+class TestTrimmedGoldenDefaultGate:
+    """NON-SLOW reference-parity gate (VERDICT r1 task 6: `make test` must
+    fail if registration quality regresses).  Uses a reduced-iteration
+    variant of the notebook config whose golden
+    (reference_golden_5k_trimmed.npz) regenerates in ~12 s."""
+
+    TRIMMED = dict(
+        NOTEBOOK_COMMON,
+        non_rigid_max_iterations=60,
+        graph_smoothing_iterations=100,
+    )
+
+    def test_trimmed_e2e_matches_reference(self, mesh_5k_target, mesh_5k_source):
+        import jax
+
+        from pyfocusr_tpu.pipeline import (
+            PipelineConfig,
+            mesh_to_graph_arrays,
+            register_pair,
+        )
+
+        golden = np.load("tests/goldens/reference_golden_5k_trimmed.npz")
+        cfg = PipelineConfig(n_coords_spectral_ordering=10000, **self.TRIMMED)
+        tg = mesh_to_graph_arrays(mesh_5k_target)
+        sg = mesh_to_graph_arrays(mesh_5k_source)
+        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(res)
+
+        for key in ("eig_vals_target", "eig_vals_source"):
+            rel = np.abs(np.asarray(res[key], np.float64) - golden[key]) / golden[key]
+            assert rel.max() < 1e-4, (key, rel)
+
+        corr = np.asarray(res["correspondences"])
+        corr_g = golden["correspondences"]
+        agree = float((corr == corr_g).mean())
+        assert agree > 0.5, agree
+        tgt = np.asarray(mesh_5k_target.points, np.float64)
+        pick_d = np.linalg.norm(tgt[corr] - tgt[corr_g], axis=1)
+        assert pick_d.mean() < 1.0, pick_d.mean()
+        uniq = len(np.unique(corr)) / corr.shape[0]
+        uniq_g = len(np.unique(corr_g)) / len(corr_g)
+        assert abs(uniq - uniq_g) < 0.05, (uniq, uniq_g)

@@ -74,6 +74,30 @@ def run_one(pair_name, tgt_path, src_path, init_type):
     )
 
 
+# Reduced-iteration variant for the DEFAULT (non-slow) test gate: same
+# pipeline shape, cheap enough to regenerate and to compare against on CI.
+TRIMMED_CONFIG = dict(
+    NOTEBOOK_CONFIG,
+    non_rigid_max_iterations=60,
+    graph_smoothing_iterations=100,
+)
+
+
+def run_trimmed():
+    tgt_p, tgt_t, _ = read_vtk_polydata(f"{DATA}/target_mesh.vtk")
+    src_p, src_t, _ = read_vtk_polydata(f"{DATA}/source_mesh.vtk")
+    t0 = time.time()
+    res = run_reference_pipeline(
+        tgt_p, tgt_t, src_p, src_t,
+        initial_correspondence_type="kd",
+        **TRIMMED_CONFIG,
+    )
+    out = os.path.join(OUT_DIR, "reference_golden_5k_trimmed.npz")
+    np.savez_compressed(out, **{k: np.asarray(v) for k, v in res.items()})
+    uniq = len(np.unique(res["correspondences"]))
+    print(f"[5k/trimmed] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for init_type in ("hungarian", "kd"):
@@ -84,6 +108,7 @@ def main():
     run_one(
         "15k", f"{DATA}/target_mesh_15k.vtk", f"{DATA}/source_mesh_15k.vtk", "kd"
     )
+    run_trimmed()
 
 
 if __name__ == "__main__":
