@@ -66,14 +66,12 @@ def _c_hist_pair(t_vecs, s_vecs):
         return c, cf
     from ..ops.wasserstein import wasserstein_1d
 
-    k = t_vecs.shape[1]
-    c = np.zeros((k, k), np.float32)
-    cf = np.zeros((k, k), np.float32)
-    for i in range(k):
-        for j in range(k):
-            c[i, j] = wasserstein_1d(lt[:, i], ls[:, j])
-            cf[i, j] = wasserstein_1d(lt[:, i], ls_f[:, j])
-    return jnp.asarray(c), jnp.asarray(cf)
+    # Unequal sample sizes: exact merged-CDF W1 vmapped over the k x k
+    # column pairs (one compiled call instead of a Python k^2 loop).
+    pairwise_w1 = jax.vmap(
+        jax.vmap(wasserstein_1d, in_axes=(None, 1)), in_axes=(1, None)
+    )
+    return pairwise_w1(lt, ls), pairwise_w1(lt, ls_f)
 
 
 def _c_spatial_pair(t_vecs, s_vecs, t_points_norm, s_points_norm):

