@@ -37,6 +37,15 @@ def main(argv=None):
     p_reg.add_argument("target")
     p_reg.add_argument("source")
     p_reg.add_argument("-o", "--out-dir", default=".")
+    p_reg.add_argument(
+        "--multires",
+        type=int,
+        metavar="COARSE_N",
+        default=0,
+        help="multi-resolution path for very large meshes: decimate to "
+        "~COARSE_N vertices, register there, refine at full resolution "
+        "(pyfocusr_tpu.multires)",
+    )
     _add_common(p_reg)
 
     p_coh = sub.add_parser("cohort", help="register a template to N subjects")
@@ -107,12 +116,20 @@ def main(argv=None):
         target = load_mesh(args.target)
         source = load_mesh(args.source)
         t0 = time.perf_counter()
-        res = register_pair(
-            mesh_to_graph_arrays(target),
-            mesh_to_graph_arrays(source),
-            cfg,
-            jax.random.PRNGKey(args.seed),
-        )
+        if args.multires:
+            from .multires import register_pair_multires
+
+            res, _ = register_pair_multires(
+                target, source, cfg, jax.random.PRNGKey(args.seed),
+                coarse_n=args.multires,
+            )
+        else:
+            res = register_pair(
+                mesh_to_graph_arrays(target),
+                mesh_to_graph_arrays(source),
+                cfg,
+                jax.random.PRNGKey(args.seed),
+            )
         jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         corr = np.asarray(res["correspondences"])

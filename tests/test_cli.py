@@ -60,3 +60,29 @@ def test_register(tmp_path):
     assert (tmp_path / "average_mesh.vtk").exists()
     corr = np.load(tmp_path / "correspondences.npy")
     assert corr.shape == (5000,)
+
+
+@pytest.mark.slow
+def test_register_multires(tmp_path):
+    """--multires COARSE_N: decimate -> coarse register -> refine."""
+    proc = _run_cli(
+        [
+            "register",
+            f"{DATA}/target_mesh.vtk",
+            f"{DATA}/source_mesh.vtk",
+            "-o",
+            str(tmp_path),
+            "--multires",
+            "1500",
+            "--non-rigid-max-iterations",
+            "30",
+            "--graph-smoothing-iterations",
+            "30",
+            "--n-coords-spectral-registration",
+            "500",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    corr = np.load(tmp_path / "correspondences.npy")
+    assert corr.shape == (5000,)
+    assert len(np.unique(corr)) > 0.4 * 5000
