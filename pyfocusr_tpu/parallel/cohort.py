@@ -174,6 +174,7 @@ def iterate_template(
     device_mesh: Mesh | None = None,
     tolerance: float = 0.0,
     procrustes: bool = True,
+    checkpoint_dir: str | None = None,
 ):
     """Groupwise template iteration — the standard SSM loop.
 
@@ -232,6 +233,21 @@ def iterate_template(
         )
         template = _dc.replace(template, points=new_pts)
         motions.append(motion)
+        if checkpoint_dir:
+            # Per-round snapshot: long cohort runs on preemptible fleets can
+            # resume by seeding ``template`` from the latest round file.
+            import os
+
+            import numpy as _np
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            _np.savez(
+                os.path.join(
+                    checkpoint_dir, f"template_round_{len(motions):03d}.npz"
+                ),
+                points=_np.asarray(template.points),
+                motion=_np.asarray(motions),
+            )
         if tolerance and motion < tolerance:
             break
     return template, results, motions

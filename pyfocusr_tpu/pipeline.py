@@ -137,10 +137,14 @@ class PipelineConfig:
     eig_cheb_sweeps: int = 6
     eig_cheb_refine_cg: int = 40
     # Wide-block solver schedule (see ops/eigen.chebyshev_eigpairs_wide):
-    # measured 103 ms vs 198 ms per 15k mesh at equal-or-better accuracy.
+    # measured ~2x faster than the narrow solver per 15k mesh at
+    # equal-or-better accuracy.  Swept round 2: 5 chunks of degree 33 match
+    # 6 chunks on every parity gate (5k eigval rel 1e-6, |cos| 1.0) at ~15%
+    # less time; 4x40 and 5x25 also passed — 5x33 keeps the most SVQB
+    # rank-resets per filter step for robustness on irregular meshes.
     eig_wide_block: int = 128
     eig_wide_degree: int = 33
-    eig_wide_chunks: int = 6
+    eig_wide_chunks: int = 5
 
     def __post_init__(self):
         # Validated at construction (SURVEY §5.6): fail fast on the knobs
@@ -169,6 +173,10 @@ class PipelineConfig:
             "n_coords_spectral_registration",
             "non_rigid_max_iterations",
             "graph_smoothing_iterations",
+            "feature_smoothing_iterations",
+            "eig_wide_block",
+            "eig_wide_degree",
+            "eig_wide_chunks",
         ):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")

@@ -300,3 +300,20 @@ def test_iterate_template_procrustes_removes_pose_drift():
 
     dev_np = np.linalg.norm(run_np(base) - run_np(rotated), axis=1).mean()
     assert dev_np > dev, (dev_np, dev)
+
+
+def test_iterate_template_checkpoints(tmp_path):
+    """checkpoint_dir: per-round template snapshots for resumable SSM runs."""
+    template = mesh_to_graph_arrays(_sphere_mesh())
+    targets = stack_graph_arrays(
+        [mesh_to_graph_arrays(_sphere_mesh(warp=0.05 * (i + 1))) for i in range(2)]
+    )
+    out, _, motions = iterate_template(
+        template, targets, TINY, jax.random.PRNGKey(0),
+        n_iterations=2, checkpoint_dir=str(tmp_path),
+    )
+    files = sorted(tmp_path.glob("template_round_*.npz"))
+    assert len(files) == 2
+    last = np.load(files[-1])
+    np.testing.assert_allclose(last["points"], np.asarray(out.points))
+    assert last["motion"].shape == (2,)

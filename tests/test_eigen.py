@@ -76,3 +76,55 @@ def test_eigvals_ascending_and_positive(lap_setup):
     lams = np.asarray(lams)
     assert np.all(lams > 1e-10)
     assert np.all(np.diff(lams) >= -1e-9)
+
+
+def test_wide_matches_narrow_on_hub_mesh():
+    """Wide-block solver (round 2 default for >= 2048 vertices) on a mesh
+    with HUB vertices (UV-sphere poles touch a full ring, so with the
+    default degree cap their extra edges ride the overflow scatter path —
+    exercised here through the fused filter-operator factory)."""
+    import sys
+
+    from functools import partial
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    import jax
+
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.pipeline import (
+        PipelineConfig,
+        _spectrum,
+        mesh_to_graph_arrays,
+    )
+
+    pts, tris = make_sphere(n_theta=34, n_phi=80)  # ~2700 verts, poles deg 80
+    mesh = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+    g = mesh_to_graph_arrays(mesh)
+    assert g.n_points >= 2048  # wide path active
+    assert g.overflow.shape[0] > 0  # hub overflow present
+
+    @partial(jax.jit, static_argnames=("k", "cfg"))
+    def eig(gph, k, key, cfg):
+        lams, vecs, _ = _spectrum(gph, k, key, cfg)
+        return lams, vecs
+
+    lw, vw = eig(g, 6, jax.random.PRNGKey(0), PipelineConfig())
+    ln, vn = eig(
+        g, 6, jax.random.PRNGKey(0),
+        PipelineConfig(eig_method="chebyshev-narrow"),
+    )
+    lw, ln = np.asarray(lw, np.float64), np.asarray(ln, np.float64)
+    np.testing.assert_allclose(lw, ln, rtol=2e-3)
+    vw, vn = np.asarray(vw, np.float64), np.asarray(vn, np.float64)
+    cos = np.abs(
+        (vw * vn).sum(0)
+        / (np.linalg.norm(vw, axis=0) * np.linalg.norm(vn, axis=0))
+    )
+    # The sphere's eigvalues come in degenerate multiplets (rotational
+    # symmetry), so per-vector cos can rotate within a multiplet; compare
+    # subspace overlap instead.
+    M = vw.T @ vn
+    sv = np.linalg.svd(M / np.linalg.norm(vw, axis=0)[:, None] / np.linalg.norm(vn, axis=0)[None, :], compute_uv=False)
+    assert sv.min() > 0.99, (sv, cos)
