@@ -149,6 +149,37 @@ def main():
         eig_times.append(time.perf_counter() - t0)
     t_eig = float(np.median(eig_times))
 
+    # --- 5k pair with 'hungarian' (the reference notebook's actual config;
+    # exact 5000x5000 assignment ON DEVICE via sinkhorn_jv_lap) ---
+    t5 = load_mesh(f"{DATA}/target_mesh.vtk")
+    s5 = load_mesh(f"{DATA}/source_mesh.vtk")
+    tg5, sg5 = mesh_to_graph_arrays(t5), mesh_to_graph_arrays(s5)
+    cfg5 = PipelineConfig(
+        n_spectral_features=3,
+        n_extra_spectral=3,
+        get_weighted_spectral_coords=False,
+        non_rigid_alpha=0.01,
+        non_rigid_beta=50.0,
+        non_rigid_n_eigens=100,
+        non_rigid_max_iterations=300,
+        n_coords_spectral_ordering=10000,
+        n_coords_spectral_registration=1000,
+        graph_smoothing_iterations=600,
+        projection_smooth_iterations=1,
+        initial_correspondence_type="hungarian",
+    )
+    try:
+        res5 = register_pair(tg5, sg5, cfg5, jax.random.PRNGKey(0))
+        jax.block_until_ready(res5)
+        t0 = time.perf_counter()
+        res5 = register_pair(tg5, sg5, cfg5, jax.random.PRNGKey(1))
+        jax.block_until_ready(res5)
+        _ = np.asarray(res5["correspondences"])
+        t_hung = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # transient device faults must not kill the bench
+        print(f"hungarian diagnostic failed: {e}", file=sys.stderr)
+        t_hung = None
+
     diag = {
         "device": str(jax.devices()[0]),
         "mesh_load_s": round(t_load, 3),
@@ -160,6 +191,7 @@ def main():
         "symmetric_surface_dist_mm": round(surface_dist, 4),
         "eigensolve_k6_both_meshes_s": round(t_eig, 4),
         "eigensolve_runs_s": [round(t, 4) for t in eig_times],
+        "hungarian_5k_end_to_end_s": t_hung,
     }
     print(json.dumps(diag), file=sys.stderr)
     print(

@@ -98,6 +98,23 @@ def run_trimmed():
     print(f"[5k/trimmed] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
 
 
+def run_weighted():
+    """get_weighted_spectral_coords=True (the reference's DEFAULT weighting
+    path, focusr.py:459-508) on the 5k pair."""
+    tgt_p, tgt_t, _ = read_vtk_polydata(f"{DATA}/target_mesh.vtk")
+    src_p, src_t, _ = read_vtk_polydata(f"{DATA}/source_mesh.vtk")
+    cfg = dict(NOTEBOOK_CONFIG, get_weighted_spectral_coords=True)
+    t0 = time.time()
+    res = run_reference_pipeline(
+        tgt_p, tgt_t, src_p, src_t,
+        initial_correspondence_type="kd", **cfg,
+    )
+    out = os.path.join(OUT_DIR, "reference_golden_5k_weighted.npz")
+    np.savez_compressed(out, **{k: np.asarray(v) for k, v in res.items()})
+    uniq = len(np.unique(res["correspondences"]))
+    print(f"[5k/weighted] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for init_type in ("hungarian", "kd"):
@@ -109,6 +126,7 @@ def main():
         "15k", f"{DATA}/target_mesh_15k.vtk", f"{DATA}/source_mesh_15k.vtk", "kd"
     )
     run_trimmed()
+    run_weighted()
 
 
 if __name__ == "__main__":
