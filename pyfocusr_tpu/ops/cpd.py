@@ -237,6 +237,7 @@ def _deformable_cpd_run(
     tolerance: float,
     w: float = 0.0,
     estep_impl: str = "dense",
+    landmarks=None,
 ):
     """EM loop with a *balanced* low-rank M-step (numerically f32-safe
     reformulation of cycpd/pycpd ``low_rank``).
@@ -257,6 +258,14 @@ def _deformable_cpd_run(
     Woodbury for the projected warp; in f32 it tracks the f64 EM trajectory
     to ~1e-3 where Woodbury diverges by ~1e-1.  State is z; the returned
     second element is z (spectral warp coefficients), not W.
+
+    ``landmarks`` (beyond-reference capability): optional
+    ``(lm_idx i32 [L], lm_pos f32 [L, D], lm_w f32 [L])`` prior
+    correspondences — moving point ``Y[lm_idx[l]]`` is pulled toward the
+    fixed position ``lm_pos[l]`` with pseudo-responsibility ``lm_w[l]``
+    (the MAP extension of CPD with known correspondences: the landmark
+    terms add to diag(P1) and PX in the M-step; sigma2 stays data-driven).
+    A weight of ~10 pins a landmark strongly relative to the soft matches.
     """
     N, D = X.shape
     M = Y.shape[0]
@@ -295,14 +304,30 @@ def _deformable_cpd_run(
         z, sigma2, err, it = state
         return jnp.logical_and(it < max_iterations, err > tolerance)
 
+    if landmarks is not None:
+        lm_idx, lm_pos, lm_w = landmarks
+        lam_vec = jnp.zeros((M,), X.dtype).at[lm_idx].add(lm_w)
+        lm_px = jnp.zeros((M, X.shape[1]), X.dtype).at[lm_idx].add(
+            lm_w[:, None] * lm_pos
+        )
+    else:
+        lam_vec = None
+
     def body(state):
         z, sigma2, _, it = state
         TY = Y + kernel_apply_z(z)
         Pt1, P1, PX, Np, L = estep(TY, sigma2)
+        # Landmark priors augment the M-step SOLVE only; sigma2 below stays
+        # data-driven (P1/PX from the E-step).
+        if lam_vec is not None:
+            P1_solve = P1 + lam_vec
+            PX_solve = PX + lm_px
+        else:
+            P1_solve, PX_solve = P1, PX
         a_s2 = alpha * sigma2
-        F = PX - P1[:, None] * Y  # [M, D]
+        F = PX_solve - P1_solve[:, None] * Y  # [M, D]
         Ft = jnp.dot(Q.T, F, precision=_PREC)  # [k, D]
-        C = jnp.dot(Q.T, P1[:, None] * Q, precision=_PREC)  # [k, k]
+        C = jnp.dot(Q.T, P1_solve[:, None] * Q, precision=_PREC)  # [k, k]
         A = sqrt_lam[:, None] * C * sqrt_lam[None, :] + a_s2 * eye_k
         z_new = jnp.linalg.solve(A, sqrt_lam[:, None] * Ft)
         TY_new = Y + kernel_apply_z(z_new)
@@ -406,6 +431,8 @@ class deformable_registration:
         verbose=False,
         seed=0,
         estep_impl=None,  # None = auto: dense small, tiled/pallas large
+        landmarks=None,  # (Y_indices i32 [L], fixed_positions f32 [L, D],
+        #                  weights f32 [L]) prior correspondences
         **_ignored,
     ):
         self.X = jnp.asarray(X, jnp.float32)
@@ -427,6 +454,14 @@ class deformable_registration:
             else:
                 estep_impl = "dense"
         self.estep_impl = estep_impl
+        if landmarks is not None:
+            li, lp, lw = landmarks
+            landmarks = (
+                jnp.asarray(li, jnp.int32),
+                jnp.asarray(lp, jnp.float32),
+                jnp.asarray(lw, jnp.float32),
+            )
+        self.landmarks = landmarks
         self.z = None
         self.sigma2 = None
         self.iterations_run = None
@@ -447,6 +482,7 @@ class deformable_registration:
             self.tolerance,
             self.w,
             estep_impl=self.estep_impl,
+            landmarks=self.landmarks,
         )
         self.TY, self.z = TY, z
         self.sigma2 = float(sigma2)

@@ -127,3 +127,47 @@ class TestDeformable:
         T2 = np.asarray(reg.transform_point_cloud(Y2))
         err = np.linalg.norm(T2 - warp(Y2), axis=1)
         assert err.mean() < 0.07
+
+
+class TestLandmarks:
+    """Prior-correspondence (landmark) terms in the deformable M-step —
+    beyond-reference capability (MAP CPD with known correspondences)."""
+
+    def test_landmarks_pin_points(self):
+        rng = np.random.default_rng(7)
+        M = 400
+        Y = rng.uniform(-1, 1, size=(M, 3)).astype(np.float32)
+        X = (Y + 0.1 * np.sin(2 * Y[:, [1, 2, 0]])).astype(np.float32)
+        # Pin 3 moving points to DISPLACED targets the data does not imply.
+        lm_idx = np.array([5, 100, 300], np.int32)
+        lm_pos = (Y[lm_idx] + np.array([0.3, -0.2, 0.25], np.float32)[:, None] * 0.5)
+        lm_w = np.full(3, 100.0, np.float32)
+
+        kw = dict(X=X, Y=Y, num_eig=80, max_iterations=150, tolerance=1e-10,
+                  alpha=2.0, beta=2.0)
+        TY0, _ = deformable_registration(**kw).register()
+        reg = deformable_registration(landmarks=(lm_idx, lm_pos, lm_w), **kw)
+        TY, _ = reg.register()
+        TY, TY0 = np.asarray(TY), np.asarray(TY0)
+        # Landmarked points land near their prescribed targets (the kernel
+        # regularization keeps the field smooth, so exact pinning is neither
+        # expected nor desirable) ...
+        d_lm = np.linalg.norm(TY[lm_idx] - lm_pos, axis=1)
+        d_lm0 = np.linalg.norm(TY0[lm_idx] - lm_pos, axis=1)
+        assert d_lm.max() < 0.12, d_lm
+        assert np.all(d_lm < 0.5 * d_lm0), (d_lm, d_lm0)  # >=2x closer
+        # ...while the rest still registers onto the data.
+        rest = np.setdiff1d(np.arange(M), lm_idx)
+        d_rest = np.linalg.norm(TY[rest] - X[rest], axis=1)
+        assert d_rest.mean() < 0.05, d_rest.mean()
+
+    def test_no_landmarks_is_unchanged(self):
+        rng = np.random.default_rng(0)
+        M = 300
+        Y = rng.uniform(-1, 1, size=(M, 3)).astype(np.float32)
+        X = (Y + 0.1 * np.sin(2 * Y[:, [1, 2, 0]])).astype(np.float32)
+        kw = dict(X=X, Y=Y, num_eig=60, max_iterations=50, tolerance=1e-10,
+                  alpha=2.0, beta=2.0)
+        TY_a, _ = deformable_registration(**kw).register()
+        TY_b, _ = deformable_registration(landmarks=None, **kw).register()
+        np.testing.assert_array_equal(np.asarray(TY_a), np.asarray(TY_b))
