@@ -453,11 +453,15 @@ class Focusr(object):
             or self.graph_target.n_points == self.graph_source.n_points
         ) and self.target_eigenmap_as_reference is True
 
-    def align_maps_pipeline(self):
+    def align_maps_pipeline(self, landmark_pairs=None):
         """Run the registration as ONE compiled XLA program
         (pipeline.register_pair) and populate the reference-named result
         attributes.  ~10x faster than the stage-by-stage path on TPU; only
-        for configurations _pipeline_compatible() covers."""
+        for configurations _pipeline_compatible() covers.
+
+        ``landmark_pairs``: optional i32 [L, 2] known (source_vertex,
+        target_vertex) correspondences guiding the registration (MAP CPD
+        priors — see pipeline.register_pair)."""
         import jax
 
         from .pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
@@ -514,7 +518,12 @@ class Focusr(object):
             sg = mesh_to_graph_arrays(
                 self.graph_source.mesh, node_features=feats_s
             )
-            res = register_pair(tg, sg, cfg, jax.random.PRNGKey(self.seed))
+            if landmark_pairs is not None:
+                landmark_pairs = jnp.asarray(landmark_pairs, jnp.int32)
+            res = register_pair(
+                tg, sg, cfg, jax.random.PRNGKey(self.seed),
+                landmark_pairs=landmark_pairs,
+            )
             jax.block_until_ready(res)
 
         # Populate the reference-named attributes (``focusr.py:174-212``).

@@ -88,6 +88,9 @@ class PipelineConfig:
     feature_smoothing_iterations: int = 40
     include_points_as_features: bool = False
     norm_physical_and_spectral: bool = True
+    # Pseudo-responsibility strength of ``landmark_pairs`` priors passed to
+    # register_pair (MAP CPD with known correspondences; ops/cpd.py).
+    landmark_weight: float = 100.0
     n_spectral_features: int = 3
     n_extra_spectral: int = 3
     n_coords_spectral_ordering: int = 5000
@@ -541,7 +544,13 @@ def _normed(pts):
 
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
-def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig, key):
+def register_pair(
+    target: GraphArrays,
+    source: GraphArrays,
+    cfg: PipelineConfig,
+    key,
+    landmark_pairs=None,
+):
     """Full registration of one mesh pair.  Returns a dict pytree (all sized
     to the padded source/target shapes; rows where ``source.valid_mask == 0``
     are padding):
@@ -550,6 +559,13 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
     initial_correspondences i32 [Ns]
     nearest_points / weighted_points / average_points  f32 [Ns, 3]
     eig_vals_{target,source} f32 [k], spectral coords, Q
+
+    ``landmark_pairs`` (beyond-reference): optional i32 [L, 2] known
+    correspondences ``(source_vertex, target_vertex)``.  The landmark
+    target vertices are force-included in the CPD control subsample and
+    their spectral positions are pulled toward their source partners'
+    (MAP CPD prior terms, ``ops.cpd``; strength
+    ``cfg.landmark_weight``) — anatomically-guided registration.
     """
     keys = jax.random.split(key, 8)
     k_total = cfg.n_total
@@ -718,7 +734,30 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         cfg.n_coords_spectral_registration, target.n_points, source.n_points
     )
     X = src_coords[_rand_idxs(keys[4], source.valid_mask, n_reg)]
-    Y = tgt_coords[_rand_idxs(keys[5], target.valid_mask, n_reg)]
+    if landmark_pairs is not None:
+        # Force the landmark target vertices into the control subsample
+        # (first L rows), so the prior terms act on real control points.
+        n_lm = landmark_pairs.shape[0]
+        if n_lm >= n_reg:
+            raise ValueError(
+                "landmark_pairs must be fewer than "
+                "n_coords_spectral_registration"
+            )
+        idx_y = jnp.concatenate(
+            [
+                landmark_pairs[:, 1].astype(jnp.int32),
+                _rand_idxs(keys[5], target.valid_mask, n_reg - n_lm),
+            ]
+        )
+        Y = tgt_coords[idx_y]
+        cpd_landmarks = (
+            jnp.arange(n_lm, dtype=jnp.int32),
+            src_coords[landmark_pairs[:, 0]],
+            jnp.full((n_lm,), cfg.landmark_weight, jnp.float32),
+        )
+    else:
+        Y = tgt_coords[_rand_idxs(keys[5], target.valid_mask, n_reg)]
+        cpd_landmarks = None
 
     if cfg.rigid_before_non_rigid_reg:
         _, B, t_vec, _, _ = cpd_ops._affine_cpd_run(
@@ -742,6 +781,7 @@ def register_pair(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig,
         cfg.non_rigid_alpha, cfg.non_rigid_max_iterations, cfg.non_rigid_tolerance,
         w=cfg.non_rigid_outlier_w,
         estep_impl=estep_impl,
+        landmarks=cpd_landmarks,
     )
     tgt_coords_moved = cpd_ops.lowrank_transform(
         tgt_coords, Y, Qg, lam_g, z_cpd, cfg.non_rigid_beta

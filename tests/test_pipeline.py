@@ -257,3 +257,61 @@ def test_unequal_eigsort_samples_in_pipeline():
     assert np.all((corr >= 0) & (corr < tg.n_points))
     assert np.all(np.isfinite(np.asarray(res["weighted_points"])))
     assert len(np.unique(corr)) > 0.3 * sg.n_points
+
+
+def test_landmark_pairs_guide_registration():
+    """landmark_pairs (round-2, beyond-reference): known source<->target
+    vertex correspondences pull the registration toward them (MAP CPD
+    priors on the forced-in control points)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh
+
+    pts, tris = make_sphere(n_theta=14, n_phi=28)
+    rng = np.random.default_rng(0)
+    warp = pts * (
+        1.0
+        + 0.22 * np.sin(2.1 * pts[:, [0]] + 0.7)
+        + 0.12 * np.cos(3.3 * pts[:, [1]])
+    )
+    t_mesh = TriMesh(jnp.asarray(warp, jnp.float32), jnp.asarray(tris))
+    s_mesh = TriMesh(
+        jnp.asarray(warp * (1.0 + 0.04 * np.sin(3 * warp[:, [2]])), jnp.float32),
+        jnp.asarray(tris),
+    )
+    tg = mesh_to_graph_arrays(t_mesh)
+    sg = mesh_to_graph_arrays(s_mesh)
+    cfg = PipelineConfig(
+        icp_iterations=15,
+        n_coords_spectral_ordering=500,
+        n_coords_spectral_registration=250,
+        non_rigid_max_iterations=30,
+        non_rigid_n_eigens=60,
+        graph_smoothing_iterations=15,
+        projection_smooth_iterations=2,
+    )
+    # Ground truth is the identity map (same topology, mild warp).
+    lm_src = np.asarray([10, 120, 250, 330], np.int32)
+    lm = jnp.asarray(np.stack([lm_src, lm_src], axis=1))
+
+    res0 = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    res1 = register_pair(tg, sg, cfg, jax.random.PRNGKey(0), landmark_pairs=lm)
+    t_pts = np.asarray(t_mesh.points, np.float64)
+
+    def lm_err(res):
+        corr = np.asarray(res["correspondences"])
+        return np.linalg.norm(t_pts[corr[lm_src]] - t_pts[lm_src], axis=1)
+
+    e0, e1 = lm_err(res0), lm_err(res1)
+    # Landmarked vertices match at least as well as without, and the total
+    # landmark error drops (ground truth = identity, so errors -> 0).
+    assert e1.mean() <= e0.mean() + 1e-6, (e0, e1)
+    assert e1.mean() < 0.2, (e0, e1)  # unit-sphere scale
+    # Quality elsewhere does not degrade.
+    corr0 = np.asarray(res0["correspondences"])
+    corr1 = np.asarray(res1["correspondences"])
+    u0, u1 = len(np.unique(corr0)), len(np.unique(corr1))
+    assert u1 > 0.8 * u0, (u0, u1)
