@@ -47,9 +47,19 @@ def main():
     t_load0 = time.perf_counter()
     target = load_mesh(f"{DATA}/target_mesh_15k.vtk")
     source = load_mesh(f"{DATA}/source_mesh_15k.vtk")
-    tg = mesh_to_graph_arrays(target)
-    sg = mesh_to_graph_arrays(source)
-    jax.block_until_ready((tg.points, sg.points))
+    # The remote-TPU tunnel occasionally drops the worker on first contact;
+    # retry the initial device transfer like the timed runs below.
+    for attempt in range(3):
+        try:
+            tg = mesh_to_graph_arrays(target)
+            sg = mesh_to_graph_arrays(source)
+            jax.block_until_ready((tg.points, sg.points))
+            break
+        except Exception as e:
+            print(f"device transfer attempt {attempt} failed: {e}", file=sys.stderr)
+            if attempt == 2:
+                raise
+            time.sleep(15)
     t_load = time.perf_counter() - t_load0
 
     # Notebook-equivalent configuration (15k pair => 'kd' correspondences).
