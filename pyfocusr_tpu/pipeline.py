@@ -171,6 +171,8 @@ class PipelineConfig:
             raise ValueError("non_rigid_alpha/beta must be positive")
         if not 0.0 <= self.non_rigid_outlier_w < 1.0:
             raise ValueError("non_rigid_outlier_w must be in [0, 1)")
+        if self.landmark_weight <= 0:
+            raise ValueError("landmark_weight must be positive")
         for name in (
             "n_coords_spectral_ordering",
             "n_coords_spectral_registration",
