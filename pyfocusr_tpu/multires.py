@@ -271,7 +271,17 @@ def register_pair_multires(
 
     Returns (results dict from ``_refine_fine_level`` at fine resolution,
     coarse results dict).  Time/memory scale linearly with fine N.
+
+    The fine refinement uses 'kd' final correspondences; an O(N^2)-memory
+    'hungarian' assignment is exactly what multi-resolution exists to avoid
+    at this scale, so that configuration is rejected explicitly.
     """
+    if cfg.final_correspondence_type != "kd":
+        raise ValueError(
+            "register_pair_multires refines with 'kd' final correspondences; "
+            "'hungarian' at full resolution defeats the multiresolution "
+            "decomposition (set final_correspondence_type='kd')"
+        )
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed)
     cs_mesh, map_s, rep_s = decimate(source_mesh, coarse_n, seed + 1)
     ct = mesh_to_graph_arrays(ct_mesh)

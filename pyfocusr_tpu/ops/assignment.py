@@ -404,6 +404,11 @@ def sinkhorn_jv_lap(
     """
     cost = jnp.asarray(cost, jnp.float32)
     n = cost.shape[0]
+    if cost.shape[1] != n:
+        raise ValueError(
+            f"sinkhorn_jv_lap requires a square cost matrix, got {cost.shape}"
+            " (use lap_host / linear_sum_assignment for rectangular problems)"
+        )
     if max_total_steps is None:
         max_total_steps = 60 * n
     if warm_start and n >= 512:

@@ -152,3 +152,10 @@ class TestDeviceJV:
         obj_w = C[np.arange(600), warm].astype(np.float64).sum()
         obj_c = C[np.arange(600), cold].astype(np.float64).sum()
         assert abs(obj_w - obj_c) <= 1e-4 * max(obj_w, obj_c)
+
+
+def test_sinkhorn_jv_rejects_rectangular():
+    from pyfocusr_tpu.ops.assignment import sinkhorn_jv_lap
+
+    with pytest.raises(ValueError, match="square"):
+        sinkhorn_jv_lap(jnp.zeros((4, 6)))

@@ -128,3 +128,10 @@ def test_multires_matches_direct_on_bundled_pair():
     dev = np.linalg.norm(w_fine - w_dir, axis=1)
     # Parity budget: the reference's own seed-to-seed self-noise is ~1 mm.
     assert dev.mean() < 1.5, dev.mean()
+
+
+def test_multires_rejects_hungarian_final():
+    t = subdivide(_sphere())
+    cfg = PipelineConfig(final_correspondence_type="hungarian")
+    with pytest.raises(ValueError, match="multiresolution"):
+        register_pair_multires(t, t, cfg, jax.random.PRNGKey(0), coarse_n=100)
