@@ -153,3 +153,43 @@ def test_random_mesh_wide_solver_matches_scipy(seed):
         / (np.linalg.norm(ours, axis=0) * np.linalg.norm(ref, axis=0))
     )
     assert cos.min() > 0.99, cos
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_pair_end_to_end_registration(seed):
+    """Full register_pair on random irregular surface pairs: finite outputs,
+    valid correspondences, transformed points near the target surface."""
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.ops.knn import nn_query
+    from pyfocusr_tpu.pipeline import (
+        PipelineConfig,
+        mesh_to_graph_arrays,
+        register_pair,
+    )
+
+    pts, tris = _random_surface_mesh(seed, n=700)
+    rng = np.random.default_rng(seed + 100)
+    warp = pts * (1.0 + 0.03 * np.sin(4.0 * pts[:, [0]]))
+    warp = warp + 0.002 * rng.normal(size=warp.shape)
+    t_mesh = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+    s_mesh = TriMesh(jnp.asarray(warp, jnp.float32), jnp.asarray(tris))
+    cfg = PipelineConfig(
+        icp_iterations=10,
+        n_coords_spectral_ordering=400,
+        n_coords_spectral_registration=200,
+        non_rigid_max_iterations=15,
+        non_rigid_n_eigens=40,
+        graph_smoothing_iterations=10,
+        projection_smooth_iterations=2,
+    )
+    res = register_pair(
+        mesh_to_graph_arrays(t_mesh), mesh_to_graph_arrays(s_mesh),
+        cfg, jax.random.PRNGKey(seed),
+    )
+    corr = np.asarray(res["correspondences"])
+    assert np.all((corr >= 0) & (corr < t_mesh.n_points))
+    w = np.asarray(res["weighted_points"])
+    assert np.isfinite(w).all()
+    d, _ = nn_query(t_mesh.points, jnp.asarray(w))
+    extent = float(np.ptp(pts))
+    assert float(jnp.mean(d)) < 0.05 * extent
