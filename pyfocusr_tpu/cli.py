@@ -25,6 +25,7 @@ def _add_common(p):
     p.add_argument("--graph-smoothing-iterations", type=int, default=300)
     p.add_argument("--projection-smooth-iterations", type=int, default=40)
     p.add_argument("--n-coords-spectral-registration", type=int, default=1000)
+    p.add_argument("--n-coords-spectral-ordering", type=int, default=5000)
     p.add_argument("--no-icp", action="store_true")
     p.add_argument("--seed", type=int, default=0)
 
@@ -52,6 +53,19 @@ def main(argv=None):
     p_coh.add_argument("template")
     p_coh.add_argument("subjects", nargs="+")
     p_coh.add_argument("-o", "--out-dir", default=".")
+
+    p_ssm = sub.add_parser(
+        "ssm",
+        help="statistical shape model: iterate a groupwise template "
+        "(Procrustes-normalized) and export PCA shape modes",
+    )
+    p_ssm.add_argument("meshes", nargs="+")
+    p_ssm.add_argument("-o", "--out-dir", default=".")
+    p_ssm.add_argument("--iterations", type=int, default=3)
+    p_ssm.add_argument("--template-index", type=int, default=0)
+    p_ssm.add_argument("--n-modes", type=int, default=0,
+                       help="0 = all (capped at n_subjects - 1)")
+    _add_common(p_ssm)
     _add_common(p_coh)
 
     p_info = sub.add_parser("info", help="print mesh statistics")
@@ -109,8 +123,26 @@ def main(argv=None):
         graph_smoothing_iterations=args.graph_smoothing_iterations,
         projection_smooth_iterations=args.projection_smooth_iterations,
         n_coords_spectral_registration=args.n_coords_spectral_registration,
+        n_coords_spectral_ordering=args.n_coords_spectral_ordering,
     )
     os.makedirs(args.out_dir, exist_ok=True)
+
+    def clamp_cohort_cfg(cfg, meshes):
+        """Padded cohorts must not subsample more points than the smallest
+        real mesh (parallel.cohort.check_cohort_config); clamp the two
+        subsample knobs instead of erroring on small cohorts."""
+        import dataclasses as _dc
+
+        n_min = min(m.n_points for m in meshes)
+        return _dc.replace(
+            cfg,
+            n_coords_spectral_ordering=min(
+                cfg.n_coords_spectral_ordering, n_min
+            ),
+            n_coords_spectral_registration=min(
+                cfg.n_coords_spectral_registration, n_min
+            ),
+        )
 
     if args.cmd == "register":
         target = load_mesh(args.target)
@@ -156,6 +188,56 @@ def main(argv=None):
         )
         return 0
 
+    if args.cmd == "ssm":
+        from jax.sharding import Mesh
+
+        from .parallel.cohort import build_ssm_template, cohort_shape_modes
+
+        meshes = [load_mesh(p) for p in args.meshes]
+        cfg = clamp_cohort_cfg(cfg, meshes)
+        n_dev = len(jax.devices())
+        dev_mesh = None
+        if n_dev > 1 and len(meshes) % n_dev == 0:
+            dev_mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("cohort",))
+        t0 = time.perf_counter()
+        template_mesh, results, motions = build_ssm_template(
+            meshes, cfg, jax.random.PRNGKey(args.seed),
+            n_iterations=args.iterations,
+            template_index=args.template_index,
+            device_mesh=dev_mesh,
+        )
+        mean, modes, variances = cohort_shape_modes(
+            results["weighted_points"],
+            n_modes=args.n_modes or None,
+        )
+        jax.block_until_ready(variances)
+        dt = time.perf_counter() - t0
+        save_mesh(
+            os.path.join(args.out_dir, "ssm_template.vtk"), template_mesh
+        )
+        np.savez(
+            os.path.join(args.out_dir, "ssm_modes.npz"),
+            mean=np.asarray(mean),
+            modes=np.asarray(modes),
+            variances=np.asarray(variances),
+            motions=np.asarray(motions),
+        )
+        print(
+            json.dumps(
+                {
+                    "seconds": round(dt, 3),
+                    "n_subjects": len(meshes),
+                    "iterations": len(motions),
+                    "template_motion_trace": [round(m, 5) for m in motions],
+                    "mode_variances": [
+                        round(float(v), 6) for v in np.asarray(variances)
+                    ],
+                    "outputs": ["ssm_template.vtk", "ssm_modes.npz"],
+                }
+            )
+        )
+        return 0
+
     if args.cmd == "cohort":
         from jax.sharding import Mesh
 
@@ -167,6 +249,7 @@ def main(argv=None):
 
         template_mesh = load_mesh(args.template)
         subject_meshes = [load_mesh(p) for p in args.subjects]
+        cfg = clamp_cohort_cfg(cfg, [template_mesh] + subject_meshes)
         template = mesh_to_graph_arrays(template_mesh)
         subjects = stack_graph_arrays(pad_cohort(subject_meshes))
         n_dev = len(jax.devices())

@@ -86,3 +86,37 @@ def test_register_multires(tmp_path):
     corr = np.load(tmp_path / "correspondences.npy")
     assert corr.shape == (5000,)
     assert len(np.unique(corr)) > 0.4 * 5000
+
+
+@pytest.mark.slow
+def test_ssm_command(tmp_path):
+    """`pyfocusr-tpu ssm`: groupwise template + PCA shape modes."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    paths = []
+    for i in range(2):
+        w = pts * (1.0 + 0.05 * (i + 1) * np.sin(3 * pts[:, [1]]))
+        p = tmp_path / f"subj{i}.vtk"
+        save_mesh(str(p), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+        paths.append(str(p))
+    proc = _run_cli(
+        [
+            "ssm", *paths, "-o", str(tmp_path),
+            "--iterations", "2",
+            "--non-rigid-max-iterations", "10",
+            "--graph-smoothing-iterations", "10",
+            "--n-coords-spectral-registration", "100",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert (tmp_path / "ssm_template.vtk").exists()
+    z = np.load(tmp_path / "ssm_modes.npz")
+    assert z["modes"].shape[1] == pts.shape[0]
+    assert np.all(np.isfinite(z["variances"]))
