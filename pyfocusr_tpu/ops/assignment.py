@@ -413,9 +413,18 @@ def sinkhorn_jv_lap(
         max_total_steps = 60 * n
     if warm_start and n >= 512:
         spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12)
-        _, g = _sinkhorn_duals(
-            cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level
-        )
+        if jax.default_backend() == "tpu":
+            # Pallas row-streamed updates: one pass over the cost per dual
+            # update instead of XLA's ~5 (pallas_kernels.sinkhorn_duals_streamed).
+            from .pallas_kernels import sinkhorn_duals_streamed
+
+            _, g = sinkhorn_duals_streamed(
+                cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level
+            )
+        else:
+            _, g = _sinkhorn_duals(
+                cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level
+            )
         v0 = g
     else:
         v0 = jnp.zeros((n,), cost.dtype)

@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 
 _PREC = jax.lax.Precision.HIGHEST
 
-__all__ = ["cpd_estep", "cpd_estep_tiled", "gaussian_matvec_tiled"]
+__all__ = [
+    "cpd_estep",
+    "cpd_estep_tiled",
+    "gaussian_matvec_tiled",
+    "sinkhorn_duals_streamed",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -244,3 +249,95 @@ def gaussian_matvec_tiled(Y, beta, V, tile: int = 2048):
 
     _, z_tiles = jax.lax.scan(step, None, y_tiles)
     return z_tiles.reshape(m_pad, -1)[:M]
+
+
+# ----------------------------------------------------------------------
+# Streamed annealed-Sinkhorn duals (warm start for the device JV LAP)
+# ----------------------------------------------------------------------
+# The XLA log-domain iteration re-materializes (g - C)/T per update (~5
+# passes over the [n, n] cost each), measured 2.3 ms/iteration at n=5000 on
+# v5e.  Each dual update reduces along ONE axis only, so a row-tiled kernel
+# computes f_i = -T logsumexp_j((g_j - C_ij)/T) in a single pass over C;
+# the column update reuses the same kernel on a transpose materialized once.
+
+def _lse_rows_kernel(c_ref, g_ref, invT_ref, f_ref):
+    """Grid (row_tiles,): one full-row logsumexp per output element."""
+    C = c_ref[:, :]  # [TR, n_pad]
+    g = g_ref[0, :]  # [n_pad]
+    invT = invT_ref[0, 0]
+    A = g[None, :] - C
+    m = jnp.max(A, axis=1)
+    s = jnp.sum(jnp.exp((A - m[:, None]) * invT), axis=1)
+    f_ref[0, :] = -(m + jnp.log(jnp.maximum(s, 1e-30)) / invT)
+
+
+_DUAL_BIG = 1e30
+
+
+@partial(jax.jit, static_argnames=("tile_r", "interpret"))
+def _lse_rows_pallas(Cmat, vec, invT, tile_r: int, interpret: bool = False):
+    n_pad = Cmat.shape[0]
+    out = pl.pallas_call(
+        _lse_rows_kernel,
+        grid=(n_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, n_pad), lambda i: (i, 0)),
+            pl.BlockSpec((1, n_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(Cmat, vec.reshape(1, -1), jnp.full((1, 1), invT, jnp.float32))
+    return out[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("levels", "iters_per_level", "tile_r", "interpret"),
+)
+def sinkhorn_duals_streamed(
+    cost, T0, T_factor: float, levels: int, iters_per_level: int,
+    tile_r: int = 256, interpret: bool = False,
+):
+    """Annealed Sinkhorn dual potentials (f, g) with Pallas row-streamed
+    logsumexp updates — the same math as ``assignment._sinkhorn_duals`` at
+    ~4x less HBM traffic per iteration.
+
+    Cost-matrix padding uses a large FINITE sentinel (1e30, not inf: inf
+    would make the in-kernel max/rescale produce NaNs), and the padded
+    entries of each dual vector are forced to -1e30 after every update so
+    padded rows/columns contribute exp(-large) = 0 to real updates.
+    """
+    n = cost.shape[0]
+    lane = max(tile_r, 128)
+    n_pad = _round_up(n, lane)
+    Cp = jnp.pad(
+        cost.astype(jnp.float32),
+        ((0, n_pad - n), (0, n_pad - n)),
+        constant_values=_DUAL_BIG,
+    )
+    CpT = Cp.T
+    real = (jnp.arange(n_pad) < n).astype(jnp.float32)
+
+    def mask_pad(v):
+        return jnp.where(real > 0, v, -_DUAL_BIG)
+
+    def one_T(carry, T):
+        f, g = carry
+        invT = 1.0 / T
+
+        def one_iter(carry2, _):
+            f, g = carry2
+            f = mask_pad(_lse_rows_pallas(Cp, g, invT, tile_r, interpret))
+            g = mask_pad(_lse_rows_pallas(CpT, f, invT, tile_r, interpret))
+            return (f, g), None
+
+        (f, g), _ = jax.lax.scan(one_iter, (f, g), None, length=iters_per_level)
+        return (f, g), None
+
+    Ts = T0 * T_factor ** jnp.arange(levels, dtype=jnp.float32)
+    f0 = mask_pad(jnp.zeros((n_pad,), jnp.float32))
+    g0 = mask_pad(jnp.zeros((n_pad,), jnp.float32))
+    (f, g), _ = jax.lax.scan(one_T, (f0, g0), Ts)
+    return f[:n], g[:n]

@@ -91,3 +91,25 @@ def test_fullres_cpd_matches_dense_small():
         np.asarray(TY_dense), np.asarray(TY_tiled), atol=1e-3
     )
     assert abs(float(s2_dense) - float(s2_tiled)) < 1e-5
+
+
+def test_sinkhorn_duals_streamed_matches_xla():
+    """The Pallas row-streamed Sinkhorn dual updates (interpret mode on CPU)
+    match the XLA log-domain implementation."""
+    from pyfocusr_tpu.ops.assignment import _sinkhorn_duals
+    from pyfocusr_tpu.ops.pallas_kernels import sinkhorn_duals_streamed
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(300, 3))
+    b = a + 0.02 * rng.normal(size=a.shape)
+    from scipy.spatial.distance import cdist
+
+    C = jnp.asarray(cdist(a, b), jnp.float32)
+    spread = float(jnp.max(C) - jnp.min(C))
+    f1, g1 = _sinkhorn_duals(C, spread / 4.0, 1.0 / 3.0, 6, 5)
+    f2, g2 = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 6, 5, tile_r=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
