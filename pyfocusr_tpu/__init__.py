@@ -35,6 +35,11 @@ def recursive_eig(matrix, k, n_k_needed, k_buffer=1, sigma=1e-10, which="LM"):
     ``recursive_eig`` on a scipy matrix directly; the TPU-native path is
     ``Graph.get_graph_spectrum`` (matrix-free deflated shift-invert Lanczos,
     ``ops/eigen.py``), which never materializes the Laplacian.
+
+    SMALL MATRICES ONLY: this shim densifies and runs O(N^3)
+    ``np.linalg.eig`` — fine for the few-hundred-row matrices such callers
+    pass, unusable at mesh scale (5k+).  Use ``Graph.get_graph_spectrum``
+    there.
     """
     import numpy as np
 

@@ -206,8 +206,13 @@ def main(argv=None):
             template_index=args.template_index,
             device_mesh=dev_mesh,
         )
+        # Rows are in TEMPLATE vertex order; rows past the template's real
+        # vertex count are cohort padding.  Slice BEFORE the PCA so
+        # ssm_modes.npz shapes match the exported ssm_template.vtk (which is
+        # sliced to n_real) instead of carrying trailing all-zero rows.
+        n_real = meshes[args.template_index].n_points
         mean, modes, variances = cohort_shape_modes(
-            results["weighted_points"],
+            results["weighted_points"][:, :n_real],
             n_modes=args.n_modes or None,
         )
         jax.block_until_ready(variances)

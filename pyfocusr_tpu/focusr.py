@@ -453,6 +453,23 @@ class Focusr(object):
             or self.graph_target.n_points == self.graph_source.n_points
         ) and self.target_eigenmap_as_reference is True
 
+    def _pipeline_features_flag(self) -> bool:
+        """use_features_as_coords for the fused pipeline.  Mirrors the
+        reference's contract (``focusr.py:220-226``): a feature-count
+        mismatch between target and source raises rather than silently
+        dropping the feature-appending stage."""
+        if not self.use_features_as_coords:
+            return False
+        if self.graph_source.n_extra_features != self.graph_target.n_extra_features:
+            raise Exception(
+                "Number of extra features between"
+                " target ({}) and source ({}) dont match!".format(
+                    self.graph_target.n_extra_features,
+                    self.graph_source.n_extra_features,
+                )
+            )
+        return self.graph_source.n_extra_features > 0
+
     def align_maps_pipeline(self, landmark_pairs=None):
         """Run the registration as ONE compiled XLA program
         (pipeline.register_pair) and populate the reference-named result
@@ -476,10 +493,7 @@ class Focusr(object):
             icp_register_first=False,  # the constructor already pre-aligned
             initial_correspondence_type=self.initial_correspondence_type,
             final_correspondence_type=self.final_correspondence_type,
-            use_features_as_coords=bool(
-                self.use_features_as_coords
-                and self.graph_source.n_extra_features > 0
-            ),
+            use_features_as_coords=self._pipeline_features_flag(),
             feature_smoothing_iterations=self.feature_smoothing_iterations,
             include_points_as_features=self.include_points_as_features,
             norm_physical_and_spectral=self.norm_physical_and_spectral,

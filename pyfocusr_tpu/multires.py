@@ -276,11 +276,20 @@ def register_pair_multires(
     'hungarian' assignment is exactly what multi-resolution exists to avoid
     at this scale, so that configuration is rejected explicitly.
     """
-    if cfg.final_correspondence_type != "kd":
+    if (
+        cfg.final_correspondence_type != "kd"
+        or cfg.initial_correspondence_type != "kd"
+    ):
+        # The initial type also runs at the COARSE level, where the two
+        # independently decimated meshes almost never have equal vertex
+        # counts — rejecting it here replaces a confusing 'vertex counts
+        # don't match' error from deep inside the coarse stage.
         raise ValueError(
-            "register_pair_multires refines with 'kd' final correspondences; "
-            "'hungarian' at full resolution defeats the multiresolution "
-            "decomposition (set final_correspondence_type='kd')"
+            "register_pair_multires uses 'kd' correspondences at every "
+            "level; 'hungarian' at full resolution defeats the multi"
+            "resolution decomposition, and at the coarse level the two "
+            "independently decimated meshes rarely have the equal vertex "
+            "counts it requires (set initial/final_correspondence_type='kd')"
         )
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed)
     cs_mesh, map_s, rep_s = decimate(source_mesh, coarse_n, seed + 1)

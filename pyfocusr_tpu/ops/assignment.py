@@ -434,7 +434,20 @@ def sinkhorn_jv_lap(
 
 # Backwards-compatible alias (round-1 name; auction superseded by JV).
 def sinkhorn_auction_lap(cost, **kwargs):
-    return sinkhorn_jv_lap(cost)
+    """Alias for :func:`sinkhorn_jv_lap`.  JV-solver kwargs (``levels``,
+    ``iters_per_level``, ``max_total_steps``, ``warm_start``) pass through;
+    the retired auction's tuning knobs (``eps_scaling_steps``,
+    ``max_rounds``, ...) no longer exist and raise rather than being
+    silently swallowed."""
+    jv_kwargs = {"levels", "iters_per_level", "max_total_steps", "warm_start"}
+    unknown = set(kwargs) - jv_kwargs
+    if unknown:
+        raise TypeError(
+            f"sinkhorn_auction_lap: unsupported kwargs {sorted(unknown)} — "
+            "the epsilon-scaling auction was replaced by the exact JV solver "
+            f"(sinkhorn_jv_lap); supported tuning kwargs: {sorted(jv_kwargs)}"
+        )
+    return sinkhorn_jv_lap(cost, **kwargs)
 
 
 def exact_lap_small(cost: jnp.ndarray) -> jnp.ndarray:

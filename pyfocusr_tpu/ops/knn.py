@@ -8,11 +8,13 @@ The reference uses scipy cKDTree in three places: the eigsort spatial cost
 D <= ~12): squared distances are one MXU matmul per tile
 (|q|^2 + |r|^2 - 2 q.r), and the argmin/top-k rides along in registers.
 
-Two implementations with identical semantics:
-  * an XLA path (lax.scan over reference tiles, running top-k) that works on
-    any backend — used for tests on CPU;
-  * a Pallas TPU kernel (see ops/pallas_kernels.py) fusing tile distance +
-    running argmin in VMEM, selected automatically on TPU.
+Implementation: a single XLA path (lax.scan over reference tiles, running
+top-k) used on every backend.  There is deliberately NO hand-written Pallas
+KNN kernel: XLA already fuses the tile matmul with the norm-adds and keeps
+the running top-k on-chip, so the op is MXU-matmul-bound with nothing left
+for a custom kernel to recover (ops/pallas_kernels.py holds the kernels
+where hand-fusion DID win: the streamed CPD E-step and the Sinkhorn dual
+updates, both HBM-bandwidth-bound).
 
 Distances returned are *Euclidean* (sqrt applied at the end), matching
 ``KDTree.query``.

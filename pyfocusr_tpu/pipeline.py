@@ -111,15 +111,10 @@ class PipelineConfig:
     smooth_correspondences: bool = True
     graph_smoothing_iterations: int = 300
     projection_smooth_iterations: int = 40
-    # union_spectra=True solves BOTH meshes' eigenproblems in one Chebyshev
-    # run on their disjoint-union graph (block-diagonal Laplacian,
-    # per-partition Rayleigh-Ritz).  Exactly matches separate solves
-    # (verified to |cos|>=0.9999); measured NEUTRAL on v5e at 5k-15k (the
-    # filter is throughput-bound, and union ops cost proportionally more),
-    # so it stays off by default.  batch_spectra (vmap) was measured SLOWER
-    # (batched gathers); also off.
-    union_spectra: bool = False
-    batch_spectra: bool = False
+    # NOTE: two alternative eigensolve schedules (disjoint-union and
+    # vmap-batched pair spectra) were built, verified exact, and benched
+    # neutral-or-slower on v5e, so they are not config options — see
+    # ``pyfocusr_tpu/experiments.py`` for the code and the measurements.
     # 'chebyshev' applies the identical smoothing operator power A^q as a
     # Chebyshev polynomial (~sqrt(q) SpMVs instead of q; rel err ~2e-6 —
     # far below the pipeline's f32 noise).  'exact' runs the literal
@@ -447,81 +442,6 @@ def _graph_weight_arrays(graph: GraphArrays):
     return (w, graph.overflow, ov_w)
 
 
-def _spectrum_union(target: GraphArrays, source: GraphArrays, k: int, key, cfg: PipelineConfig):
-    """Both meshes' spectra from ONE eigensolve on their disjoint union.
-
-    The union Laplacian is block-diagonal, so a single Chebyshev-filtered
-    subspace of width 2k+extra serves both meshes, amortizing the
-    (dispatch-latency-bound) filter iterations across the pair; the final
-    per-partition Rayleigh-Ritz in ops/eigen.py recovers exact per-mesh
-    eigenpairs even though similar meshes make the union spectrum
-    near-doubly-degenerate.  Returns (lams [2,k], vecs_t [Nt,k], vecs_s [Ns,k]).
-    """
-    nt, ns = target.n_points, source.n_points
-    dt, ds = target.neighbors.shape[1], source.neighbors.shape[1]
-    d_pad = max(dt, ds)
-
-    def pad_deg(g, d):
-        nbrs = jnp.pad(g.neighbors, ((0, 0), (0, d_pad - d)))
-        mask = jnp.pad(g.nbr_mask, ((0, 0), (0, d_pad - d)))
-        return nbrs, mask
-
-    nb_t, ms_t = pad_deg(target, dt)
-    nb_s, ms_s = pad_deg(source, ds)
-    points = jnp.concatenate([target.points, source.points])
-    neighbors = jnp.concatenate([nb_t, nb_s + nt])
-    nbr_mask = jnp.concatenate([ms_t, ms_s])
-    valid = jnp.concatenate([target.valid_mask, source.valid_mask])
-    ct, cs = target.null_indicators.shape[1], source.null_indicators.shape[1]
-    nulls = jnp.zeros((nt + ns, ct + cs), jnp.float32)
-    nulls = nulls.at[:nt, :ct].set(target.null_indicators)
-    nulls = nulls.at[nt:, ct:].set(source.null_indicators)
-    # Overflow: padding rows are src==dst, preserved under the +nt offset.
-    overflow = jnp.concatenate([target.overflow, source.overflow + nt])
-    union = GraphArrays(points, neighbors, nbr_mask, valid, nulls, overflow)
-
-    mask = union.valid_mask
-    w = graph_ops.edge_weights(union.points, union.neighbors, union.nbr_mask)
-    ov = union.overflow
-    ov_w = graph_ops.overflow_weights(union.points, ov)
-    d = graph_ops.degree_vector(w, ov, ov_w)
-    g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
-    sdiag = jnp.sqrt(g)
-
-    def matvec(x):
-        ax = graph_ops.sym_laplacian_matvec(
-            union.neighbors, w, g, x * mask, ov, ov_w
-        )
-        return ax * mask
-
-    null_basis = union.null_indicators * (1.0 / sdiag)[:, None] * mask[:, None]
-    ws = graph_ops.spmv(union.neighbors, w, sdiag, ov, ov_w)
-    lam_bound = jnp.max(mask * sdiag * (sdiag * d + ws))
-    part = jnp.stack(
-        [
-            jnp.concatenate([target.valid_mask, jnp.zeros((ns,), jnp.float32)]),
-            jnp.concatenate([jnp.zeros((nt,), jnp.float32), source.valid_mask]),
-        ],
-        axis=1,
-    )
-    lams, vecs, _ = chebyshev_eigpairs(
-        matvec, null_basis, key, k,
-        degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
-        refine_cg_iters=cfg.eig_cheb_refine_cg,
-        subspace_mask=mask, lam_max_bound=lam_bound,
-        partition_masks=part,
-    )
-    out = []
-    for pidx, (sl, m_p) in enumerate(
-        [(slice(0, nt), target.valid_mask), (slice(nt, nt + ns), source.valid_mask)]
-    ):
-        v = vecs[:, pidx, :] * sdiag[:, None]
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-30)
-        v = _masked_minmax_norm(v[sl], m_p)
-        out.append(v)
-    return lams, out[0], out[1]
-
-
 def _rand_idxs(key, mask, n_samples: int):
     """Sample n_samples indices of real vertices (uniform, no replacement).
 
@@ -544,9 +464,70 @@ def _normed(pts):
     return (pts - mn) / (jnp.max(pts, axis=0) - mn)
 
 
+def _n_real_vertices(graph: GraphArrays):
+    """Concrete real-vertex count, or None when the mask is a tracer
+    (inside jit/vmap/shard_map, where host-side guards cannot run)."""
+    mask = graph.valid_mask
+    if isinstance(mask, jax.core.Tracer):
+        return None
+    return int(np.asarray(mask).sum())
+
+
+def _check_padding_hazards(target: GraphArrays, source: GraphArrays, cfg: PipelineConfig):
+    """Fail fast on configurations that would silently mix padding rows into
+    the registration (only checkable when masks are concrete — the cohort
+    path runs these same checks pre-jit via ``check_cohort_config``).
+
+    1. 'hungarian' on a padded graph: the assignment is one-to-one over ALL
+       rows, so padding rows (at the origin) would steal target vertices
+       from real source vertices.
+    2. Subsample sizes above the real vertex count: ``_rand_idxs`` has a
+       static sample size, so oversized draws necessarily include padding
+       rows (see its caveat).
+    """
+    use_hungarian = (
+        cfg.initial_correspondence_type == "hungarian"
+        or cfg.final_correspondence_type == "hungarian"
+    )
+    for graph, name in ((target, "target"), (source, "source")):
+        n_real = _n_real_vertices(graph)
+        if n_real is None or n_real == graph.n_points:
+            continue
+        if use_hungarian:
+            raise ValueError(
+                f"'hungarian' correspondences need unpadded graphs: {name} "
+                f"graph has {n_real} real vertices padded to "
+                f"{graph.n_points}; assignment is one-to-one over ALL rows, "
+                "so padding would participate. Rebuild without padding or "
+                "use correspondence type 'kd'."
+            )
+        for knob in ("n_coords_spectral_ordering", "n_coords_spectral_registration"):
+            if getattr(cfg, knob) > n_real:
+                raise ValueError(
+                    f"{knob}={getattr(cfg, knob)} exceeds the {name} graph's "
+                    f"real vertex count {n_real} (padded to {graph.n_points}); "
+                    "the subsample would draw padding rows. Lower it to "
+                    f"<= {n_real}."
+                )
+
+
+def register_pair(
+    target: GraphArrays,
+    source: GraphArrays,
+    cfg: PipelineConfig,
+    key,
+    landmark_pairs=None,
+):
+    """Pre-jit entry: runs the concrete-input padding guards (no-ops on
+    tracers, e.g. under the cohort shard_map where ``check_cohort_config``
+    already ran), then dispatches to the compiled pipeline."""
+    _check_padding_hazards(target, source, cfg)
+    return _register_pair_jit(target, source, cfg, key, landmark_pairs)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
-def register_pair(
+def _register_pair_jit(
     target: GraphArrays,
     source: GraphArrays,
     cfg: PipelineConfig,
@@ -594,48 +575,11 @@ def register_pair(
         )
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
-    # Default: the two eigensolves run sequentially (the `else` branch) —
-    # measured fastest on TPU.  Two alternative batching modes exist and are
-    # OFF by default because both benched neutral-or-slower on v5e:
-    # ``batch_spectra`` pads the two graphs to a common static shape and
-    # vmaps one eigensolve over them; ``union_spectra`` stacks them into one
-    # block-diagonal operator.
-    if cfg.union_spectra:
-        lams2, vecs_t, vecs_s = _spectrum_union(
-            target, source, k_total, keys[0], cfg
-        )
-        lams_t, lams_s = lams2[0], lams2[1]
-        w_t = _graph_weight_arrays(target)
-        w_s = _graph_weight_arrays(source)
-    elif cfg.batch_spectra:
-        n_pad = max(target.n_points, source.n_points)
-        d_pad = max(target.neighbors.shape[1], source.neighbors.shape[1])
-        c_pad = max(
-            target.null_indicators.shape[1], source.null_indicators.shape[1]
-        )
-        e_pad = max(target.overflow.shape[0], source.overflow.shape[0])
-        tg_p = _pad_graph_arrays(target, n_pad, d_pad, c_pad, e_pad)
-        sg_p = _pad_graph_arrays(source, n_pad, d_pad, c_pad, e_pad)
-        both = jax.tree.map(lambda a, b: jnp.stack([a, b]), tg_p, sg_p)
-        lams2, vecs2, w2 = jax.vmap(
-            lambda g, kk: _spectrum(g, k_total, kk, cfg)
-        )(both, jnp.stack([keys[0], keys[1]]))
-        lams_t, vecs_t = lams2[0], vecs2[0, : target.n_points]
-        lams_s, vecs_s = lams2[1], vecs2[1, : source.n_points]
-        wt2, ovt2, ovwt2 = w2
-        w_t = (
-            wt2[0, : target.n_points, : target.neighbors.shape[1]],
-            ovt2[0],
-            ovwt2[0],
-        )
-        w_s = (
-            wt2[1, : source.n_points, : source.neighbors.shape[1]],
-            ovt2[1],
-            ovwt2[1],
-        )
-    else:
-        lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
-        lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+    # The two eigensolves run sequentially — measured fastest on TPU (the
+    # union/batched alternatives live in experiments.py with their
+    # neutral-or-slower measurements).
+    lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
+    lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
 
     # --- eigsort (reference ``focusr.py:514-521``) ---
     # Per-mesh sample sizes (reference: each graph draws its own rand_idxs,

@@ -157,13 +157,14 @@ def test_union_spectra_matches_separate(pair_5k):
     Laplacian + per-partition Rayleigh-Ritz, ops/eigen.py partition mode)."""
     import jax
 
-    from pyfocusr_tpu.pipeline import _spectrum, _spectrum_union
+    from pyfocusr_tpu.experiments import spectrum_union
+    from pyfocusr_tpu.pipeline import _spectrum
 
     tg, sg = pair_5k
     cfg = PipelineConfig()
     lt, vt, _ = _spectrum(tg, 6, jax.random.PRNGKey(0), cfg)
     ls, vs, _ = _spectrum(sg, 6, jax.random.PRNGKey(1), cfg)
-    lams2, vt2, vs2 = _spectrum_union(tg, sg, 6, jax.random.PRNGKey(0), cfg)
+    lams2, vt2, vs2 = spectrum_union(tg, sg, 6, jax.random.PRNGKey(0), cfg)
     np.testing.assert_allclose(np.asarray(lams2[0]), np.asarray(lt), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(lams2[1]), np.asarray(ls), rtol=1e-3)
     for a, b in [(vt, vt2), (vs, vs2)]:
@@ -315,3 +316,67 @@ def test_landmark_pairs_guide_registration():
     corr1 = np.asarray(res1["correspondences"])
     u0, u1 = len(np.unique(corr0)), len(np.unique(corr1))
     assert u1 > 0.8 * u0, (u0, u1)
+
+
+def test_hungarian_rejects_padded_graphs(pair_5k):
+    """'hungarian' is one-to-one over ALL rows, so padded graphs (whose
+    padding rows sit at the origin) must be rejected up front rather than
+    silently stealing target vertices from real source vertices."""
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    source = load_mesh(f"{DATA}/source_mesh.vtk")
+    tg_pad = mesh_to_graph_arrays(target, pad_n_points=5120)
+    sg_pad = mesh_to_graph_arrays(source, pad_n_points=5120)
+    cfg = PipelineConfig(**{**FAST, "initial_correspondence_type": "hungarian"})
+    with pytest.raises(ValueError, match="unpadded"):
+        register_pair(tg_pad, sg_pad, cfg, jax.random.PRNGKey(0))
+
+
+def test_oversized_subsample_rejected_on_padded_graphs():
+    """Subsample knobs above the REAL vertex count would draw padding rows
+    (_rand_idxs static-size caveat); register_pair now rejects them for
+    hand-padded graphs, matching the cohort path's check_cohort_config."""
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    source = load_mesh(f"{DATA}/source_mesh.vtk")
+    tg_pad = mesh_to_graph_arrays(target, pad_n_points=5120)
+    sg_pad = mesh_to_graph_arrays(source, pad_n_points=5120)
+    cfg = PipelineConfig(**{**FAST, "n_coords_spectral_ordering": 5100})
+    with pytest.raises(ValueError, match="n_coords_spectral_ordering"):
+        register_pair(tg_pad, sg_pad, cfg, jax.random.PRNGKey(0))
+
+
+def test_auction_alias_rejects_unknown_kwargs():
+    """sinkhorn_auction_lap forwards JV kwargs and raises on retired
+    auction-era knobs instead of silently swallowing them."""
+    from pyfocusr_tpu.ops.assignment import sinkhorn_auction_lap
+
+    cost = jnp.asarray(np.random.default_rng(0).random((16, 16)), jnp.float32)
+    with pytest.raises(TypeError, match="eps_scaling_steps"):
+        sinkhorn_auction_lap(cost, eps_scaling_steps=4)
+    col = np.asarray(sinkhorn_auction_lap(cost, levels=8, iters_per_level=10))
+    assert sorted(col) == list(range(16))
+
+
+def test_multires_rejects_hungarian_initial():
+    from pyfocusr_tpu.multires import register_pair_multires
+
+    cfg = PipelineConfig(**{**FAST, "initial_correspondence_type": "hungarian"})
+    with pytest.raises(ValueError, match="decimated"):
+        register_pair_multires(None, None, cfg, None)
+
+
+def test_pipeline_feature_mismatch_raises():
+    """The fused pipeline raises the reference's feature-count-mismatch
+    exception (focusr.py:220-226) instead of silently dropping features."""
+    from pyfocusr_tpu.focusr import Focusr
+
+    class _G:
+        pass
+
+    reg = object.__new__(Focusr)
+    reg.use_features_as_coords = True
+    reg.graph_target = _G()
+    reg.graph_source = _G()
+    reg.graph_target.n_extra_features = 2
+    reg.graph_source.n_extra_features = 0
+    with pytest.raises(Exception, match="dont match"):
+        reg._pipeline_features_flag()
