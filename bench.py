@@ -16,11 +16,23 @@ timed run measures steady-state device execution with a fresh PRNG key —
 the production regime for registering mesh cohorts of a common size class.
 The measured span covers the ENTIRE registration (ICP pre-alignment,
 Laplacian spectra for both meshes, eigsort, CPD affine+deformable,
-correspondence search, smoothing, final locations) — host mesh loading /
-topology extraction is reported separately in the diagnostics.
+correspondence search, smoothing, final locations).
+
+Wall-clock instrumentation (VERDICT r2 "weak" #1 — the 251 s mesh_load_s
+anomaly): every pre-run phase is timed separately and every retry is
+recorded with its own duration and error, so a slow tunnel cold-start can
+never masquerade as "mesh loading" again:
+
+  backend_init_s    first contact with the TPU runtime (tunnel/driver
+                    startup + one trivial device op), BEFORE any mesh work
+  mesh_parse_s      host-side VTK parse + topology extraction only
+  device_transfer_s host->device transfer of the graph arrays
+  *_attempts        per-attempt [duration, error] records for every phase
+                    that retries (empty error = success)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,8 +40,11 @@ import jax
 
 try:  # persistent compile cache: cold pipeline compiles take minutes
     jax.config.update("jax_compilation_cache_dir",
-                      __import__("os").environ.get("JAX_COMPILATION_CACHE_DIR",
-                                                   "/root/.jax_cache"))
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    # Persist every executable, even fast-compiling ones: the bench's cost
+    # model is dominated by dispatch/tunnel latency, not compile time.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 except Exception:
     pass
 import numpy as np
@@ -43,24 +58,62 @@ DATA = "/root/reference/data"
 BASELINE_SECONDS = 5.0  # driver target: <5 s on one TPU chip (BASELINE.md)
 
 
+def _retry(fn, n_attempts=3, sleep_s=10.0):
+    """Run fn with retries; returns (result, attempts) where attempts is a
+    list of {"s": duration, "error": str} records (error "" on success)."""
+    attempts = []
+    for attempt in range(n_attempts):
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            attempts.append({"s": round(time.perf_counter() - t0, 3), "error": ""})
+            return out, attempts
+        except Exception as e:  # transient tunnel/device faults
+            attempts.append(
+                {"s": round(time.perf_counter() - t0, 3),
+                 "error": f"{type(e).__name__}: {e}"[:200]}
+            )
+            print(f"attempt {attempt} failed: {e}", file=sys.stderr)
+            if attempt == n_attempts - 1:
+                raise
+            time.sleep(sleep_s)
+
+
 def main():
-    t_load0 = time.perf_counter()
+    diag = {}
+
+    # --- Phase 0: backend init / tunnel cold-start (pre-warm, timed) ---
+    t0 = time.perf_counter()
+
+    def _prewarm():
+        dev = jax.devices()[0]
+        x = jax.device_put(np.ones((8, 8), np.float32))
+        np.asarray(x @ x)  # round-trip through the device
+        return dev
+
+    dev, warm_attempts = _retry(_prewarm, sleep_s=15.0)
+    diag["device"] = str(dev)
+    diag["backend_init_s"] = round(time.perf_counter() - t0, 3)
+    diag["backend_init_attempts"] = warm_attempts
+
+    # --- Phase 1: host-side mesh parse + topology (no device work) ---
+    t0 = time.perf_counter()
     target = load_mesh(f"{DATA}/target_mesh_15k.vtk")
     source = load_mesh(f"{DATA}/source_mesh_15k.vtk")
-    # The remote-TPU tunnel occasionally drops the worker on first contact;
-    # retry the initial device transfer like the timed runs below.
-    for attempt in range(3):
-        try:
-            tg = mesh_to_graph_arrays(target)
-            sg = mesh_to_graph_arrays(source)
-            jax.block_until_ready((tg.points, sg.points))
-            break
-        except Exception as e:
-            print(f"device transfer attempt {attempt} failed: {e}", file=sys.stderr)
-            if attempt == 2:
-                raise
-            time.sleep(15)
-    t_load = time.perf_counter() - t_load0
+    diag["mesh_parse_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- Phase 2: device transfer of graph arrays ---
+    t0 = time.perf_counter()
+
+    def _transfer():
+        tg = mesh_to_graph_arrays(target)
+        sg = mesh_to_graph_arrays(source)
+        jax.block_until_ready((tg.points, sg.points))
+        return tg, sg
+
+    (tg, sg), tr_attempts = _retry(_transfer, sleep_s=15.0)
+    diag["device_transfer_s"] = round(time.perf_counter() - t0, 3)
+    diag["device_transfer_attempts"] = tr_attempts
 
     # Notebook-equivalent configuration (15k pair => 'kd' correspondences).
     cfg = PipelineConfig(
@@ -77,42 +130,36 @@ def main():
         projection_smooth_iterations=1,
     )
 
-    # Warm-up: compile (cached across invocations via the persistent cache).
-    # The remote-TPU tunnel occasionally faults transiently (watchdog /
-    # infrastructure); retry rather than losing the round's benchmark.
-    t_c0 = time.perf_counter()
-    for attempt in range(3):
-        try:
-            res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
-            jax.block_until_ready(res)
-            break
-        except Exception as e:  # transient device errors
-            print(f"warmup attempt {attempt} failed: {e}", file=sys.stderr)
-            if attempt == 2:
-                raise
-            time.sleep(10)
-    t_compile_run = time.perf_counter() - t_c0
+    # --- Phase 3: warm-up run (compile; persistent-cache hit when warm) ---
+    t0 = time.perf_counter()
 
-    # Timed steady-state runs.  The timed region ends with a host transfer
-    # of an output array: on the remote-TPU runtime block_until_ready alone
-    # was observed to return early in rare cases, and the transfer guarantees
-    # the computation actually finished.
+    def _warmup():
+        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(res)
+        return res
+
+    _, wu_attempts = _retry(_warmup)
+    diag["first_run_s"] = round(time.perf_counter() - t0, 3)
+    diag["first_run_attempts"] = wu_attempts
+
+    # --- Phase 4: timed steady-state runs.  The timed region ends with a
+    # host transfer of an output array: on the remote-TPU runtime
+    # block_until_ready alone was observed to return early in rare cases,
+    # and the transfer guarantees the computation actually finished. ---
     times = []
+    res = None
     for i in range(3):
-        for attempt in range(3):
-            try:
-                t0 = time.perf_counter()
-                res = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
-                jax.block_until_ready(res)
-                _ = np.asarray(res["correspondences"])
-                times.append(time.perf_counter() - t0)
-                break
-            except Exception as e:
-                print(f"run {i} attempt {attempt} failed: {e}", file=sys.stderr)
-                if attempt == 2:
-                    raise
-                time.sleep(10)
+        def _timed(i=i):
+            t0 = time.perf_counter()
+            r = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
+            jax.block_until_ready(r)
+            _ = np.asarray(r["correspondences"])
+            return r, time.perf_counter() - t0
+
+        (res, dt), _att = _retry(_timed)
+        times.append(dt)
     t_run = float(np.median(times))
+    diag["runs_s"] = [round(t, 3) for t in times]
 
     # --- Quality metrics (BASELINE.json tracked; VERDICT r1 task #2) ---
     corr = np.asarray(res["correspondences"])
@@ -120,8 +167,10 @@ def main():
     weighted = np.asarray(res["weighted_points"], np.float64)
     src_pts = np.asarray(source.points, np.float64)
     tgt_pts = np.asarray(target.points, np.float64)
-    mean_displacement = float(
-        np.linalg.norm(weighted - src_pts, axis=1).mean()
+    diag["unique_correspondences"] = f"{uniq}/{corr.shape[0]}"
+    diag["unique_fraction"] = round(uniq / corr.shape[0], 4)
+    diag["mean_displacement_mm"] = round(
+        float(np.linalg.norm(weighted - src_pts, axis=1).mean()), 4
     )
     # Symmetric surface (point-cloud) distance: transformed source <-> target.
     import jax.numpy as jnp
@@ -132,8 +181,8 @@ def main():
     tj = jnp.asarray(tgt_pts, jnp.float32)
     d_fwd, _ = nn_query(tj, wj)
     d_rev, _ = nn_query(wj, tj)
-    surface_dist = float(
-        (np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0
+    diag["symmetric_surface_dist_mm"] = round(
+        float((np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0), 4
     )
 
     # --- Standalone k=6 eigensolve time (BASELINE.json tracked metric) ---
@@ -157,7 +206,8 @@ def main():
         jax.block_until_ready((out_t, out_s))
         _ = np.asarray(out_t[0])
         eig_times.append(time.perf_counter() - t0)
-    t_eig = float(np.median(eig_times))
+    diag["eigensolve_k6_both_meshes_s"] = round(float(np.median(eig_times)), 4)
+    diag["eigensolve_runs_s"] = [round(t, 4) for t in eig_times]
 
     # --- 5k pair with 'hungarian' (the reference notebook's actual config;
     # exact 5000x5000 assignment ON DEVICE via sinkhorn_jv_lap) ---
@@ -185,24 +235,108 @@ def main():
         res5 = register_pair(tg5, sg5, cfg5, jax.random.PRNGKey(1))
         jax.block_until_ready(res5)
         _ = np.asarray(res5["correspondences"])
-        t_hung = round(time.perf_counter() - t0, 4)
+        diag["hungarian_5k_end_to_end_s"] = round(time.perf_counter() - t0, 4)
     except Exception as e:  # transient device faults must not kill the bench
         print(f"hungarian diagnostic failed: {e}", file=sys.stderr)
-        t_hung = None
+        diag["hungarian_5k_end_to_end_s"] = None
 
-    diag = {
-        "device": str(jax.devices()[0]),
-        "mesh_load_s": round(t_load, 3),
-        "first_run_s": round(t_compile_run, 3),
-        "runs_s": [round(t, 3) for t in times],
-        "unique_correspondences": f"{uniq}/{corr.shape[0]}",
-        "unique_fraction": round(uniq / corr.shape[0], 4),
-        "mean_displacement_mm": round(mean_displacement, 4),
-        "symmetric_surface_dist_mm": round(surface_dist, 4),
-        "eigensolve_k6_both_meshes_s": round(t_eig, 4),
-        "eigensolve_runs_s": [round(t, 4) for t in eig_times],
-        "hungarian_5k_end_to_end_s": t_hung,
-    }
+    # --- Scale diagnostics (VERDICT r2 task #4): TPU numbers behind the
+    # beyond-reference claims.  Both guarded: a failure records the error
+    # instead of killing the headline bench. ---
+
+    # (a) >=100k-vertex multi-resolution registration (the bundled 15k pair
+    # midpoint-subdivided twice -> ~240k vertices each).
+    if os.environ.get("BENCH_SKIP_MULTIRES") != "1":
+        try:
+            from pyfocusr_tpu.multires import register_pair_multires, subdivide
+
+            t_big = subdivide(subdivide(target))
+            s_big = subdivide(subdivide(source))
+            mcfg = PipelineConfig(
+                get_weighted_spectral_coords=False,
+                non_rigid_alpha=0.01,
+                non_rigid_beta=50.0,
+                non_rigid_max_iterations=300,
+                rigid_before_non_rigid_reg=False,
+                projection_smooth_iterations=1,
+                graph_smoothing_iterations=600,
+                n_coords_spectral_ordering=10000,
+                n_coords_spectral_registration=1000,
+            )
+            t0 = time.perf_counter()
+            fine, _coarse = register_pair_multires(
+                t_big, s_big, mcfg, jax.random.PRNGKey(0), coarse_n=12000
+            )
+            jax.block_until_ready(fine)
+            mcorr = np.asarray(fine["correspondences"])
+            t_mr = time.perf_counter() - t0
+            mw = jnp.asarray(fine["weighted_points"], jnp.float32)
+            mt = jnp.asarray(np.asarray(t_big.points, np.float32))
+            md_f, _ = nn_query(mt, mw)
+            md_r, _ = nn_query(mw, mt)
+            diag["multires_240k"] = {
+                "n_vertices": int(t_big.n_points),
+                "seconds": round(t_mr, 3),
+                "unique_fraction": round(
+                    len(np.unique(mcorr)) / mcorr.shape[0], 4
+                ),
+                "symmetric_surface_dist_mm": round(
+                    float(
+                        (np.asarray(md_f).mean() + np.asarray(md_r).mean())
+                        / 2.0
+                    ),
+                    4,
+                ),
+            }
+        except Exception as e:
+            print(f"multires diagnostic failed: {e}", file=sys.stderr)
+            diag["multires_240k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # (b) cohort throughput: 8 subjects vmapped on ONE chip (the 5k source
+    # jittered 8 ways, registered to the 5k target in a single program).
+    if os.environ.get("BENCH_SKIP_COHORT") != "1":
+        try:
+            from pyfocusr_tpu.parallel.cohort import register_cohort, stack_graph_arrays
+
+            rng = np.random.default_rng(0)
+            cohort = []
+            base = np.asarray(s5.points, np.float32)
+            for b in range(8):
+                jit_pts = base + rng.normal(scale=0.3, size=base.shape).astype(
+                    np.float32
+                )
+                cohort.append(
+                    mesh_to_graph_arrays(s5.with_points(jit_pts))
+                )
+            targets = stack_graph_arrays(cohort)
+            ccfg = PipelineConfig(
+                non_rigid_max_iterations=100,
+                n_coords_spectral_ordering=5000,
+                n_coords_spectral_registration=1000,
+                graph_smoothing_iterations=300,
+                projection_smooth_iterations=1,
+            )
+            cres, _ = register_cohort(tg5, targets, ccfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(cres)  # compile
+            t0 = time.perf_counter()
+            cres, _ = register_cohort(tg5, targets, ccfg, jax.random.PRNGKey(1))
+            jax.block_until_ready(cres)
+            _ = np.asarray(cres["correspondences"])
+            t_cohort = time.perf_counter() - t0
+            ccorr = np.asarray(cres["correspondences"])
+            uniq_c = [
+                len(np.unique(ccorr[b])) / ccorr.shape[1]
+                for b in range(ccorr.shape[0])
+            ]
+            diag["cohort_8x5k_1chip"] = {
+                "seconds": round(t_cohort, 3),
+                "pairs_per_s": round(8.0 / t_cohort, 3),
+                "unique_fraction_min": round(min(uniq_c), 4),
+            }
+        except Exception as e:
+            print(f"cohort diagnostic failed: {e}", file=sys.stderr)
+            diag["cohort_8x5k_1chip"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps(diag), file=sys.stderr)
     print(
         json.dumps(

@@ -350,29 +350,30 @@ def _deformable_cpd_run(
 @f32_matmuls
 def lowrank_transform(points, Y0, Q, lam, z, beta, tile: int = 2048):
     """Out-of-sample warp of the fitted low-rank CPD field (the reference
-    applies it to the FULL target spectral cloud at ``focusr.py:334``).
+    applies it to the FULL target spectral cloud at ``focusr.py:334``):
+    cycpd/pycpd semantics ``points + G(points, Y0) @ W``.
 
-    Two evaluation forms, selected on-device by kernel conditioning:
+    The f32-stable evaluation uses the *balanced* weights
+    W = Q diag(1/sqrt(lam)) z (with the same identifiability gate as the
+    fit) — roundoff is amplified only by 1/sqrt(lam), not the 1/lam of the
+    naive Woodbury W, so the exact form stays accurate even for the
+    near-rank-1 Grams the reference produces (beta=50 on unit spectral
+    clouds).  Measured against the pycpd-faithful f64 oracle
+    (tools/pycpd_oracle.py, the code path cycpd cythonizes): 0.7-5.4% of
+    the displacement magnitude across reference-shaped configs, vs 77-79%
+    for the Nadaraya-Watson control-point interpolation that round 2
+    auto-selected for ill-conditioned Grams (that branch matched only the
+    round-2 paper-derived oracle's projected-W convention; it was removed
+    when the oracle was made cycpd-faithful — see tests/test_cpd_oracles.py).
 
-    * **exact** (cycpd semantics): points + G(points, Y0) @ W with
-      W = Q diag(1/sqrt(lam)) z projected onto the kernel eigenbasis.
-      Correct for well-conditioned kernels (moderate beta), but in f32 the
-      G @ W product cancels catastrophically when the Gram is near-singular
-      (W grows like 1/lam while the product stays O(warp)).
-    * **interpolated**: Nadaraya-Watson interpolation of the *control-point*
-      displacements u0 = Q sqrt(lam) z with a narrow Gaussian matched to the
-      control-point spacing.  u0 is computed entirely in balanced form (no
-      1/lam), so this is f32-stable regardless of conditioning; it is the
-      right evaluation when the kernel bandwidth beta far exceeds the data
-      extent (the reference example's beta=50 on unit spectral coords),
-      where the true field is locally a smooth blend of nearby control
-      displacements anyway.  Measured 0.0016 mean deviation vs the f64
-      oracle on the reference 5k config, vs 0.011 for the exact form.
-
-    The switch is lam[0] > 1e3 * lam[1] (near-rank-1 Gram -> interpolate),
-    evaluated with jnp.where so the function stays jittable.
+    Remaining deviation from pycpd in regimes where num_eig does NOT
+    capture the kernel spectrum (small beta relative to data extent):
+    pycpd's W keeps components outside the retained eigenbasis which the
+    low-rank fit never represents; measured 32% of displacement at
+    beta=3 on extent-2 clouds with num_eig=100/500.  The reference's
+    config space (minmax-normalized spectral coords, beta >= 3) always has
+    a captured spectrum.
     """
-    k = lam.shape[0]
     # Same f32-identifiability gate as _deformable_cpd_run (whose z for gated
     # modes is exactly 0 anyway).
     eps2 = 2.0 * jnp.finfo(points.dtype).eps
@@ -380,25 +381,11 @@ def lowrank_transform(points, Y0, Q, lam, z, beta, tile: int = 2048):
     safe = jnp.maximum(sqrt_lam, jnp.finfo(points.dtype).tiny)
     wt = jnp.where(sqrt_lam[:, None] > 0, z / safe[:, None], 0.0)
     W = jnp.dot(Q, wt, precision=_PREC)  # [M, D] exact-form weights
-    u0 = jnp.dot(Q, sqrt_lam[:, None] * z, precision=_PREC)  # [M, D]
-
-    # Control-point spacing -> interpolation bandwidth (h = 2.8 * median NN).
-    from .knn import knn_query
-
-    nn_d, _ = knn_query(Y0, Y0, k=2)
-    h2 = 4.0 * jnp.median(nn_d[:, 1]) ** 2
-    ill = lam[0] > 1e3 * lam[jnp.minimum(1, k - 1)]
 
     def move(pts):
         d2 = _sq_dists(pts, Y0)
-        disp_exact = jnp.dot(
-            jnp.exp(-d2 / (2.0 * beta**2)), W, precision=_PREC
-        )
-        Kh = jnp.exp(-d2 / (2.0 * h2))
-        disp_interp = jnp.dot(Kh, u0, precision=_PREC) / jnp.maximum(
-            jnp.sum(Kh, axis=1, keepdims=True), 1e-20
-        )
-        return pts + jnp.where(ill, disp_interp, disp_exact)
+        disp = jnp.dot(jnp.exp(-d2 / (2.0 * beta**2)), W, precision=_PREC)
+        return pts + disp
 
     n = points.shape[0]
     if n * Y0.shape[0] <= 32_000_000:

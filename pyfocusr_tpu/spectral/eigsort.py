@@ -77,16 +77,17 @@ def _c_hist_pair(t_vecs, s_vecs):
 def _c_spatial_pair(t_vecs, s_vecs, t_points_norm, s_points_norm):
     """RMS eigvec difference over xyz nearest neighbors
     (reference ``eigsort.py:191-233``).  Returns (c_spatial, c_spatial_f)."""
+    # Direct-difference form (same fix as eigsort_jax): the t^2+g^2-2tg
+    # matmul identity cancels catastrophically in f32 for well-matched
+    # columns, corrupting the smallest Q entries that feed the confidence
+    # weighting (focusr.py:459-490).
     _, idx = nn_query(s_points_norm, t_points_norm)
     gathered = s_vecs[idx]  # [Nt, k] source eigvec at NN of each target pt
     n_t = t_vecs.shape[0]
-    t_sq = jnp.sum(t_vecs * t_vecs, axis=0)  # [k]
-    g_sq = jnp.sum(gathered * gathered, axis=0)
-    cross = jnp.dot(t_vecs.T, gathered, precision=jax.lax.Precision.HIGHEST)  # [k, k]
-    sq = t_sq[:, None] + g_sq[None, :] - 2.0 * cross
-    sq_f = t_sq[:, None] + g_sq[None, :] + 2.0 * cross
-    c = jnp.sqrt(jnp.maximum(sq, 0.0)) / n_t
-    cf = jnp.sqrt(jnp.maximum(sq_f, 0.0)) / n_t
+    d = t_vecs[:, :, None] - gathered[:, None, :]  # [Nt, k_t, k_s]
+    d_f = t_vecs[:, :, None] + gathered[:, None, :]
+    c = jnp.sqrt(jnp.sum(d * d, axis=0)) / n_t
+    cf = jnp.sqrt(jnp.sum(d_f * d_f, axis=0)) / n_t
     return c, cf
 
 

@@ -71,15 +71,21 @@ def sort_eigenmaps_jit(
         c_hist = pairwise_w1(lt_r, ls_r)
         c_hist_f = pairwise_w1(lt_r, lsf_r)
 
-    # c_spatial (eigsort.py:191-233)
+    # c_spatial (eigsort.py:191-233).  Direct-difference form, NOT the
+    # |t|^2+|g|^2-2tg matmul identity: for well-matched eigvec columns the
+    # identity cancels catastrophically in f32 (sums ~1e2 cancelling to
+    # ~1e0), and the resulting ~50% errors in the smallest Q entries get
+    # amplified by the hypersensitive confidence weighting
+    # exp(-(Q lam)^2 / 2 sigma^2) (focusr.py:459-490) — observed as a 0.91
+    # vs 0.80 weight disagreement with the f64 oracle.  The [n, k, k]
+    # broadcast is tiny (k <= ~10).
     _, idx = nn_query(rand_source_points, rand_target_points)
     gathered = rand_source_eig_vecs[idx]
     n_t = rand_target_eig_vecs.shape[0]
-    t_sq = jnp.sum(rand_target_eig_vecs**2, axis=0)
-    g_sq = jnp.sum(gathered**2, axis=0)
-    cross = jnp.dot(rand_target_eig_vecs.T, gathered, precision=_PREC)
-    c_spatial = jnp.sqrt(jnp.maximum(t_sq[:, None] + g_sq[None, :] - 2 * cross, 0.0)) / n_t
-    c_spatial_f = jnp.sqrt(jnp.maximum(t_sq[:, None] + g_sq[None, :] + 2 * cross, 0.0)) / n_t
+    d_straight = rand_target_eig_vecs[:, :, None] - gathered[:, None, :]
+    d_flipped = rand_target_eig_vecs[:, :, None] + gathered[:, None, :]
+    c_spatial = jnp.sqrt(jnp.sum(d_straight**2, axis=0)) / n_t
+    c_spatial_f = jnp.sqrt(jnp.sum(d_flipped**2, axis=0)) / n_t
 
     c = c_spatial * c_lambda * c_hist
     c_f = c_spatial_f * c_lambda * c_hist_f

@@ -46,28 +46,76 @@ MIN_EIG_VAL = 1e-10
 # Graph layer (reference graph.py)
 # ---------------------------------------------------------------------------
 
-def reference_adjacency(points: np.ndarray, triangles: np.ndarray) -> sparse.csr_matrix:
+def reference_adjacency(
+    points: np.ndarray, triangles: np.ndarray, adj_coords: np.ndarray = None
+) -> sparse.csr_matrix:
     """W[i, j] = 1/||x_i - x_j|| for every directed edge of every cell, in
     cell orientation (graph.py:148-178).  lil assignment is set-semantics, so
     duplicate directed edges (none on a manifold, but possible in soup) are
-    deduplicated rather than summed."""
+    deduplicated rather than summed.
+
+    ``adj_coords``: optional [N, 3+K] coordinates for the distance — xyz
+    augmented with mean-range-scaled features when
+    ``include_features_in_adj_matrix`` (graph.py:166-175)."""
     n = points.shape[0]
+    x = points if adj_coords is None else adj_coords
     e = np.concatenate(
         [triangles[:, [0, 1]], triangles[:, [1, 2]], triangles[:, [2, 0]]]
     ).astype(np.int64)
     _, uniq = np.unique(e[:, 0] * n + e[:, 1], return_index=True)
     e = e[uniq]
-    d = np.linalg.norm(points[e[:, 0]] - points[e[:, 1]], axis=1)
+    d = np.linalg.norm(x[e[:, 0]] - x[e[:, 1]], axis=1)
     return sparse.csr_matrix((1.0 / d, (e[:, 0], e[:, 1])), shape=(n, n))
 
 
-def reference_laplacian(W: sparse.spmatrix):
-    """L = D^-1 (D - W) with the reference's +1e-8 inverse-degree guard
-    (graph.py:216-226)."""
+def norm_node_features_ref(f, cap_std=3):
+    """Reference feature normalization (graph.py:121-142): z-score with
+    +-cap_std clamp, then 0-1 min-max."""
+    f = np.asarray(f, np.float64)
+    f = (f - f.mean()) / f.std()
+    f = np.clip(f, -cap_std, cap_std)
+    return (f - f.min()) / (f.max() - f.min())
+
+
+def reference_g_vector(features, d, feature_weights, p_function="exp"):
+    """Diagonal of the feature G matrix (graph.py:180-214): per-feature
+    transform p in {exp, log, square, shift-to->=0}, each scaled by
+    feature_weights[k,k] * ptp(degrees) / ptp(p(f)), averaged over features,
+    times the inverse-degree diagonal.
+
+    Deviation (shared with ops/graph_ops.g_vector, PARITY.md): graph.py:206
+    calls np.ptp on a *sparse* degree matrix, which returns a sparse matrix
+    (latent defect); the intended scalar ptp of the degree diagonal is used.
+    """
+    features = np.asarray(features, np.float64)
+    k_features = features.shape[1]
+    d_inv = (d + 1e-8) ** -1
+    g = np.zeros_like(d)
+    deg_ptp = np.ptp(d)
+    for k in range(k_features):
+        f = features[:, k]
+        if p_function == "exp":
+            gk = np.exp(f)
+        elif p_function == "log":
+            gk = np.log(f - f.min() + 1.0)
+        elif p_function == "square":
+            gk = f**2
+        else:
+            gk = f - f.min()
+        g = g + gk * (feature_weights[k, k] * deg_ptp / np.ptp(gk))
+    g = g / k_features
+    return g * d_inv
+
+
+def reference_laplacian(W: sparse.spmatrix, g_vec: np.ndarray = None):
+    """L = G (D - W) (graph.py:216-226): G = D^-1 by default (with the
+    reference's +1e-8 inverse-degree guard), or diag(g_vec) for the
+    feature-weighted G (graph.py:180-214)."""
     d = np.asarray(W.sum(axis=1)).ravel()
     D = sparse.diags(d)
-    D_inv = sparse.diags((d + 1e-8) ** -1)
-    return (D_inv @ (D - W)).tocsc(), d
+    if g_vec is None:
+        g_vec = (d + 1e-8) ** -1
+    return (sparse.diags(g_vec) @ (D - W)).tocsc(), d
 
 
 def recursive_eig_ref(matrix, k, n_k_needed, k_buffer=1, sigma=1e-10, which="LM"):
@@ -84,11 +132,46 @@ def recursive_eig_ref(matrix, k, n_k_needed, k_buffer=1, sigma=1e-10, which="LM"
     return np.real(vals[keep]), np.real(vecs[:, keep])
 
 
-def graph_spectrum(points, triangles, n_spectral_features):
+def graph_spectrum(
+    points,
+    triangles,
+    n_spectral_features,
+    features=None,
+    include_features_in_adj=False,
+    use_features_in_G=False,
+    G_matrix_p_function="exp",
+    feature_weights=None,
+):
     """Full reference spectrum: W -> L -> recursive_eig -> [-0.5, 0.5]
-    column normalization (graph.py:228-257)."""
-    W = reference_adjacency(points, triangles)
-    L, _ = reference_laplacian(W)
+    column normalization (graph.py:228-257), with the optional
+    feature-weighted adjacency (graph.py:166-175) and G matrix
+    (graph.py:180-214).
+
+    ``features``: raw per-vertex features [N, K]; normalized here the way
+    ``Graph.__init__`` does (z-score, clamp +-3, 0-1), then scaled by the
+    mean xyz range for the adjacency augmentation (graph.py:114-119)."""
+    adj_coords = None
+    g_vec = None
+    feats_n = None
+    if features is not None and np.asarray(features).size:
+        feats = np.atleast_2d(np.asarray(features, np.float64))
+        if feats.shape[0] == len(points):
+            feats = feats.T  # -> [K, N]
+        feats_n = np.stack([norm_node_features_ref(f) for f in feats])  # [K, N]
+        if feature_weights is None:
+            feature_weights = np.eye(feats_n.shape[0])
+    if feats_n is not None and include_features_in_adj:
+        mean_range = np.mean(np.ptp(points, axis=0))
+        adj_coords = np.concatenate(
+            [np.asarray(points, np.float64), (feats_n * mean_range).T], axis=1
+        )
+    W = reference_adjacency(points, triangles, adj_coords)
+    d = np.asarray(W.sum(axis=1)).ravel()
+    if feats_n is not None and use_features_in_G:
+        g_vec = reference_g_vector(
+            feats_n.T, d, feature_weights, G_matrix_p_function
+        )
+    L, _ = reference_laplacian(W, g_vec)
     vals, vecs = recursive_eig_ref(
         L, k=n_spectral_features + 1, n_k_needed=n_spectral_features, k_buffer=1
     )
@@ -164,10 +247,15 @@ def eigsort_ref(
     rand_pts_target_norm,
     rand_pts_source_norm,
     source_eig_vecs,
+    target_eig_vecs=None,
+    target_as_reference=True,
 ):
-    """Target-as-reference eigsort: all three costs, Hungarian match, sign
-    flip + column permutation of the FULL source eigvecs (eigsort.py:54-245).
-    Returns (sorted_source_vecs, Q_vec, matches, flip_mask)."""
+    """Eigsort: all three costs, Hungarian match, sign flip + column
+    permutation of the FULL eigvecs of the non-reference side
+    (eigsort.py:54-245).  Returns (sorted_vecs, Q_vec, matches, flip_mask)
+    where sorted_vecs are the SOURCE eigvecs when target_as_reference
+    (default) and the TARGET eigvecs otherwise (assignment on Q.T, target
+    columns flipped/permuted — eigsort.py:75-78,100-122)."""
     k = len(eig_vals_target)
     eps = np.finfo(float).eps
 
@@ -202,19 +290,37 @@ def eigsort_ref(
     c_f = c_spatial_f * c_lambda * c_hist_f
     Q = np.minimum(c, c_f)
     S = c > c_f
-    t_m, s_m = linear_sum_assignment(Q)
+    if target_as_reference:
+        t_m, s_m = linear_sum_assignment(Q)
+    else:
+        s_m, t_m = linear_sum_assignment(Q.T)
     Q_vec = Q[t_m, s_m]
     flip = S[t_m, s_m]
-    vecs = np.array(source_eig_vecs, np.float64, copy=True)
-    for tm, sm, f in zip(t_m, s_m, flip):
-        if f:
-            vecs[:, sm] = -vecs[:, sm]
-    vecs[:, t_m] = vecs[:, s_m]
+    if target_as_reference:
+        vecs = np.array(source_eig_vecs, np.float64, copy=True)
+        for tm, sm, f in zip(t_m, s_m, flip):
+            if f:
+                vecs[:, sm] = -vecs[:, sm]
+        vecs[:, t_m] = vecs[:, s_m]
+    else:
+        # Reverse mode mutates the TARGET eigvecs (eigsort.py:100-122):
+        # flip matched flipped target columns, then reorder target columns
+        # into the source's ordering.
+        vecs = np.array(target_eig_vecs, np.float64, copy=True)
+        for tm, sm, f in zip(t_m, s_m, flip):
+            if f:
+                vecs[:, tm] = -vecs[:, tm]
+        vecs[:, s_m] = vecs[:, t_m]
     return vecs, Q_vec, (t_m, s_m), flip
 
 
 # ---------------------------------------------------------------------------
-# CPD (cycpd semantics: Myronenko & Song 2010, low-rank deformable + affine)
+# CPD — round-2 PAPER-DERIVED oracle (Myronenko & Song 2010 equations).
+# SUPERSEDED for golden generation by tools/pycpd_oracle.py, a line-faithful
+# transcription of the pycpd/cycpd code path the reference actually consumes;
+# these helpers are kept so tests/test_cpd_oracles.py can quantify exactly
+# where the paper derivation and the library code path differ (out-of-sample
+# W projection, stopping criterion).
 # ---------------------------------------------------------------------------
 
 def cpd_deformable_lowrank(X, Y, alpha, beta, num_eig, max_iterations, tolerance):
@@ -334,6 +440,14 @@ def run_reference_pipeline(
     graph_smoothing_iterations=600,
     projection_smooth_iterations=1,
     seed=0,
+    icp_reg_target_to_source=False,
+    target_eigenmap_as_reference=True,
+    target_features=None,
+    source_features=None,
+    use_features_in_graph=False,
+    include_features_in_adj_matrix=False,
+    G_matrix_p_function="exp",
+    feature_weights=None,
 ):
     """The whole reference registration, seeded.  Returns a dict of every
     stage output the parity tests gate on."""
@@ -342,11 +456,26 @@ def run_reference_pipeline(
     src_pts = np.asarray(source_points, np.float64)
 
     if icp_register_first:
-        _, src_pts = icp_ref(src_pts, tgt_pts, mode=icp_registration_mode)
+        if icp_reg_target_to_source:
+            # focusr.py:110-121: the TARGET mesh is ICP-moved into the
+            # source frame.
+            _, tgt_pts = icp_ref(tgt_pts, src_pts, mode=icp_registration_mode)
+        else:
+            _, src_pts = icp_ref(src_pts, tgt_pts, mode=icp_registration_mode)
 
     k_total = n_spectral_features + n_extra_spectral
-    vals_t, vecs_t, W_t = graph_spectrum(tgt_pts, target_triangles, k_total)
-    vals_s, vecs_s, W_s = graph_spectrum(src_pts, source_triangles, k_total)
+    feat_kw = dict(
+        include_features_in_adj=include_features_in_adj_matrix,
+        use_features_in_G=use_features_in_graph,
+        G_matrix_p_function=G_matrix_p_function,
+        feature_weights=feature_weights,
+    )
+    vals_t, vecs_t, W_t = graph_spectrum(
+        tgt_pts, target_triangles, k_total, features=target_features, **feat_kw
+    )
+    vals_s, vecs_s, W_s = graph_spectrum(
+        src_pts, source_triangles, k_total, features=source_features, **feat_kw
+    )
     vals_t, vecs_t = vals_t[:k_total], vecs_t[:, :k_total]
     vals_s, vecs_s = vals_s[:k_total], vecs_s[:, :k_total]
 
@@ -361,15 +490,23 @@ def run_reference_pipeline(
     def norm_sample(pts):  # graph.py:269-272
         return (pts - pts.min(axis=0)) / np.ptp(pts, axis=0)
 
-    vecs_s_sorted, Q_vec, matches, flip = eigsort_ref(
+    sorted_vecs, Q_vec, matches, flip = eigsort_ref(
         vals_t, vals_s, vecs_t[idx_t], vecs_s[idx_s],
         norm_sample(tgt_pts[idx_t]), norm_sample(src_pts[idx_s]), vecs_s,
+        target_eig_vecs=vecs_t,
+        target_as_reference=target_eigenmap_as_reference,
     )
+    if target_eigenmap_as_reference:
+        vecs_s_sorted, vecs_t_used = sorted_vecs, vecs_t
+    else:
+        # eigsort mutated the TARGET maps into the source's order
+        # (eigsort.py:75-78,100-122); source maps stay as computed.
+        vecs_s_sorted, vecs_t_used = vecs_s, sorted_vecs
 
     # Spectral coords (focusr.py:459-508).
     k_use = n_spectral_features
     src_coords = vecs_s_sorted[:, :k_use].copy()
-    tgt_coords = vecs_t[:, :k_use].copy()
+    tgt_coords = vecs_t_used[:, :k_use].copy()
     if get_weighted_spectral_coords:
         lam_max = np.maximum(vals_s[:k_use], vals_t[:k_use])
         w = Q_vec[:k_use] * lam_max
@@ -384,23 +521,36 @@ def run_reference_pipeline(
             return np.arange(n_points)
         return rng.choice(n_points, size=n_coords_spectral_registration, replace=False)
 
+    # The CPD stage executes the pycpd/cycpd code path itself
+    # (tools/pycpd_oracle.py — a line-faithful transcription of the library
+    # the reference consumes at focusr.py:297-334), mirroring the
+    # register-on-subsample + transform-full-cloud structure exactly.
+    try:
+        from tools.pycpd_oracle import affine_registration, deformable_registration
+    except ImportError:  # run as a loose script from inside tools/
+        from pycpd_oracle import affine_registration, deformable_registration
+
     if rigid_before_non_rigid_reg:
-        B, tv, _ = cpd_affine(
-            src_coords[reg_sample(len(src_pts))],
-            tgt_coords[reg_sample(len(tgt_pts))],
-            rigid_reg_max_iterations, rigid_tolerance,
+        reg = affine_registration(
+            X=src_coords[reg_sample(len(src_pts))],
+            Y=tgt_coords[reg_sample(len(tgt_pts))],
+            max_iterations=rigid_reg_max_iterations,
+            tolerance=rigid_tolerance,
         )
-        tgt_coords = tgt_coords @ B.T + tv
+        reg.register()
+        tgt_coords = reg.transform_point_cloud(tgt_coords)
 
     Xs = src_coords[reg_sample(len(src_pts))]
     Ys = tgt_coords[reg_sample(len(tgt_pts))]
-    W_mat, sigma2, Y0 = cpd_deformable_lowrank(
-        Xs, Ys, non_rigid_alpha, non_rigid_beta,
-        min(non_rigid_n_eigens, len(Ys)),
-        non_rigid_max_iterations, non_rigid_tolerance,
+    reg = deformable_registration(
+        X=Xs, Y=Ys,
+        num_eig=min(non_rigid_n_eigens, len(Ys)),
+        max_iterations=non_rigid_max_iterations,
+        tolerance=non_rigid_tolerance,
+        alpha=non_rigid_alpha, beta=non_rigid_beta,
     )
-    Gfull = np.exp(-cdist(tgt_coords, Y0, "sqeuclidean") / (2 * non_rigid_beta**2))
-    tgt_coords = tgt_coords + Gfull @ W_mat
+    reg.register()
+    tgt_coords = reg.transform_point_cloud(tgt_coords)
 
     # Initial correspondences (focusr.py:340-366).
     if initial_correspondence_type == "kd":
