@@ -451,7 +451,7 @@ class Focusr(object):
         return (
             not hungarian
             or self.graph_target.n_points == self.graph_source.n_points
-        ) and self.target_eigenmap_as_reference is True
+        )
 
     def _pipeline_features_flag(self) -> bool:
         """use_features_as_coords for the fused pipeline.  Mirrors the
@@ -486,8 +486,7 @@ class Focusr(object):
         if not self._pipeline_compatible():
             raise ValueError(
                 "configuration not supported by the fused pipeline "
-                "(hungarian needs equal vertex counts; needs target as "
-                "reference); use align_maps()"
+                "(hungarian needs equal vertex counts); use align_maps()"
             )
         cfg = PipelineConfig(
             icp_register_first=False,  # the constructor already pre-aligned
@@ -514,6 +513,20 @@ class Focusr(object):
             smooth_correspondences=self.smooth_correspondences,
             graph_smoothing_iterations=self.graph_smoothing_iterations,
             projection_smooth_iterations=self.projection_smooth_iterations,
+            target_eigenmap_as_reference=self.target_eigenmap_as_reference,
+            use_features_in_graph=bool(
+                self.graph_target.include_features_in_G_matrix
+            ),
+            include_features_in_adj_matrix=bool(
+                self.graph_target.include_features_in_adj_matrix
+            ),
+            G_matrix_p_function=self.graph_target.G_matrix_p_function,
+            feature_weights_diag=tuple(
+                float(x)
+                for x in np.diag(np.asarray(self.graph_target.feature_weights))
+            )
+            if self.graph_target.n_extra_features > 0
+            else (),
         )
         with self.timer.span("pipeline_register_pair"):
             feats_t = (

@@ -210,12 +210,19 @@ def build_topology(
 
 def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
     """Load a legacy ``.vtk`` PolyData file into a :class:`TriMesh`
-    (replaces ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``)."""
+    (replaces ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``).
+
+    Arrays are HOST-resident (numpy): all connectivity/preprocessing
+    consumers are host-side, and on the remote-TPU runtime an eager device
+    placement here would cost tunnel round-trips per mesh for nothing —
+    ``mesh_to_graph_arrays`` makes the single device transfer when compute
+    actually starts (jnp consumers accept numpy transparently)."""
     points, triangles, point_data = read_vtk_polydata(path)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     return TriMesh(
-        points=jnp.asarray(points, dtype=dtype),
-        triangles=jnp.asarray(triangles, dtype=jnp.int32),
-        point_data={k: jnp.asarray(v, dtype=dtype) for k, v in point_data.items()},
+        points=np.asarray(points, dtype=np_dtype),
+        triangles=np.asarray(triangles, dtype=np.int32),
+        point_data={k: np.asarray(v, dtype=np_dtype) for k, v in point_data.items()},
     )
 
 

@@ -81,10 +81,13 @@ def subdivide(mesh: TriMesh) -> TriMesh:
     for k, v in mesh.point_data.items():
         va = np.asarray(v, np.float64)
         pd[k] = np.concatenate([va, 0.5 * (va[eu[:, 0]] + va[eu[:, 1]])])
+    # HOST arrays on purpose: subdivision is host preprocessing, and under
+    # the remote-TPU tunnel a jnp.asarray here would round-trip megabytes
+    # per level for nothing (mesh_to_graph_arrays does the one transfer).
     return TriMesh(
-        jnp.asarray(new_pts, jnp.float32),
-        jnp.asarray(new_tris, jnp.int32),
-        {k: jnp.asarray(v, jnp.float32) for k, v in pd.items()},
+        np.asarray(new_pts, np.float32),
+        np.asarray(new_tris, np.int32),
+        {k: np.asarray(v, np.float32) for k, v in pd.items()},
     )
 
 
@@ -184,7 +187,7 @@ def decimate(mesh: TriMesh, target_n: int, seed: int = 0):
     rep = np.zeros(cur_pts.shape[0], np.int64)
     rep[fine_to_coarse[order[first]]] = order[first]
     coarse = TriMesh(
-        jnp.asarray(cur_pts, jnp.float32), jnp.asarray(cur_tris, jnp.int32)
+        np.asarray(cur_pts, np.float32), np.asarray(cur_tris, np.int32)
     )
     return coarse, fine_to_coarse, rep
 

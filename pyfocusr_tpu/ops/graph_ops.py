@@ -134,6 +134,8 @@ def g_vector(
     feature_weights: jnp.ndarray,  # [K, K], only the diagonal is used
     p_function: str = "exp",
     include_features: bool = False,
+    valid_mask: jnp.ndarray = None,  # [N] 1=real vertex; excludes padding
+                                     # rows from the min/max scaling stats
 ) -> jnp.ndarray:
     """The diagonal of G in L = G (D - W)  (reference ``graph.py:180-214``).
 
@@ -152,20 +154,33 @@ def g_vector(
     if not include_features or node_features is None or node_features.shape[0] == 0:
         return d_inv
 
+    if valid_mask is None:
+        def mmin(x):
+            return jnp.min(x)
+
+        def mmax(x):
+            return jnp.max(x)
+    else:
+        def mmin(x):
+            return jnp.min(jnp.where(valid_mask > 0, x, jnp.inf))
+
+        def mmax(x):
+            return jnp.max(jnp.where(valid_mask > 0, x, -jnp.inf))
+
     k_features = node_features.shape[0]
     g = jnp.zeros_like(degrees)
-    deg_ptp = jnp.max(degrees) - jnp.min(degrees)
+    deg_ptp = mmax(degrees) - mmin(degrees)
     for k in range(k_features):
         f = node_features[k]
         if p_function == "exp":
             gk = jnp.exp(f)
         elif p_function == "log":
-            gk = jnp.log(f - jnp.min(f) + 1.0)
+            gk = jnp.log(f - mmin(f) + 1.0)
         elif p_function == "square":
             gk = f**2
         else:
-            gk = f - jnp.min(f)
-        scaling = feature_weights[k, k] * deg_ptp / (jnp.max(gk) - jnp.min(gk))
+            gk = f - mmin(f)
+        scaling = feature_weights[k, k] * deg_ptp / (mmax(gk) - mmin(gk))
         g = g + gk * scaling
     g = g / k_features
     return g * d_inv
@@ -200,6 +215,30 @@ def sym_laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     return s[:, None] * (
         d[:, None] * sx - spmv(neighbors, weights, sx, overflow, ov_w)
     )
+
+
+def sym_laplacian_quad_form(neighbors, weights, s, V, overflow=None, ov_w=None):
+    """Per-column Rayleigh quotients of A = S(D-W)S on unit-norm V, computed
+    as the EDGE-DIFFERENCE quadratic form
+
+        lam_k = 1/2 sum_{directed edges (i,j)} w_ij (u_ik - u_jk)^2,  u = s V
+
+    which is a sum of NON-NEGATIVE terms — unlike the matvec form
+    V^T (S(D-W)S V), whose row-level D x - W x cancellation amplifies f32
+    roundoff by ~d/lambda_rel (the source of the 3.6e-3 relative eigenvalue
+    floor vs ARPACK on the 15k mesh; the quad form measures ~1e-5).  Both
+    directions of every edge appear in the ELL+overflow structure, hence the
+    1/2.  Adjacent u values are close, so the f32 subtraction u_i - u_j is
+    (near-)exact by Sterbenz's lemma and each term carries only ~eps
+    relative error.
+    """
+    u = s[:, None] * V  # [N, k]
+    du = u[neighbors] - u[:, None, :]  # [N, D, k]
+    acc = jnp.einsum("nd,ndk->k", weights, du * du)
+    if overflow is not None and overflow.shape[0] > 0:
+        dov = u[overflow[:, 0]] - u[overflow[:, 1]]
+        acc = acc + jnp.sum(ov_w[:, None] * dov * dov, axis=0)
+    return 0.5 * acc
 
 
 def _chebyshev_power_coeffs(q: int, m: int):

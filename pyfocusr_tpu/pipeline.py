@@ -88,6 +88,27 @@ class PipelineConfig:
     feature_smoothing_iterations: int = 40
     include_points_as_features: bool = False
     norm_physical_and_spectral: bool = True
+    # Feature-weighted GRAPH construction (reference ``graph.py:166-214``):
+    # include_features_in_adj_matrix appends mean-range-scaled features to
+    # the edge-weight distance (w = 1/||(xyz, f)_i - (xyz, f)_j||);
+    # use_features_in_graph builds the feature G matrix (per-feature
+    # transform G_matrix_p_function in {exp, log, square, shift}, scaled
+    # into the degree range, weighted by feature_weights_diag, averaged,
+    # times D^-1) so L = G (D - W) is feature-modulated.
+    use_features_in_graph: bool = False
+    include_features_in_adj_matrix: bool = False
+    G_matrix_p_function: str = "exp"
+    # Diagonal of the reference's feature_weights matrix (``graph.py:41-42``;
+    # only the diagonal is ever read, ``graph.py:206``).  A tuple so the
+    # config stays hashable; () = identity weights.
+    feature_weights_diag: tuple = ()
+    # ICP direction (reference ``focusr.py:110-131``): False (default) moves
+    # the SOURCE onto the target; True moves the TARGET onto the source.
+    icp_reg_target_to_source: bool = False
+    # eigsort reference side (reference ``eigsort.py:75-78,100-122``): True
+    # (default) permutes/flips the SOURCE eigenmaps into the target's order;
+    # False runs the assignment on Q.T and permutes/flips the TARGET's.
+    target_eigenmap_as_reference: bool = True
     # Pseudo-responsibility strength of ``landmark_pairs`` priors passed to
     # register_pair (MAP CPD with known correspondences; ops/cpd.py).
     landmark_weight: float = 100.0
@@ -159,6 +180,10 @@ class PipelineConfig:
             )
         if self.smoothing_method not in ("chebyshev", "exact"):
             raise ValueError("smoothing_method must be 'chebyshev' or 'exact'")
+        if self.G_matrix_p_function not in ("exp", "log", "square", "shift"):
+            raise ValueError(
+                "G_matrix_p_function must be 'exp', 'log', 'square' or 'shift'"
+            )
         for name in ("initial_correspondence_type", "final_correspondence_type"):
             if getattr(self, name) not in ("kd", "hungarian"):
                 raise ValueError(f"{name} must be 'kd' or 'hungarian'")
@@ -330,11 +355,38 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     padded spectrum is identical to the unpadded one.
     """
     mask = graph.valid_mask
-    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
+    feats = graph.node_features  # [N, K] normalized extra features
+    has_feats = feats is not None and feats.shape[1] > 0
+    coords = graph.points
+    if cfg.include_features_in_adj_matrix and has_feats:
+        # Edge weights on xyz augmented with mean-range-scaled features
+        # (reference ``graph.py:114-119,166-175``).
+        mn = jnp.min(jnp.where(mask[:, None] > 0, graph.points, jnp.inf), axis=0)
+        mx = jnp.max(jnp.where(mask[:, None] > 0, graph.points, -jnp.inf), axis=0)
+        mean_range = jnp.mean(mx - mn)
+        coords = jnp.concatenate(
+            [graph.points, feats * mean_range * mask[:, None]], axis=1
+        )
+    w = graph_ops.edge_weights(coords, graph.neighbors, graph.nbr_mask)
     ov = graph.overflow
-    ov_w = graph_ops.overflow_weights(graph.points, ov)
+    ov_w = graph_ops.overflow_weights(coords, ov)
     d = graph_ops.degree_vector(w, ov, ov_w)
-    g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
+    if cfg.use_features_in_graph and has_feats:
+        # Feature G matrix (reference ``graph.py:180-214``).
+        kf = feats.shape[1]
+        if cfg.feature_weights_diag:
+            fw = jnp.diag(jnp.asarray(cfg.feature_weights_diag, jnp.float32))
+        else:
+            fw = jnp.eye(kf, dtype=jnp.float32)
+        g_feat = graph_ops.g_vector(
+            feats.T, d, fw,
+            p_function=cfg.G_matrix_p_function,
+            include_features=True,
+            valid_mask=mask,
+        )
+        g = jnp.where(mask > 0, jnp.maximum(g_feat, 1e-30), 1.0)
+    else:
+        g = jnp.where(mask > 0, (d + graph_ops.DEGREE_EPS) ** -1, 1.0)
     s = jnp.sqrt(g)
 
     def matvec(x):
@@ -344,6 +396,13 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
             graph.neighbors, w, g, x * mask, ov, ov_w
         )
         return ax * mask
+
+    def quad_form(V):
+        # Cancellation-free final Rayleigh quotients (VERDICT r2 task 7):
+        # cuts the 15k f32 eigenvalue floor from ~3.6e-3 to ~1e-5 rel.
+        return graph_ops.sym_laplacian_quad_form(
+            graph.neighbors, w, s, V * mask[:, None], ov, ov_w
+        )
 
     # Kernel basis: one column per connected component, scaled by 1/s
     # (A (1/s * 1_c) = s (D - W) 1_c = 0 on each component).
@@ -387,6 +446,7 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
                 chunks=cfg.eig_wide_chunks,
                 subspace_mask=mask, lam_max_bound=lam_bound,
                 filter_op_factory=factory,
+                quad_form=quad_form,
             )
         else:
             lams, vecs_a, _ = chebyshev_eigpairs(
@@ -394,6 +454,7 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
                 degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
                 refine_cg_iters=cfg.eig_cheb_refine_cg,
                 subspace_mask=mask, lam_max_bound=lam_bound,
+                quad_form=quad_form,
             )
         vecs = vecs_a * s[:, None]
         vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
@@ -553,26 +614,34 @@ def _register_pair_jit(
     keys = jax.random.split(key, 8)
     k_total = cfg.n_total
 
-    # --- ICP pre-alignment: source moved onto target (reference default
-    # ``icp_reg_target_to_source=False``, ``focusr.py:110-131``) ---
+    # --- ICP pre-alignment (reference ``focusr.py:110-131``): the default
+    # moves the SOURCE onto the target; ``icp_reg_target_to_source`` moves
+    # the TARGET onto the source instead. ---
     if cfg.icp_register_first:
         from .ops.icp import apply_rigid, icp as icp_fit
 
+        moving, fixed = (
+            (target, source) if cfg.icp_reg_target_to_source else (source, target)
+        )
         # Fit on a landmark subsample (the VTK ICP the reference wraps caps
         # landmarks at its default 200 — vtk_functions.py:27-28; 2000 here),
         # then apply the rigid transform to the full cloud.
-        n_lm = min(cfg.icp_n_landmarks, source.n_points)
-        lm_idx = _rand_idxs(keys[7], source.valid_mask, n_lm)
+        n_lm = min(cfg.icp_n_landmarks, moving.n_points)
+        lm_idx = _rand_idxs(keys[7], moving.valid_mask, n_lm)
         (_s, _R, _t), _ = icp_fit(
-            source.points[lm_idx],
-            jnp.where(target.valid_mask[:, None] > 0, target.points, SENTINEL),
+            moving.points[lm_idx],
+            jnp.where(fixed.valid_mask[:, None] > 0, fixed.points, SENTINEL),
             mode=cfg.icp_registration_mode,
             max_iterations=cfg.icp_iterations,
         )
-        moved = apply_rigid(source.points, _s, _R, _t)
-        source = dataclasses.replace(
-            source, points=moved * source.valid_mask[:, None]
+        moved = apply_rigid(moving.points, _s, _R, _t)
+        moving = dataclasses.replace(
+            moving, points=moved * moving.valid_mask[:, None]
         )
+        if cfg.icp_reg_target_to_source:
+            target = moving
+        else:
+            source = moving
 
     # --- Spectra (reference ``focusr.py:134-170``) ---
     # The two eigensolves run sequentially — measured fastest on TPU (the
@@ -589,20 +658,27 @@ def _register_pair_jit(
     n_rand_s = min(cfg.n_coords_spectral_ordering, source.n_points)
     idx_t = _rand_idxs(keys[2], target.valid_mask, n_rand_t)
     idx_s = _rand_idxs(keys[3], source.valid_mask, n_rand_s)
-    vecs_s_sorted, Q = sort_eigenmaps_jit(
+    sorted_vecs, Q = sort_eigenmaps_jit(
         lams_t,
         lams_s,
         vecs_t[idx_t],
         vecs_s[idx_s],
         _normed(target.points[idx_t]),
         _normed(source.points[idx_s]),
-        vecs_s,
+        vecs_s if cfg.target_eigenmap_as_reference else vecs_t,
+        target_as_reference=cfg.target_eigenmap_as_reference,
     )
+    if cfg.target_eigenmap_as_reference:
+        vecs_s_sorted, vecs_t_used = sorted_vecs, vecs_t
+    else:
+        # eigsort permuted/flipped the TARGET maps into the source's order
+        # (``eigsort.py:75-78,100-122``); the source maps stay as computed.
+        vecs_s_sorted, vecs_t_used = vecs_s, sorted_vecs
 
     # --- Spectral coords (reference ``focusr.py:459-508``) ---
     k_use = cfg.n_spectral_features
     src_coords = vecs_s_sorted[:, :k_use]
-    tgt_coords = vecs_t[:, :k_use]
+    tgt_coords = vecs_t_used[:, :k_use]
     if cfg.get_weighted_spectral_coords:
         lam_max = jnp.maximum(lams_s[:k_use], lams_t[:k_use])
         wspec = Q[:k_use] * lam_max
@@ -823,7 +899,7 @@ def _register_pair_jit(
         "average_points": average * smask,
         "eig_vals_target": lams_t,
         "eig_vals_source": lams_s,
-        "eig_vecs_target": vecs_t * tmask,
+        "eig_vecs_target": vecs_t_used * tmask,
         "eig_vecs_source_sorted": vecs_s_sorted * smask,
         "spectral_coords_target": tgt_coords_moved * tmask,
         "spectral_coords_source": src_coords * smask,

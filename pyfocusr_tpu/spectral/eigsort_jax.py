@@ -34,9 +34,15 @@ def sort_eigenmaps_jit(
     rand_source_eig_vecs,
     rand_target_points,
     rand_source_points,
-    eig_vecs_source,
+    eig_vecs_to_permute,
+    target_as_reference: bool = True,
 ):
-    """Returns (sorted_source_eig_vecs, Q_vec) with target as reference.
+    """Returns (sorted_eig_vecs, Q_vec).
+
+    ``eig_vecs_to_permute`` are the full-resolution eigvecs of the
+    NON-reference graph: the source's when ``target_as_reference`` (default)
+    — flipped/permuted into the target's mode order — or the target's when
+    False (assignment on Q.T, reference ``eigsort.py:75-78,100-122``).
 
     Mirrors reference ``eigsort.py:54-140`` semantics (see spectral/eigsort.py
     for the cost definitions and file:line citations).
@@ -92,7 +98,14 @@ def sort_eigenmaps_jit(
     Q = jnp.minimum(c, c_f)
     S = c > c_f
 
-    # Assignment on device (rows=target modes, cols=source modes).
+    # target_as_reference=False (eigsort.py:75-78,100-122) is the SAME
+    # algorithm run on the transposed cost: assignment over Q.T's rows
+    # (source modes), flips/permutation applied to the TARGET eigvecs.
+    if not target_as_reference:
+        Q = Q.T
+        S = S.T
+
+    # Assignment on device (rows=reference modes, cols=permuted-side modes).
     # k <= 8: exact static enumeration.  k > 8: exact device JV
     # (ops/assignment._jv_device) — replaces the round-1 epsilon-scaling
     # auction fallback, whose epsilon floor was too coarse for eigsort
@@ -113,11 +126,11 @@ def sort_eigenmaps_jit(
     Q_vec = Q[rows, src_of_tgt]
     flipped = S[rows, src_of_tgt]
 
-    # sign[col] = -1 where that source column is a flipped best-match.
+    # sign[col] = -1 where that permuted-side column is a flipped best-match.
     sign = jnp.ones((k,), jnp.float32).at[src_of_tgt].set(
         jnp.where(flipped, -1.0, 1.0)
     )
-    # Permutation matrix: out[:, t] = in[:, src_of_tgt[t]] (after flip).
-    P = jax.nn.one_hot(src_of_tgt, k, dtype=jnp.float32).T  # [k_src, k_tgt]
-    vecs = (eig_vecs_source * sign[None, :]) @ P
+    # Permutation matrix: out[:, r] = in[:, src_of_tgt[r]] (after flip).
+    P = jax.nn.one_hot(src_of_tgt, k, dtype=jnp.float32).T
+    vecs = (eig_vecs_to_permute * sign[None, :]) @ P
     return vecs, Q_vec

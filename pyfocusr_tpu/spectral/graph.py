@@ -305,7 +305,10 @@ class Graph:
                 from ..ops.eigen import chebyshev_eigpairs
 
                 lams, vecs_a, _resid = chebyshev_eigpairs(
-                    matvec, null_vec, key, k_req, lam_max_bound=lam_bound
+                    matvec, null_vec, key, k_req, lam_max_bound=lam_bound,
+                    quad_form=lambda V: graph_ops.sym_laplacian_quad_form(
+                        neighbors, weights, s, V, ov, ov_w
+                    ),
                 )
                 vecs = vecs_a * s[:, None]
                 vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)

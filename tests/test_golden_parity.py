@@ -266,3 +266,117 @@ class TestGoldenParityWeighted:
             axis=1,
         ).mean()
         assert abs(disp - disp_g) < 0.05 * disp_g, (disp, disp_g)
+
+
+class TestGoldenParityConfigSpace:
+    """Round-3 (VERDICT task 3): the fused pipeline covers the reference's
+    FULL config space; each corner gated by a golden generated through the
+    transcription with that config."""
+
+    TRIMMED = dict(
+        NOTEBOOK_COMMON,
+        non_rigid_max_iterations=60,
+        graph_smoothing_iterations=100,
+    )
+
+    def _run(self, mesh_t, mesh_s, cfg_extra, feats=False):
+        import jax
+
+        from pyfocusr_tpu.pipeline import (
+            PipelineConfig,
+            mesh_to_graph_arrays,
+            register_pair,
+        )
+
+        kw = {}
+        if feats:
+            # The reference normalizes features at Graph build
+            # (graph.py:121-142): z-score, clamp +-3, 0-1 min-max.
+            def norm(f):
+                f = np.asarray(f, np.float64)
+                f = np.clip((f - f.mean()) / f.std(), -3, 3)
+                return (f - f.min()) / (f.max() - f.min())
+
+            tg = mesh_to_graph_arrays(
+                mesh_t,
+                node_features=norm(mesh_t.point_data["thickness_change_(mm)"])[:, None],
+            )
+            sg = mesh_to_graph_arrays(
+                mesh_s,
+                node_features=norm(mesh_s.point_data["thickness_change_(mm)"])[:, None],
+            )
+        else:
+            tg = mesh_to_graph_arrays(mesh_t)
+            sg = mesh_to_graph_arrays(mesh_s)
+        cfg = PipelineConfig(
+            n_coords_spectral_ordering=10000, **{**self.TRIMMED, **cfg_extra}
+        )
+        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(res)
+        return res
+
+    def _gate(self, res, golden_name, mesh_t, agree_min=0.5, pick_max=1.0):
+        golden = np.load(f"tests/goldens/reference_golden_5k_{golden_name}.npz")
+        corr = np.asarray(res["correspondences"])
+        corr_g = golden["correspondences"]
+        agree = float((corr == corr_g).mean())
+        assert agree > agree_min, (golden_name, agree)
+        tgt = np.asarray(mesh_t.points, np.float64)
+        pick_d = np.linalg.norm(tgt[corr] - tgt[corr_g], axis=1).mean()
+        assert pick_d < pick_max, (golden_name, pick_d)
+        uniq = len(np.unique(corr)) / corr.shape[0]
+        uniq_g = len(np.unique(corr_g)) / len(corr_g)
+        assert abs(uniq - uniq_g) < 0.05, (golden_name, uniq, uniq_g)
+
+    def test_reverse_eigsort_reference(self, mesh_5k_target, mesh_5k_source):
+        """target_eigenmap_as_reference=False: assignment on Q.T, TARGET
+        eigenmaps flipped/permuted (reference eigsort.py:75-78,100-122)."""
+        res = self._run(
+            mesh_5k_target, mesh_5k_source,
+            {"target_eigenmap_as_reference": False},
+        )
+        self._gate(res, "trimmed_reverse", mesh_5k_target)
+
+    def test_feature_weighted_graph(self, mesh_5k_target, mesh_5k_source):
+        """use_features_in_graph + include_features_in_adj_matrix with the
+        bundled thickness scalar (reference graph.py:166-214)."""
+        res = self._run(
+            mesh_5k_target, mesh_5k_source,
+            {
+                "use_features_in_graph": True,
+                "include_features_in_adj_matrix": True,
+                "G_matrix_p_function": "exp",
+                "feature_weights_diag": (0.1,),
+            },
+            feats=True,
+        )
+        # STRONG gate: the feature-modulated OPERATOR itself — eigenvalues
+        # of L = G(D-W) with the feature G and feature-augmented adjacency
+        # must match the ARPACK golden tightly (measured: 8 matching
+        # digits; eigvec |cos| ~ 1.0).
+        golden = np.load(
+            "tests/goldens/reference_golden_5k_trimmed_featgraph.npz"
+        )
+        for key in ("eig_vals_target", "eig_vals_source"):
+            rel = (
+                np.abs(np.asarray(res[key], np.float64) - golden[key])
+                / golden[key]
+            )
+            assert rel.max() < 1e-3, (key, rel)
+        # End-to-end: this config is the NOISIEST corner (measured oracle
+        # seed-0-vs-seed-1 self-noise: 23.6% exact / 2.04 mm — the feature
+        # modulation compounds the CPD subsample noise), so exact agreement
+        # is gated loosely and quality parity carries the weight.
+        self._gate(
+            res, "trimmed_featgraph", mesh_5k_target,
+            agree_min=0.12, pick_max=2.9,
+        )
+
+    def test_icp_reversed_direction(self, mesh_5k_target, mesh_5k_source):
+        """icp_reg_target_to_source=True: the TARGET mesh is pre-aligned
+        onto the source (reference focusr.py:110-121)."""
+        res = self._run(
+            mesh_5k_target, mesh_5k_source,
+            {"icp_reg_target_to_source": True},
+        )
+        self._gate(res, "trimmed_icprev", mesh_5k_target)

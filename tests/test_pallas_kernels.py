@@ -113,3 +113,51 @@ def test_sinkhorn_duals_streamed_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_jv_device_pallas_interpret_matches_scipy():
+    """The VMEM-resident Dijkstra kernel (interpret mode on CPU) is EXACT:
+    same objective and indices as scipy's JV on a random cost."""
+    from scipy.optimize import linear_sum_assignment
+
+    from pyfocusr_tpu.ops.assignment import _bulk_match
+    from pyfocusr_tpu.ops.pallas_kernels import jv_device_pallas
+
+    rng = np.random.default_rng(0)
+    n = 96
+    cost = jnp.asarray(rng.random((n, n)), jnp.float32)
+    v0 = jnp.zeros((n,), jnp.float32)
+    u0, r4c0, c4r0 = _bulk_match(cost, v0)
+    col, steps = jv_device_pallas(
+        cost, u0, v0, r4c0, c4r0, 60 * n, n, interpret=True
+    )
+    col = np.asarray(col)
+    assert sorted(col) == list(range(n))
+    ri, ci = linear_sum_assignment(np.asarray(cost))
+    obj = np.asarray(cost)[np.arange(n), col].sum()
+    obj_ref = np.asarray(cost)[ri, ci].sum()
+    assert abs(obj - obj_ref) < 1e-5 * max(obj_ref, 1.0), (obj, obj_ref)
+
+
+def test_jv_device_pallas_interpret_warm_started():
+    """With Sinkhorn-style warm duals (arbitrary feasible v0) the kernel
+    still returns the exact optimum."""
+    from scipy.optimize import linear_sum_assignment
+
+    from pyfocusr_tpu.ops.assignment import _bulk_match
+    from pyfocusr_tpu.ops.pallas_kernels import jv_device_pallas
+
+    rng = np.random.default_rng(3)
+    n = 64
+    A = rng.normal(size=(n, 3))
+    B = A[rng.permutation(n)] + rng.normal(size=(n, 3)) * 0.01
+    cost = jnp.asarray(
+        np.linalg.norm(A[:, None, :] - B[None, :, :], axis=-1), jnp.float32
+    )
+    v0 = jnp.asarray(rng.normal(size=n) * 0.01, jnp.float32)
+    u0, r4c0, c4r0 = _bulk_match(cost, v0)
+    col, _ = jv_device_pallas(cost, u0, v0, r4c0, c4r0, 60 * n, n, interpret=True)
+    ri, ci = linear_sum_assignment(np.asarray(cost))
+    obj = np.asarray(cost)[np.arange(n), np.asarray(col)].sum()
+    obj_ref = np.asarray(cost)[ri, ci].sum()
+    assert abs(obj - obj_ref) < 1e-5 * max(obj_ref, 1.0), (obj, obj_ref)

@@ -115,6 +115,27 @@ def run_weighted():
     print(f"[5k/weighted] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
 
 
+def run_variant(name, **extra):
+    """Trimmed-config golden for one config-space variant (round-3: the
+    fused pipeline must cover the whole reference config space, each corner
+    gated by a golden from the transcription)."""
+    tgt_p, tgt_t, tgt_pd = read_vtk_polydata(f"{DATA}/target_mesh.vtk")
+    src_p, src_t, src_pd = read_vtk_polydata(f"{DATA}/source_mesh.vtk")
+    if extra.pop("with_thickness_feature", False):
+        extra["target_features"] = tgt_pd["thickness_change_(mm)"]
+        extra["source_features"] = src_pd["thickness_change_(mm)"]
+    t0 = time.time()
+    res = run_reference_pipeline(
+        tgt_p, tgt_t, src_p, src_t,
+        initial_correspondence_type="kd",
+        **{**TRIMMED_CONFIG, **extra},
+    )
+    out = os.path.join(OUT_DIR, f"reference_golden_5k_{name}.npz")
+    np.savez_compressed(out, **{k: np.asarray(v) for k, v in res.items()})
+    uniq = len(np.unique(res["correspondences"]))
+    print(f"[5k/{name}] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for init_type in ("hungarian", "kd"):
@@ -127,6 +148,19 @@ def main():
     )
     run_trimmed()
     run_weighted()
+    # Config-space variant goldens (round 3): reverse eigsort reference,
+    # feature-weighted graph (thickness scalar in adjacency + G matrix),
+    # reversed ICP direction.
+    run_variant("trimmed_reverse", target_eigenmap_as_reference=False)
+    run_variant(
+        "trimmed_featgraph",
+        with_thickness_feature=True,
+        use_features_in_graph=True,
+        include_features_in_adj_matrix=True,
+        G_matrix_p_function="exp",
+        feature_weights=np.diag([0.1]),
+    )
+    run_variant("trimmed_icprev", icp_reg_target_to_source=True)
 
 
 if __name__ == "__main__":
