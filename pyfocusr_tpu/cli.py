@@ -65,6 +65,10 @@ def main(argv=None):
     p_ssm.add_argument("--template-index", type=int, default=0)
     p_ssm.add_argument("--n-modes", type=int, default=0,
                        help="0 = all (capped at n_subjects - 1)")
+    p_ssm.add_argument("--project", nargs="+", default=[], metavar="MESH",
+                       help="held-out meshes to fit to the built model: "
+                       "register the template to each, project onto the "
+                       "modes, report coefficients + reconstruction error")
     _add_common(p_ssm)
     _add_common(p_coh)
 
@@ -227,6 +231,29 @@ def main(argv=None):
             variances=np.asarray(variances),
             motions=np.asarray(motions),
         )
+        projections = {}
+        if args.project:
+            from .parallel.cohort import fit_subject_to_ssm
+
+            for pi, path in enumerate(args.project):
+                held_out = load_mesh(path)
+                coeffs, recon, resid = fit_subject_to_ssm(
+                    held_out, template_mesh, mean, modes, cfg,
+                    jax.random.PRNGKey(args.seed + 1000 + pi),
+                )
+                sd = np.sqrt(np.maximum(np.asarray(variances), 1e-30))
+                projections[os.path.basename(path)] = {
+                    "coefficients": [round(float(c), 5) for c in np.asarray(coeffs)],
+                    "coefficients_sd_units": [
+                        round(float(c / s), 3)
+                        for c, s in zip(np.asarray(coeffs), sd)
+                    ],
+                    "residual_rms_mm": round(float(resid), 4),
+                }
+                recon_mesh = template_mesh.with_points(recon)
+                out_name = f"ssm_recon_{os.path.splitext(os.path.basename(path))[0]}.vtk"
+                save_mesh(os.path.join(args.out_dir, out_name), recon_mesh)
+                projections[os.path.basename(path)]["output"] = out_name
         print(
             json.dumps(
                 {
@@ -238,6 +265,7 @@ def main(argv=None):
                         round(float(v), 6) for v in np.asarray(variances)
                     ],
                     "outputs": ["ssm_template.vtk", "ssm_modes.npz"],
+                    **({"projections": projections} if projections else {}),
                 }
             )
         )

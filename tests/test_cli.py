@@ -120,3 +120,43 @@ def test_ssm_command(tmp_path):
     z = np.load(tmp_path / "ssm_modes.npz")
     assert z["modes"].shape[1] == pts.shape[0]
     assert np.all(np.isfinite(z["variances"]))
+
+
+def test_ssm_project_flag(tmp_path):
+    """`ssm --project held_out.vtk`: out-of-sample fit reports per-mode
+    coefficients + residual and writes the reconstruction mesh."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    paths = []
+    for i in range(3):
+        w = pts * (1.0 + 0.04 * (i + 1) * np.sin(3 * pts[:, [1]]))
+        p = tmp_path / f"subj{i}.vtk"
+        save_mesh(str(p), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+        paths.append(str(p))
+    held = tmp_path / "held_out.vtk"
+    w = pts * (1.0 + 0.1 * np.sin(3 * pts[:, [1]]))
+    save_mesh(str(held), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+    proc = _run_cli(
+        [
+            "ssm", *paths[:2], "-o", str(tmp_path),
+            "--project", str(held),
+            "--iterations", "1",
+            "--non-rigid-max-iterations", "10",
+            "--graph-smoothing-iterations", "10",
+            "--n-coords-spectral-registration", "100",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    proj = out["projections"]["held_out.vtk"]
+    assert "coefficients" in proj and "residual_rms_mm" in proj
+    assert np.isfinite(proj["residual_rms_mm"])
+    assert (tmp_path / proj["output"]).exists()

