@@ -29,6 +29,7 @@ meshes from the bundled ones.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -97,8 +98,9 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
     Returns (coarse_pts, coarse_tris, label)."""
     n = pts.shape[0]
     e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
-    e = np.unique(np.sort(e, axis=1), axis=0)
-    u, v = e[:, 0], e[:, 1]
+    e = np.sort(e, axis=1)
+    ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
+    u, v = ukey // n, ukey % n
 
     # --- Luby MIS: a vertex joins the set when its random priority beats
     # every unresolved neighbor's; neighbors of new seeds drop out. ---
@@ -156,7 +158,11 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
     keep = (
         (ct[:, 0] != ct[:, 1]) & (ct[:, 1] != ct[:, 2]) & (ct[:, 0] != ct[:, 2])
     )
-    ct = np.unique(np.sort(ct[keep], axis=1), axis=0)
+    cts = np.sort(ct[keep], axis=1)
+    tkey = np.unique(
+        (cts[:, 0] * np.int64(nc) + cts[:, 1]) * nc + cts[:, 2]
+    )
+    ct = np.stack([tkey // (nc * nc), (tkey // nc) % nc, tkey % nc], axis=1)
     return coarse_pts, ct, label
 
 
@@ -302,9 +308,24 @@ def register_pair_multires(
     coarse_corr = np.asarray(coarse_res["correspondences"], np.int64)
     init_fine = rep_t[coarse_corr[map_s]]
 
+    # The prolonged correspondence is piecewise-constant over coarse
+    # clusters (~ratio fine vertices share one target), so the fine-level
+    # projection smoothing must diffuse far enough to separate cluster
+    # members.  Swept on the 60k pair (ratio 4.3): 1 iteration leaves
+    # unique fraction at 0.74 (below the direct-registration 0.87), ~5x
+    # ratio reaches 0.85 at equal surface distance, and beyond ~70 the
+    # extra smoothing starts degrading surface distance — hence the cap.
+    ratio = source_mesh.n_points / max(cs_mesh.n_points, 1)
+    proj_iters = min(
+        max(cfg.projection_smooth_iterations, int(round(5.0 * ratio))), 100
+    )
+    fine_cfg = dataclasses.replace(
+        cfg, projection_smooth_iterations=proj_iters
+    )
+
     tg = mesh_to_graph_arrays(target_mesh)
     sg = mesh_to_graph_arrays(source_mesh)
     fine_res = _refine_fine_level(
-        tg, sg, jnp.asarray(init_fine, jnp.int32), cfg
+        tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg
     )
     return fine_res, coarse_res
