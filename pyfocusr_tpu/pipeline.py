@@ -56,6 +56,7 @@ __all__ = [
     "GraphArrays",
     "mesh_to_graph_arrays",
     "register_pair",
+    "landmark_pairs_from_positions",
 ]
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -523,6 +524,34 @@ def _rand_idxs(key, mask, n_samples: int):
 def _normed(pts):
     mn = jnp.min(pts, axis=0)
     return (pts - mn) / (jnp.max(pts, axis=0) - mn)
+
+
+def landmark_pairs_from_positions(
+    source_mesh, target_mesh, source_positions, target_positions
+):
+    """Build ``register_pair``'s ``landmark_pairs`` (i32 [L, 2] vertex
+    indices) from physical landmark POSITIONS by snapping each to the
+    nearest mesh vertex — the form anatomical landmarks usually arrive in
+    (picked coordinates, not vertex ids).
+
+    ``source_positions`` / ``target_positions``: f32 [L, 3] paired landmark
+    coordinates on the source and target surfaces.  Returns (pairs
+    i32 [L, 2], snap_distances f32 [L, 2]) — inspect the distances to catch
+    landmarks that do not actually lie on the surfaces.
+    """
+    from .ops.knn import nn_query
+
+    sp = jnp.asarray(source_positions, jnp.float32)
+    tp = jnp.asarray(target_positions, jnp.float32)
+    if sp.shape != tp.shape or sp.ndim != 2 or sp.shape[1] != 3:
+        raise ValueError(
+            "source/target landmark positions must both be [L, 3]; got "
+            f"{sp.shape} and {tp.shape}"
+        )
+    d_s, idx_s = nn_query(jnp.asarray(source_mesh.points, jnp.float32), sp)
+    d_t, idx_t = nn_query(jnp.asarray(target_mesh.points, jnp.float32), tp)
+    pairs = jnp.stack([idx_s, idx_t], axis=1).astype(jnp.int32)
+    return pairs, jnp.stack([d_s, d_t], axis=1)
 
 
 def _n_real_vertices(graph: GraphArrays):

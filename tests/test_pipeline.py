@@ -380,3 +380,24 @@ def test_pipeline_feature_mismatch_raises():
     reg.graph_source.n_extra_features = 0
     with pytest.raises(Exception, match="dont match"):
         reg._pipeline_features_flag()
+
+
+def test_landmark_pairs_from_positions():
+    """Positions snap to nearest vertices; distances are reported so
+    off-surface landmarks are detectable."""
+    from pyfocusr_tpu.pipeline import landmark_pairs_from_positions
+
+    target = load_mesh(f"{DATA}/target_mesh.vtk")
+    source = load_mesh(f"{DATA}/source_mesh.vtk")
+    src_idx = np.array([10, 500, 4000])
+    tgt_idx = np.array([20, 600, 4500])
+    sp = np.asarray(source.points)[src_idx] + 0.01  # slightly off-surface
+    tp = np.asarray(target.points)[tgt_idx] + 0.01
+    pairs, dists = landmark_pairs_from_positions(source, target, sp, tp)
+    np.testing.assert_array_equal(np.asarray(pairs)[:, 0], src_idx)
+    np.testing.assert_array_equal(np.asarray(pairs)[:, 1], tgt_idx)
+    # f32 pairwise-distance noise floor at ~50 mm coordinates is ~0.06 mm;
+    # gate well below the ~1.5 mm edge length instead.
+    assert float(np.max(np.asarray(dists))) < 0.3
+    with pytest.raises(ValueError, match="L, 3"):
+        landmark_pairs_from_positions(source, target, sp, tp[:2])
