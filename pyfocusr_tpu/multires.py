@@ -316,8 +316,10 @@ def register_pair_multires(
     # ratio reaches 0.85 at equal surface distance, and beyond ~70 the
     # extra smoothing starts degrading surface distance — hence the cap.
     ratio = source_mesh.n_points / max(cs_mesh.n_points, 1)
-    proj_iters = min(
-        max(cfg.projection_smooth_iterations, int(round(5.0 * ratio))), 100
+    # Cap only the AUTO-derived term: an explicitly configured larger
+    # projection_smooth_iterations is the user's call and is honored.
+    proj_iters = max(
+        cfg.projection_smooth_iterations, min(int(round(5.0 * ratio)), 100)
     )
     fine_cfg = dataclasses.replace(
         cfg, projection_smooth_iterations=proj_iters

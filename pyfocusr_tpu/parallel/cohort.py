@@ -83,10 +83,22 @@ def _batched_register(targets, template, cfg, keys):
     )(targets, keys)
 
 
-def check_cohort_config(meshes_min_points: int, cfg: PipelineConfig) -> None:
-    """Padded-cohort sampling constraint: subsample sizes must not exceed the
-    smallest real vertex count, or padding rows leak into the eigsort/CPD
-    subsamples (pipeline._rand_idxs has static sample sizes)."""
+def check_cohort_config(
+    meshes_min_points: int,
+    cfg: PipelineConfig,
+    padded_size: int | None = None,
+) -> None:
+    """Padded-cohort hazards, checked pre-jit (the per-pair guards in
+    ``pipeline._check_padding_hazards`` cannot run under vmap/shard_map
+    tracers):
+
+    1. subsample sizes must not exceed the smallest real vertex count, or
+       padding rows leak into the eigsort/CPD subsamples
+       (pipeline._rand_idxs has static sample sizes);
+    2. 'hungarian' correspondences are one-to-one over ALL rows, so any
+       padding (``padded_size`` > smallest real count) would let padding
+       rows steal assignments — rejected outright.
+    """
     for name in ("n_coords_spectral_ordering", "n_coords_spectral_registration"):
         if getattr(cfg, name) > meshes_min_points:
             raise ValueError(
@@ -95,6 +107,18 @@ def check_cohort_config(meshes_min_points: int, cfg: PipelineConfig) -> None:
                 "into subsamples. Lower it to at most the smallest real "
                 "vertex count."
             )
+    use_hungarian = (
+        cfg.initial_correspondence_type == "hungarian"
+        or cfg.final_correspondence_type == "hungarian"
+    )
+    if use_hungarian and padded_size is not None and padded_size > meshes_min_points:
+        raise ValueError(
+            "'hungarian' correspondences need unpadded equal-size graphs: "
+            f"the cohort is padded to {padded_size} rows but the smallest "
+            f"mesh has {meshes_min_points} real vertices, so padding rows "
+            "would participate in the one-to-one assignment. Use "
+            "correspondence type 'kd' for padded cohorts."
+        )
 
 
 def register_cohort(
@@ -123,7 +147,9 @@ def register_cohort(
         )
     )
     min_real = min(min_real, int(float(jnp.sum(template.valid_mask))))
-    check_cohort_config(min_real, cfg)
+    check_cohort_config(
+        min_real, cfg, padded_size=int(template.valid_mask.shape[0])
+    )
     keys = jax.random.split(key, batch)
 
     if device_mesh is None:
@@ -322,10 +348,18 @@ def cohort_shape_modes(corresponded_points, n_modes: int | None = None):
     m = min(n_modes, B) if n_modes is not None else B
     idx = jnp.arange(B - 1, B - 1 - m, -1)  # descending variance
     variances = jnp.maximum(evals[idx], 0.0)
-    # modes = C^T y / ||C^T y||; columns with ~zero variance stay zero.
+    # modes = C^T y / ||C^T y||.  Columns whose variance is at the f32
+    # noise floor must be ZEROED, not normalized: their raw vector is
+    # eps-level noise inside span(C), and normalizing it yields a garbage
+    # direction NON-orthogonal to the real modes — ssm_project would then
+    # double-count energy and mis-reconstruct (caught by the in-sample
+    # exact-reconstruction test).  Threshold relative to the largest mode.
     raw = jnp.dot(C.T, evecs[:, idx], precision=jax.lax.Precision.HIGHEST)
     norms = jnp.linalg.norm(raw, axis=0, keepdims=True)
-    modes = jnp.where(norms > 1e-20, raw / jnp.maximum(norms, 1e-20), 0.0)
+    valid = variances > 1e-6 * jnp.maximum(variances[0], 1e-30)
+    modes = jnp.where(
+        valid[None, :], raw / jnp.maximum(norms, 1e-20), 0.0
+    )
     return (
         mean.reshape(N, D),
         modes.T.reshape(m, N, D),
