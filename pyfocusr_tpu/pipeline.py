@@ -162,6 +162,12 @@ class PipelineConfig:
     # 6 chunks on every parity gate (5k eigval rel 1e-6, |cos| 1.0) at ~15%
     # less time; 4x40 and 5x25 also passed — 5x33 keeps the most SVQB
     # rank-resets per filter step for robustness on irregular meshes.
+    # Re-swept round 3 END-TO-END: 4 or 3 chunks leave eigVALUES unchanged
+    # (the 15k floor is operator-data-bound) but drop golden exact
+    # agreement 72% -> 63-65% and pick distance 0.55 -> 0.7 mm (in-cluster
+    # eigVECTOR rotation the eigvalue probes cannot see — the round-2
+    # adaptive-stop lesson) for only ~30 ms of the 256 ms headline; not
+    # worth it.
     eig_wide_block: int = 128
     eig_wide_degree: int = 33
     eig_wide_chunks: int = 5

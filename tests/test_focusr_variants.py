@@ -199,8 +199,12 @@ def test_align_maps_pipeline_fast_path(meshes):
         list_features_to_calc=[],
         **FAST,
     )
-    with pytest.raises(ValueError, match="fused pipeline"):
-        reg2.align_maps_pipeline()
+    # Round 3: target_eigenmap_as_reference=False is now COVERED by the
+    # fused pipeline (reverse eigsort; golden-gated in test_golden_parity's
+    # config-space class) — it must run, not raise.
+    reg2.align_maps_pipeline()
+    corr2 = np.asarray(reg2.corresponding_target_idx_for_each_source_pt)
+    assert len(np.unique(corr2)) > 0.5 * corr2.shape[0]
 
 
 @pytest.mark.slow
