@@ -72,6 +72,18 @@ def main(argv=None):
     _add_common(p_ssm)
     _add_common(p_coh)
 
+    p_warm = sub.add_parser(
+        "warmup",
+        help="pre-compile the registration program for a mesh pair's "
+        "shapes (populates the persistent compile cache); --export writes "
+        "a portable AOT artifact for serving (utils/aot.py)",
+    )
+    p_warm.add_argument("target")
+    p_warm.add_argument("source")
+    p_warm.add_argument("--export", default="", metavar="FILE",
+                        help="also serialize the lowered program to FILE")
+    _add_common(p_warm)
+
     p_info = sub.add_parser("info", help="print mesh statistics")
     p_info.add_argument("mesh")
 
@@ -129,7 +141,8 @@ def main(argv=None):
         n_coords_spectral_registration=args.n_coords_spectral_registration,
         n_coords_spectral_ordering=args.n_coords_spectral_ordering,
     )
-    os.makedirs(args.out_dir, exist_ok=True)
+    if getattr(args, "out_dir", None):
+        os.makedirs(args.out_dir, exist_ok=True)
 
     def clamp_cohort_cfg(cfg, meshes):
         """Padded cohorts must not subsample more points than the smallest
@@ -147,6 +160,29 @@ def main(argv=None):
                 cfg.n_coords_spectral_registration, n_min
             ),
         )
+
+    if args.cmd == "warmup":
+        target = load_mesh(args.target)
+        source = load_mesh(args.source)
+        tg, sg = mesh_to_graph_arrays(target), mesh_to_graph_arrays(source)
+        t0 = time.perf_counter()
+        res = register_pair(tg, sg, cfg, jax.random.PRNGKey(args.seed))
+        jax.block_until_ready(res)
+        t_compile = time.perf_counter() - t0
+        out = {
+            "compile_plus_first_run_s": round(t_compile, 3),
+            "n_target": target.n_points,
+            "n_source": source.n_points,
+        }
+        if args.export:
+            from .utils.aot import export_registration
+
+            t0 = time.perf_counter()
+            export_registration(cfg, tg, sg, args.export)
+            out["export"] = args.export
+            out["export_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "register":
         target = load_mesh(args.target)

@@ -160,3 +160,36 @@ def test_ssm_project_flag(tmp_path):
     assert "coefficients" in proj and "residual_rms_mm" in proj
     assert np.isfinite(proj["residual_rms_mm"])
     assert (tmp_path / proj["output"]).exists()
+
+
+def test_warmup_command(tmp_path):
+    """`pyfocusr-tpu warmup`: precompile + optional AOT export artifact."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    t = tmp_path / "t.vtk"; s = tmp_path / "s.vtk"
+    save_mesh(str(t), TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+    w = pts * (1.0 + 0.05 * np.sin(3 * pts[:, [1]]))
+    save_mesh(str(s), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+    exp_path = tmp_path / "reg.jaxexp"
+    proc = _run_cli(
+        [
+            "warmup", str(t), str(s), "--export", str(exp_path),
+            "--non-rigid-max-iterations", "10",
+            "--graph-smoothing-iterations", "10",
+            "--n-coords-spectral-registration", "100",
+            "--n-coords-spectral-ordering", "150",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    import json as _json
+
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["compile_plus_first_run_s"] > 0
+    assert exp_path.exists() and exp_path.stat().st_size > 10000

@@ -91,3 +91,55 @@ def test_focusr_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(reg2.corresponding_target_idx_for_each_source_pt), np.arange(5)
     )
+
+
+class TestAOTExport:
+    """Serving path: exported registration programs round-trip through
+    serialization and reproduce register_pair exactly (utils/aot.py)."""
+
+    def test_export_load_roundtrip(self, tmp_path):
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        import jax
+        import jax.numpy as jnp
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+        from pyfocusr_tpu.pipeline import (
+            PipelineConfig,
+            mesh_to_graph_arrays,
+            register_pair,
+        )
+        from pyfocusr_tpu.utils.aot import export_registration, load_registration
+
+        pts, tris = make_sphere(n_theta=10, n_phi=20)
+        t = TriMesh(jnp.asarray(pts * 1.0, jnp.float32), jnp.asarray(tris))
+        s = TriMesh(
+            jnp.asarray(pts * (1.0 + 0.05 * np.sin(3 * pts[:, [1]])), jnp.float32),
+            jnp.asarray(tris),
+        )
+        tg, sg = mesh_to_graph_arrays(t), mesh_to_graph_arrays(s)
+        cfg = PipelineConfig(
+            icp_iterations=10,
+            n_coords_spectral_ordering=150,
+            n_coords_spectral_registration=100,
+            non_rigid_max_iterations=10,
+            non_rigid_n_eigens=30,
+            graph_smoothing_iterations=10,
+            projection_smooth_iterations=2,
+            eig_cg_iters=60,
+        )
+        path = export_registration(cfg, tg, sg, str(tmp_path / "reg.jaxexp"))
+        runner = load_registration(path)
+        key = jax.random.PRNGKey(3)
+        out = runner(tg, sg, key)
+        ref = register_pair(tg, sg, cfg, key)
+        np.testing.assert_array_equal(
+            np.asarray(out["correspondences"]), np.asarray(ref["correspondences"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["weighted_points"]),
+            np.asarray(ref["weighted_points"]),
+            atol=1e-6,
+        )
