@@ -122,6 +122,41 @@ def build_topology(
     behavior is identical on them).
     """
     tris = np.asarray(triangles, dtype=np.int64)
+
+    # Native C++ fast path (native/fast_topology.cpp): identical outputs
+    # (byte-for-byte — gated by tests/test_native_topology.py), one pass
+    # instead of several sort/unique/accumulate sweeps; matters on the
+    # multiresolution critical path (240k mesh: ~10 s numpy -> ~0.3 s).
+    if tris.size:
+        from .native import topology_native
+
+        head = topology_native(tris, n_points, None)
+        if head is not None:
+            edges_n, edge_faces_n, true_max_n = head[0], head[1], head[2]
+            max_deg_n = true_max_n if true_max_n > 0 else 1
+            if degree_cap is not None and max_deg_n > degree_cap:
+                max_deg_n = degree_cap
+            if pad_degree is not None:
+                if pad_degree < max_deg_n:
+                    raise ValueError(
+                        f"pad_degree {pad_degree} < degree {max_deg_n}"
+                    )
+                max_deg_n = pad_degree
+            full = topology_native(tris, n_points, max_deg_n)
+            if full is not None:
+                (edges_n, edge_faces_n, _tm, neighbors_n, mask_n,
+                 overflow_n, labels_n, n_comp_n) = full
+                return MeshTopology(
+                    edges=edges_n,
+                    neighbors=neighbors_n,
+                    nbr_mask=mask_n,
+                    max_degree=max_deg_n,
+                    edge_faces=edge_faces_n,
+                    component_labels=labels_n,
+                    n_components=n_comp_n if n_points else 0,
+                    overflow_edges=overflow_n,
+                )
+
     if tris.size == 0:
         edges = np.zeros((0, 2), dtype=np.int32)
         edge_faces = np.zeros((0, 2), dtype=np.int32)

@@ -41,6 +41,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.topo_edges.restype = ctypes.c_int64
+        lib.topo_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.topo_fill.restype = ctypes.c_int64
+        lib.topo_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.parse_longs.restype = ctypes.c_int64
         lib.parse_longs.argtypes = [
             ctypes.c_char_p,
@@ -89,3 +110,66 @@ def parse_doubles_native(data: bytes, max_out: int) -> Optional[np.ndarray]:
         ctypes.byref(consumed),
     )
     return out[:n]
+
+
+def topology_native(tris: np.ndarray, n_points: int, max_deg: int):
+    """C++ topology build (native/fast_topology.cpp): returns
+    (edges i32 [E,2], edge_faces i32 [E,2], true_max_degree, neighbors
+    i32 [N, max_deg], mask f32 [N, max_deg], overflow i32 [O,2], labels
+    i32 [N], n_components) or None when the library is unavailable.
+
+    Two-call protocol: pass max_deg=None for the first call (edge list +
+    true degree only).  The caller decides the ELL width (cap/pad) and
+    calls again with max_deg set — the wrapper below does both.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "topo_edges"):
+        return None
+    tris64 = np.ascontiguousarray(tris, dtype=np.int64)
+    n_faces = tris64.shape[0]
+    cap = max(3 * n_faces, 1)
+    edges = np.empty((cap, 2), np.int32)
+    edge_faces = np.empty((cap, 2), np.int32)
+    true_max = np.zeros(1, np.int64)
+    n_edges = lib.topo_edges(
+        tris64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_faces,
+        n_points,
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        edge_faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        true_max.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n_edges < 0:
+        return None  # out-of-range indices: let the numpy path raise
+    edges = np.ascontiguousarray(edges[:n_edges])
+    edge_faces = edge_faces[:n_edges].copy()
+    if max_deg is None:
+        return edges, edge_faces, int(true_max[0]), None, None, None, None, 0
+    neighbors = np.tile(
+        np.arange(n_points, dtype=np.int32)[:, None], (1, max_deg)
+    )
+    mask = np.zeros((n_points, max_deg), np.float32)
+    overflow = np.empty((max(2 * n_edges, 1), 2), np.int32)
+    labels = np.empty(n_points, np.int32)
+    n_comp = np.zeros(1, np.int64)
+    n_ov = lib.topo_fill(
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_edges,
+        n_points,
+        max_deg,
+        neighbors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return (
+        edges,
+        edge_faces,
+        int(true_max[0]),
+        neighbors,
+        mask,
+        overflow[:n_ov].copy(),
+        labels,
+        int(n_comp[0]),
+    )

@@ -1,0 +1,104 @@
+"""Native C++ topology builder (native/fast_topology.cpp) vs the numpy
+reference implementation: byte-identical outputs on real and adversarial
+meshes.  Skips when the shared library is not built."""
+
+import numpy as np
+import pytest
+
+from pyfocusr_tpu.native import get_lib, topology_native
+
+
+def _numpy_topology(tris, n_points, **kw):
+    """Run build_topology with the native path disabled."""
+    import pyfocusr_tpu.mesh as mesh_mod
+    import pyfocusr_tpu.native as native_mod
+
+    orig = native_mod.topology_native
+    native_mod.topology_native = lambda *a, **k: None
+    try:
+        return mesh_mod.build_topology(tris, n_points, **kw)
+    finally:
+        native_mod.topology_native = orig
+
+
+def _native_topology(tris, n_points, **kw):
+    import pyfocusr_tpu.mesh as mesh_mod
+
+    return mesh_mod.build_topology(tris, n_points, **kw)
+
+
+requires_native = pytest.mark.skipif(
+    get_lib() is None or not hasattr(get_lib(), "topo_edges"),
+    reason="native library not built",
+)
+
+
+def _assert_equal(a, b):
+    np.testing.assert_array_equal(a.edges, b.edges)
+    np.testing.assert_array_equal(a.edge_faces, b.edge_faces)
+    np.testing.assert_array_equal(a.neighbors, b.neighbors)
+    np.testing.assert_array_equal(a.nbr_mask, b.nbr_mask)
+    np.testing.assert_array_equal(a.component_labels, b.component_labels)
+    np.testing.assert_array_equal(a.overflow_edges, b.overflow_edges)
+    assert a.max_degree == b.max_degree
+    assert a.n_components == b.n_components
+
+
+@requires_native
+def test_bundled_meshes_identical():
+    from pyfocusr_tpu import load_mesh
+
+    for name in ("target_mesh.vtk", "source_mesh_15k.vtk"):
+        m = load_mesh(f"/root/reference/data/{name}")
+        tris = np.asarray(m.triangles)
+        _assert_equal(
+            _native_topology(tris, m.n_points),
+            _numpy_topology(tris, m.n_points),
+        )
+
+
+@requires_native
+def test_random_soup_and_degenerates_identical():
+    rng = np.random.default_rng(0)
+    cases = []
+    for n, f in ((50, 120), (200, 500)):
+        cases.append((rng.integers(0, n, size=(f, 3)), n))
+    # disconnected: two islands + isolated vertices
+    t1 = rng.integers(0, 20, size=(30, 3))
+    t2 = rng.integers(30, 50, size=(30, 3))
+    cases.append((np.concatenate([t1, t2]), 60))
+    for tris, n in cases:
+        _assert_equal(
+            _native_topology(tris, n), _numpy_topology(tris, n)
+        )
+
+
+@requires_native
+def test_degree_cap_and_padding_identical():
+    rng = np.random.default_rng(1)
+    # hub: vertex 0 touches everyone
+    ring = np.arange(1, 40)
+    tris = np.stack([np.zeros_like(ring[:-1]), ring[:-1], ring[1:]], axis=1)
+    for kw in ({"degree_cap": 8}, {"degree_cap": 8, "pad_degree": 12},
+               {"degree_cap": None}):
+        _assert_equal(
+            _native_topology(tris, 40, **kw), _numpy_topology(tris, 40, **kw)
+        )
+
+
+@requires_native
+def test_speed_sanity():
+    """Native must not be slower than numpy at scale (soft gate: the host
+    is noisy, so just require it completes and returns the same counts)."""
+    import time
+
+    from pyfocusr_tpu import load_mesh
+    from pyfocusr_tpu.multires import subdivide
+
+    m = subdivide(load_mesh("/root/reference/data/target_mesh_15k.vtk"))
+    tris = np.asarray(m.triangles)
+    t0 = time.perf_counter()
+    topo = _native_topology(tris, m.n_points)
+    dt = time.perf_counter() - t0
+    assert topo.edges.shape[0] > 0
+    assert dt < 30.0, dt
