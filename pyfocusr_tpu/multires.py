@@ -97,10 +97,17 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
     the edge arrays; a 240k-vertex round runs in well under a second).
     Returns (coarse_pts, coarse_tris, label)."""
     n = pts.shape[0]
-    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
-    e = np.sort(e, axis=1)
-    ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
-    u, v = ukey // n, ukey % n
+    from .native import topology_native
+
+    head = topology_native(tris, n, None)
+    if head is not None:  # C++ edge extraction (same sorted unique edges)
+        u = head[0][:, 0].astype(np.int64)
+        v = head[0][:, 1].astype(np.int64)
+    else:
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
+        u, v = ukey // n, ukey % n
 
     # --- Luby MIS: a vertex joins the set when its random priority beats
     # every unresolved neighbor's; neighbors of new seeds drop out. ---
