@@ -110,17 +110,28 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
         u, v = ukey // n, ukey % n
 
     # --- Luby MIS: a vertex joins the set when its random priority beats
-    # every unresolved neighbor's; neighbors of new seeds drop out. ---
+    # every unresolved neighbor's; neighbors of new seeds drop out.
+    # Directed incidence arrays are sorted by source ONCE so each round's
+    # neighbor-min is a segment min via np.minimum.reduceat — unbuffered
+    # np.minimum.at was the decimation hotspot at 240k. ---
     prio = rng.permutation(n).astype(np.int64)
+    d_src = np.concatenate([u, v])
+    d_dst = np.concatenate([v, u])
+    order = np.argsort(d_src, kind="stable")
+    d_src, d_dst = d_src[order], d_dst[order]
+    seg_starts = np.searchsorted(d_src, np.arange(n))
+    has_edges = seg_starts < np.append(seg_starts[1:], len(d_src))
+    seg_red = seg_starts.copy()
+    seg_red[~has_edges] = 0  # reduceat needs valid indices; masked after
     state = np.zeros(n, np.int8)  # 0 unresolved, 1 seed, -1 blocked
     for _ in range(64):  # expected O(log n) rounds
         un = state == 0
         if not un.any():
             break
-        best_nbr = np.full(n, n + 1, np.int64)
-        live = un[u] & un[v]
-        np.minimum.at(best_nbr, u[live], prio[v[live]])
-        np.minimum.at(best_nbr, v[live], prio[u[live]])
+        # neighbor priority with resolved neighbors masked to +inf-like
+        nbr_prio = np.where(un[d_dst] & un[d_src], prio[d_dst], n + 1)
+        best_nbr = np.minimum.reduceat(nbr_prio, seg_red) if len(d_src) else np.full(n, n + 1)
+        best_nbr = np.where(has_edges, best_nbr, n + 1)
         new_seed = un & (prio < best_nbr)
         state[new_seed] = 1
         blocked = np.zeros(n, bool)
