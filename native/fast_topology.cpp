@@ -86,18 +86,16 @@ int64_t topo_fill(const int32_t* edges, int64_t n_edges, int64_t n_points,
                   int32_t* overflow_out, int32_t* labels_out,
                   int64_t* n_components_out) {
   std::vector<int64_t> slot(n_points, 0);
-  struct Spill { int32_t src, dst; int64_t ord; };
+  struct Spill { int32_t src, dst; };
   std::vector<Spill> spill;
-  int64_t ord = 0;
   auto add = [&](int32_t s, int32_t d) {
     if (slot[s] < max_deg) {
       neighbors_out[s * max_deg + slot[s]] = d;
       mask_out[s * max_deg + slot[s]] = 1.0f;
       ++slot[s];
     } else {
-      spill.push_back({s, d, ord});
+      spill.push_back({s, d});  // stable_sort preserves insertion order
     }
-    ++ord;
   };
   // numpy order: directed = [edges; edges reversed], stable-sorted by src.
   // Per source v that is: dst b of (v, b) edges in edge order, then dst a

@@ -142,10 +142,11 @@ def build_topology(
                         f"pad_degree {pad_degree} < degree {max_deg_n}"
                     )
                 max_deg_n = pad_degree
-            full = topology_native(tris, n_points, max_deg_n)
-            if full is not None:
-                (edges_n, edge_faces_n, _tm, neighbors_n, mask_n,
-                 overflow_n, labels_n, n_comp_n) = full
+            from .native import topology_fill_native
+
+            fill = topology_fill_native(edges_n, n_points, max_deg_n)
+            if fill is not None:
+                neighbors_n, mask_n, overflow_n, labels_n, n_comp_n = fill
                 return MeshTopology(
                     edges=edges_n,
                     neighbors=neighbors_n,

@@ -121,8 +121,13 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
     d_src, d_dst = d_src[order], d_dst[order]
     seg_starts = np.searchsorted(d_src, np.arange(n))
     has_edges = seg_starts < np.append(seg_starts[1:], len(d_src))
-    seg_red = seg_starts.copy()
-    seg_red[~has_edges] = 0  # reduceat needs valid indices; masked after
+    # reduceat ONLY over vertices that have edges: their starts are strictly
+    # increasing, so every segment is non-empty and correctly bounded.
+    # (Feeding all n starts with empty segments zeroed corrupts the
+    # PRECEDING vertex's min — reduceat treats idx[i] >= idx[i+1] as a
+    # single-element segment; caught by review with an isolated-vertex
+    # repro that produced two ADJACENT seeds.)
+    red_idx = seg_starts[has_edges]
     state = np.zeros(n, np.int8)  # 0 unresolved, 1 seed, -1 blocked
     for _ in range(64):  # expected O(log n) rounds
         un = state == 0
@@ -130,8 +135,9 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
             break
         # neighbor priority with resolved neighbors masked to +inf-like
         nbr_prio = np.where(un[d_dst] & un[d_src], prio[d_dst], n + 1)
-        best_nbr = np.minimum.reduceat(nbr_prio, seg_red) if len(d_src) else np.full(n, n + 1)
-        best_nbr = np.where(has_edges, best_nbr, n + 1)
+        best_nbr = np.full(n, n + 1, np.int64)
+        if len(red_idx):
+            best_nbr[has_edges] = np.minimum.reduceat(nbr_prio, red_idx)
         new_seed = un & (prio < best_nbr)
         state[new_seed] = 1
         blocked = np.zeros(n, bool)

@@ -25,6 +25,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(path):
         return None
     try:
+        # AttributeError covers a STALE _native.so missing newer symbols
+        # (e.g. built before fast_topology.cpp existed): fall back to the
+        # pure-Python paths instead of crashing every consumer.
         lib = ctypes.CDLL(path)
         lib.lap_jv.restype = ctypes.c_int
         lib.lap_jv.argtypes = [
@@ -71,7 +74,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -145,6 +148,23 @@ def topology_native(tris: np.ndarray, n_points: int, max_deg: int):
     edge_faces = edge_faces[:n_edges].copy()
     if max_deg is None:
         return edges, edge_faces, int(true_max[0]), None, None, None, None, 0
+    fill = topology_fill_native(edges, n_points, max_deg)
+    if fill is None:
+        return None
+    neighbors, mask, overflow, labels, n_comp = fill
+    return (edges, edge_faces, int(true_max[0]), neighbors, mask, overflow,
+            labels, n_comp)
+
+
+def topology_fill_native(edges: np.ndarray, n_points: int, max_deg: int):
+    """Pass-2 only: ELL fill + overflow + components from a precomputed
+    pass-1 edge list (avoids re-running the topo_edges sort — review
+    finding: build_topology was paying it twice)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "topo_fill"):
+        return None
+    edges = np.ascontiguousarray(edges, dtype=np.int32)
+    n_edges = edges.shape[0]
     neighbors = np.tile(
         np.arange(n_points, dtype=np.int32)[:, None], (1, max_deg)
     )
@@ -163,13 +183,4 @@ def topology_native(tris: np.ndarray, n_points: int, max_deg: int):
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n_comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
-    return (
-        edges,
-        edge_faces,
-        int(true_max[0]),
-        neighbors,
-        mask,
-        overflow[:n_ov].copy(),
-        labels,
-        int(n_comp[0]),
-    )
+    return neighbors, mask, overflow[:n_ov].copy(), labels, int(n_comp[0])

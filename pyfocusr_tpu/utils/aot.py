@@ -66,8 +66,12 @@ def export_registration(cfg, target_example, source_example, path: str) -> str:
     program accepts any inputs of those exact shapes.  The artifact is
     platform-specific (exported for the current default backend).
     """
-    from ..pipeline import _register_pair_jit
+    from ..pipeline import _check_padding_hazards, _register_pair_jit
 
+    # The example arrays are concrete, so the padding guards register_pair
+    # runs pre-jit apply here too — an exported 'hungarian' program must
+    # not silently serve corrupt assignments on padded graphs.
+    _check_padding_hazards(target_example, source_example, cfg)
     _ensure_serializable()
     fn = jax.jit(
         lambda tg, sg, key: _register_pair_jit(tg, sg, cfg, key)

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyfocusr_tpu.utils.checkpoint import load_results, save_results
 from pyfocusr_tpu.utils.logging import StageTimer, print_header
@@ -143,3 +144,28 @@ class TestAOTExport:
             np.asarray(ref["weighted_points"]),
             atol=1e-6,
         )
+
+    def test_export_rejects_padded_hungarian(self, tmp_path):
+        """Review regression: exporting a padded-graph 'hungarian' program
+        must raise like register_pair does, not serve corrupt assignments."""
+        import dataclasses
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        import jax.numpy as jnp
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+        from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+        from pyfocusr_tpu.utils.aot import export_registration
+
+        pts, tris = make_sphere(n_theta=10, n_phi=20)
+        m = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+        g_pad = mesh_to_graph_arrays(m, pad_n_points=m.n_points + 64)
+        cfg = PipelineConfig(
+            initial_correspondence_type="hungarian",
+            n_coords_spectral_ordering=100,
+            n_coords_spectral_registration=80,
+        )
+        with pytest.raises(ValueError, match="unpadded"):
+            export_registration(cfg, g_pad, g_pad, str(tmp_path / "x.jaxexp"))

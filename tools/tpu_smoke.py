@@ -81,7 +81,10 @@ def main():
     uniq = len(np.unique(corr)) / corr.shape[0]
     check("register_5k_quality", uniq > 0.8,
           {"unique_fraction": round(uniq, 4), "first_run_s": round(t_first, 2)})
-    gold_path = "tests/goldens/reference_golden_5k_kd.npz"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gold_path = os.path.join(
+        repo_root, "tests", "goldens", "reference_golden_5k_kd.npz"
+    )
     if os.path.exists(gold_path):
         g = np.load(gold_path)
         agree = float((corr == g["correspondences"]).mean())
