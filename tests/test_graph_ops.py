@@ -146,3 +146,33 @@ def test_coincident_vertices_no_inf():
     assert np.all(np.isfinite(np.asarray(w)))
     d = G.degree_vector(w)
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_g_vector_all_p_functions_match_transcription():
+    """Every G_matrix_p_function corner ('exp'/'log'/'square'/'shift') of the
+    feature G matrix matches the f64 transcription (reference
+    graph.py:180-214) — the golden config-space gate covers 'exp' end to
+    end; this pins the other three transforms at formula level."""
+    import numpy as np
+
+    from pyfocusr_tpu.ops import graph_ops
+    from tools.reference_pipeline import reference_g_vector
+
+    rng = np.random.default_rng(0)
+    n, k = 500, 2
+    feats = rng.uniform(0.0, 1.0, size=(k, n))  # normalized-feature range
+    d = rng.uniform(5.0, 50.0, size=n)
+    fw = np.diag([0.1, 0.7])
+    for p in ("exp", "log", "square", "shift"):
+        ours = np.asarray(
+            graph_ops.g_vector(
+                jnp.asarray(feats, jnp.float32),
+                jnp.asarray(d, jnp.float32),
+                jnp.asarray(fw, jnp.float32),
+                p_function=p,
+                include_features=True,
+            ),
+            np.float64,
+        )
+        ref = reference_g_vector(feats.T, d, fw, p)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, err_msg=p)
