@@ -52,9 +52,41 @@ def pairwise_sq_dists(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d2, 0.0)
 
 
+# One [Nq_chunk, tile] distance block must fit in HBM with headroom; at
+# ~1M queries x 8192-tile the unchunked block is 31 GB (observed OOM on the
+# 960k multires probe), so queries are processed in chunks of this many
+# rows.  256M f32 elements = 1 GB per block.
+_QUERY_CHUNK_ELEMS = 256 * 1024 * 1024
+
+
+def _query_chunks(nq: int, tile: int) -> int:
+    per_chunk = max(_QUERY_CHUNK_ELEMS // max(tile, 1), 1024)
+    return -(-nq // per_chunk)  # ceil
+
+
+def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=None):
+    """Nearest neighbor of each query point among ref points (see
+    _nn_query_impl); very large query sets are processed in row chunks so
+    one [Nq, tile] distance block never exceeds ~1 GB."""
+    nq = query.shape[0]
+    n_chunks = _query_chunks(nq, tile)
+    if n_chunks <= 1:
+        return _nn_query_impl(ref, query, tile=tile, precision=precision)
+    per = -(-nq // n_chunks)
+    per = _round_up(per, 8)
+    nq_pad = per * (-(-nq // per))
+    q_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
+    chunks = q_p.reshape(nq_pad // per, per, query.shape[1])
+    d, i = jax.lax.map(
+        lambda qc: _nn_query_impl(ref, qc, tile=tile, precision=precision),
+        chunks,
+    )
+    return d.reshape(nq_pad)[:nq], i.reshape(nq_pad)[:nq]
+
+
 @partial(jax.jit, static_argnames=("tile", "precision"))
 @f32_matmuls
-def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=None):
+def _nn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=None):
     """Nearest neighbor of each query point among ref points.
 
     Returns (distances [Nq], indices [Nq]) — the same contract as
@@ -96,9 +128,30 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=N
     return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_idx
 
 
+def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192):
+    """k nearest neighbors of each query among ref (see _knn_query_impl);
+    large query sets chunked like nn_query."""
+    nq = query.shape[0]
+    n_chunks = _query_chunks(nq, tile)
+    if n_chunks <= 1:
+        return _knn_query_impl(ref, query, k, tile=tile)
+    per = -(-nq // n_chunks)
+    per = _round_up(per, 8)
+    nq_pad = per * (-(-nq // per))
+    q_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
+    chunks = q_p.reshape(nq_pad // per, per, query.shape[1])
+    d, i = jax.lax.map(
+        lambda qc: _knn_query_impl(ref, qc, k, tile=tile), chunks
+    )
+    return (
+        d.reshape(nq_pad, k)[:nq],
+        i.reshape(nq_pad, k)[:nq],
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "tile"))
 @f32_matmuls
-def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192):
+def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192):
     """k nearest neighbors of each query among ref, ascending by distance.
 
     Returns (distances [Nq, k], indices [Nq, k]) — the contract of

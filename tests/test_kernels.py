@@ -41,6 +41,27 @@ class TestKNN:
         _, i = nn_query(jnp.asarray(r), jnp.asarray(q), tile=512)
         assert (np.asarray(i) == i_ref).mean() > 0.999
 
+    def test_query_chunking_matches_unchunked(self, monkeypatch):
+        # Force the large-query row-chunking path (normally only hit at
+        # ~1M queries, where one [Nq, tile] block would OOM) and check it
+        # agrees with the single-block path, padding rows sliced off.
+        import pyfocusr_tpu.ops.knn as knn_mod
+
+        rng = np.random.default_rng(7)
+        q = rng.random((3003, 3)).astype(np.float32)
+        r = rng.random((2000, 3)).astype(np.float32)
+        d0, i0 = nn_query(jnp.asarray(r), jnp.asarray(q))
+        d3, i3 = knn_query(jnp.asarray(r), jnp.asarray(q), k=3)
+        monkeypatch.setattr(knn_mod, "_QUERY_CHUNK_ELEMS", 512 * 1024)
+        assert knn_mod._query_chunks(q.shape[0], 8192) > 1
+        d1, i1 = knn_mod.nn_query(jnp.asarray(r), jnp.asarray(q))
+        d4, i4 = knn_mod.knn_query(jnp.asarray(r), jnp.asarray(q), k=3)
+        assert d1.shape == (3003,) and i1.shape == (3003,)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i4), np.asarray(i3))
+        np.testing.assert_allclose(np.asarray(d4), np.asarray(d3), atol=1e-5)
+
     def test_pairwise_matches_cdist(self):
         from scipy.spatial.distance import cdist
 
