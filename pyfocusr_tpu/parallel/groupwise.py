@@ -1,0 +1,311 @@
+"""Symmetric and groupwise (all-pairs) registration.
+
+The reference registers one ordered pair at a time (``Focusr.align_maps``,
+reference ``focusr.py:514-570``) and its dead all-pairs harness
+(``pyfocusr/test.py``) only compared surfaces, never correspondences.  This
+module adds the two registration modes the ROADMAP lists beyond parity:
+
+* ``register_pair_symmetric`` — run the fused pipeline in BOTH directions
+  and fuse the forward map with the inverse of the backward map, yielding a
+  correspondence that is consistent under swapping source and target, plus
+  the forward/backward-consistency diagnostics that a one-directional run
+  cannot provide.
+* ``register_all_pairs`` — register every ordered pair of a cohort jointly
+  (one vmapped/sharded fan-out over a 'pairs' device-mesh axis, the same
+  SPMD pattern as ``cohort.register_cohort``), with transitive
+  cycle-consistency metrics over vertex-index compositions.
+* ``synchronize_correspondences`` — map synchronization: replace each direct
+  map j->i with the consensus of all two-hop compositions j->k->i, the
+  groupwise refinement that makes the pairwise maps mutually consistent.
+
+TPU shape: the heavy work (B*(B-1) full registrations) is a single vmap over
+a stacked pairs axis — one compiled executable, MXU-resident — optionally
+``shard_map``-ed over a device mesh; the synchronization/consistency passes
+are O(B^3) cheap gathers done in numpy on host (B is tens at most, N is
+thousands: the gathers are microseconds and keeping them on host avoids
+shipping [B^2, N] index tensors through jit).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..mesh import TriMesh
+from ..ops.knn import knn_query, nn_query
+from ..pipeline import (
+    SENTINEL,
+    GraphArrays,
+    PipelineConfig,
+    register_pair,
+)
+from .cohort import check_cohort_config, pad_cohort, stack_graph_arrays
+
+try:  # JAX >= 0.4.35 public API, else experimental
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = [
+    "register_pair_symmetric",
+    "register_all_pairs",
+    "synchronize_correspondences",
+    "cycle_consistency_error",
+]
+
+
+def _idw_pull(ref_positions, ref_mask, ref_values, query_points):
+    """k=3 inverse-distance interpolation of ``ref_values`` at
+    ``query_points``, matching the reference's weighted final-location
+    semantics (``focusr.py:401-426``) including the exact-hit shortcut.
+    Padded reference rows (``ref_mask == 0``) are pushed to the SENTINEL so
+    they can never be selected."""
+    ref_q = jnp.where(ref_mask[:, None] > 0, ref_positions, SENTINEL)
+    dists, idxs = knn_query(ref_q, query_points, k=3)
+    vals = ref_values[idxs]  # [Nq, 3, 3]
+    exact = dists <= 0.0
+    any_exact = jnp.any(exact, axis=1)
+    first = jnp.argmax(exact, axis=1)
+    exact_vals = jnp.take_along_axis(vals, first[:, None, None], axis=1)[:, 0]
+    wts = 1.0 / jnp.maximum(dists, 1e-30)
+    out = jnp.sum(vals * wts[:, :, None], axis=1) / jnp.sum(
+        wts, axis=1, keepdims=True
+    )
+    return jnp.where(any_exact[:, None], exact_vals, out)
+
+
+@jax.jit
+def _symmetrize(
+    fwd_points,  # [Ns, 3] forward map: per source vertex, location on target
+    bwd_points,  # [Nt, 3] backward map: per target vertex, location on source
+    source_points,  # [Ns, 3]
+    target_points,  # [Nt, 3]
+    source_mask,  # [Ns]
+    target_mask,  # [Nt]
+):
+    """Fuse the forward map with the inverse of the backward map.
+
+    The backward registration gives, for every TARGET vertex j, a location
+    G(j) on the source surface.  Inverting it at source vertex i means
+    interpolating the target vertices' ORIGINAL positions at the 3 nearest
+    G(j) to x_i — a second, independent estimate F'(i) of where i lands on
+    the target.  The symmetric map is the midpoint (F + F')/2 snapped back
+    to a target vertex; |F - F'| is the forward/backward consistency
+    diagnostic (0 for a perfectly involutive pair of maps).
+    """
+    inv = _idw_pull(bwd_points, target_mask, target_points, source_points)
+    sym_points = 0.5 * (fwd_points + inv)
+    tgt_q = jnp.where(target_mask[:, None] > 0, target_points, SENTINEL)
+    _, sym_corr = nn_query(tgt_q, sym_points)
+    fb_gap = jnp.linalg.norm(fwd_points - inv, axis=1)
+    n_valid = jnp.maximum(jnp.sum(source_mask), 1.0)
+    fb_consistency = jnp.sum(fb_gap * source_mask) / n_valid
+    smask = source_mask[:, None]
+    return (
+        sym_points * smask,
+        sym_corr * source_mask.astype(sym_corr.dtype),
+        fb_consistency,
+    )
+
+
+def register_pair_symmetric(
+    target: GraphArrays,
+    source: GraphArrays,
+    cfg: PipelineConfig,
+    key: jax.Array,
+):
+    """Register source->target AND target->source, then fuse.
+
+    Returns a dict:
+
+    forward / backward    the two ``register_pair`` result pytrees
+    sym_points            f32 [Ns, 3] symmetric location on the target
+                          surface per source vertex
+    sym_correspondences   i32 [Ns] symmetric target index per source vertex
+    target_sym_points / target_sym_correspondences   the mirror outputs per
+                          target vertex (source index), from fusing the
+                          backward map with the inverse forward map
+    fb_consistency        mean |F - inv(G)| over real source vertices (mm) —
+                          how far the two directions disagree
+    cycle_error           mean |G(F_idx(i)) - x_i| over real source vertices
+                          (mm) — the index-composition round trip
+
+    A one-directional registration has no notion of these diagnostics; they
+    are the acceptance metric for symmetric mode (tests/test_groupwise.py).
+    """
+    kf, kb = jax.random.split(key)
+    fwd = register_pair(target, source, cfg, kf)
+    bwd = register_pair(source, target, cfg, kb)
+    sym_pts, sym_corr, fb = _symmetrize(
+        fwd["weighted_points"], bwd["weighted_points"],
+        source.points, target.points,
+        source.valid_mask, target.valid_mask,
+    )
+    t_sym_pts, t_sym_corr, t_fb = _symmetrize(
+        bwd["weighted_points"], fwd["weighted_points"],
+        target.points, source.points,
+        target.valid_mask, source.valid_mask,
+    )
+    # Index-composition cycle: i -> corr_fwd[i] (a target vertex) -> its
+    # backward-mapped location on the source, vs x_i itself.
+    cycle_gap = jnp.linalg.norm(
+        bwd["weighted_points"][fwd["correspondences"]] - source.points, axis=1
+    )
+    n_valid = jnp.maximum(jnp.sum(source.valid_mask), 1.0)
+    cycle_error = jnp.sum(cycle_gap * source.valid_mask) / n_valid
+    return {
+        "forward": fwd,
+        "backward": bwd,
+        "sym_points": sym_pts,
+        "sym_correspondences": sym_corr,
+        "target_sym_points": t_sym_pts,
+        "target_sym_correspondences": t_sym_corr,
+        "fb_consistency": fb,
+        "cycle_error": cycle_error,
+    }
+
+
+def register_all_pairs(
+    meshes: Sequence[TriMesh] | Sequence[GraphArrays],
+    cfg: PipelineConfig,
+    key: jax.Array,
+    device_mesh: Mesh | None = None,
+):
+    """Jointly register every ORDERED pair of a cohort.
+
+    All B*(B-1) registrations run as ONE vmapped program over a stacked
+    pairs axis (optionally ``shard_map``-ed over the 'pairs' axis of
+    ``device_mesh``; pair count must then divide the device count).  This is
+    the groupwise generalization of the reference's one-pair to the
+    all-pairs capability its dead ``test.py`` harness gestured at.
+
+    Returns ``(corr, pair_index, results)``:
+
+    corr        i32 [B, B, N_pad]; ``corr[j, i, v]`` = vertex of mesh i
+                corresponding to vertex v of mesh j (mesh j registered as
+                SOURCE onto target mesh i).  The diagonal is the identity.
+    pair_index  list of (target_i, source_j) in stacking order
+    results     the stacked per-pair result pytree (leading pairs axis)
+    """
+    meshes = list(meshes)
+    if meshes and isinstance(meshes[0], TriMesh):
+        graphs = pad_cohort(meshes)
+    else:
+        graphs = meshes
+    B = len(graphs)
+    if B < 2:
+        raise ValueError("need at least two meshes for all-pairs registration")
+    stacked = stack_graph_arrays(graphs)
+    n_pad = int(stacked.valid_mask.shape[1])
+    min_real = int(np.min(np.sum(np.asarray(stacked.valid_mask), axis=1)))
+    check_cohort_config(min_real, cfg, padded_size=n_pad)
+
+    pair_index = [(i, j) for i in range(B) for j in range(B) if i != j]
+    ti = jnp.asarray([p[0] for p in pair_index], jnp.int32)
+    si = jnp.asarray([p[1] for p in pair_index], jnp.int32)
+    targets = jax.tree.map(lambda x: x[ti], stacked)
+    sources = jax.tree.map(lambda x: x[si], stacked)
+    keys = jax.random.split(key, len(pair_index))
+
+    def _batched(tgts, srcs, ks):
+        return jax.vmap(
+            lambda t, s, k: register_pair(t, s, cfg, k)
+        )(tgts, srcs, ks)
+
+    if device_mesh is None:
+        results = _batched(targets, sources, keys)
+    else:
+        n_dev = device_mesh.devices.size
+        if len(pair_index) % n_dev != 0:
+            raise ValueError(
+                f"pair count {len(pair_index)} must divide the device "
+                f"count {n_dev} (pad the cohort or drop a subject)"
+            )
+        spec = lambda tree: jax.tree.map(lambda _: P("pairs"), tree)
+        fn = shard_map(
+            _batched,
+            mesh=device_mesh,
+            in_specs=(spec(targets), spec(sources), P("pairs")),
+            out_specs=spec(
+                jax.eval_shape(_batched, targets, sources, keys)
+            ),
+            check_vma=False,
+        )
+        results = jax.jit(fn)(targets, sources, keys)
+
+    corr = np.tile(np.arange(n_pad, dtype=np.int32), (B, B, 1))
+    got = np.asarray(results["correspondences"])
+    for p, (i, j) in enumerate(pair_index):
+        corr[j, i] = got[p]
+    return corr, pair_index, results
+
+
+def cycle_consistency_error(
+    corr: np.ndarray,  # [B, B, N] from register_all_pairs
+    points: Sequence[np.ndarray],  # per-mesh [N_i, 3] real (unpadded) points
+    n_real: Sequence[int],
+) -> float:
+    """Mean three-cycle transitivity error in mm.
+
+    For every ordered triple (j, k, i): compose j->k->i and compare with the
+    direct j->i, measuring the physical distance ON MESH i between the two
+    landing vertices, averaged over real vertices and all triples.  Zero for
+    perfectly transitive map sets; the groupwise acceptance metric.
+    """
+    B = corr.shape[0]
+    total, count = 0.0, 0
+    for j, k, i in itertools.permutations(range(B), 3):
+        v = np.arange(n_real[j])
+        via = corr[k, i][corr[j, k][v]]
+        direct = corr[j, i][v]
+        d = np.linalg.norm(points[i][via] - points[i][direct], axis=1)
+        total += float(d.mean())
+        count += 1
+    return total / max(count, 1)
+
+
+def synchronize_correspondences(
+    corr: np.ndarray,  # [B, B, N] from register_all_pairs
+    points: Sequence[np.ndarray],  # per-mesh [N_i, 3] real points
+    n_real: Sequence[int],
+) -> np.ndarray:
+    """Map synchronization: consensus-refine every pairwise map.
+
+    Each direct map j->i is replaced by the per-vertex consensus of all
+    two-hop compositions j->k->i (k ranging over every mesh, k == j giving
+    the direct map itself): the composed landing POSITIONS on mesh i are
+    averaged and snapped to the nearest mesh-i vertex.  This is Procrustes-
+    style map synchronization specialized to vertex maps — transitive
+    violations between independently-estimated pairwise maps shrink toward
+    the consensus (tests assert the cycle error does not increase, and
+    drops on noisy maps).
+
+    Returns a corrected copy of ``corr`` (same shape; diagonal untouched).
+    """
+    B = corr.shape[0]
+    out = corr.copy()
+    for j in range(B):
+        v = np.arange(n_real[j])
+        for i in range(B):
+            if i == j:
+                continue
+            acc = np.zeros((n_real[j], 3), np.float64)
+            for k in range(B):
+                if k == j:
+                    landing = corr[j, i][v]
+                else:
+                    landing = corr[k, i][corr[j, k][v]]
+                acc += points[i][landing]
+            acc /= B
+            # Snap consensus positions back to mesh-i vertices (device KNN).
+            _, snapped = nn_query(
+                jnp.asarray(points[i], jnp.float32),
+                jnp.asarray(acc, jnp.float32),
+            )
+            out[j, i, : n_real[j]] = np.asarray(snapped, np.int32)
+    return out

@@ -1,0 +1,188 @@
+"""Symmetric and all-pairs groupwise registration (parallel/groupwise.py).
+
+The reference is strictly one-directional one-pair (``focusr.py:514-570``);
+these modes are beyond-parity capabilities, so the oracles are internal
+consistency properties: forward/backward agreement, three-cycle
+transitivity, and synchronization not degrading (and repairing corrupted)
+map sets.
+
+Fixtures are decimated BONE meshes, not spheres: sphere Laplacians have
+degenerate multiplets whose eigenmaps rotate freely between runs (the
+test_cohort.py caveat), which makes cross-direction consistency assertions
+meaningless.  The bone's spectrum is simple, so both directions land on the
+same map branch."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from conftest import DATA, _require_data
+from pyfocusr_tpu.mesh import TriMesh
+from pyfocusr_tpu.parallel.groupwise import (
+    cycle_consistency_error,
+    register_all_pairs,
+    register_pair_symmetric,
+    synchronize_correspondences,
+)
+from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+
+
+@functools.lru_cache(maxsize=1)
+def _coarse_bone_pts_tris():
+    _require_data()
+    from pyfocusr_tpu import load_mesh
+    from pyfocusr_tpu.multires import decimate
+
+    bone = load_mesh(f"{DATA}/target_mesh.vtk")
+    coarse, _, _ = decimate(bone, 700, seed=0)
+    return np.asarray(coarse.points), np.asarray(coarse.triangles)
+
+
+def _bone_mesh(amp=0.0, phase=0.0):
+    pts, tris = _coarse_bone_pts_tris()
+    if amp:
+        pts = pts * (1.0 + amp * np.sin(0.05 * pts[:, [1]] + phase))
+    return TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+
+
+def _extent():
+    pts, _ = _coarse_bone_pts_tris()
+    return float(np.linalg.norm(np.ptp(pts, axis=0)))
+
+
+@functools.lru_cache(maxsize=1)
+def _spacing():
+    """Mean nearest-neighbor vertex spacing of the decimated fixture
+    (~6 mm at 700 vertices) — the resolution floor every vertex-level map
+    metric is bounded by."""
+    from pyfocusr_tpu.ops.knn import knn_query
+
+    pts, _ = _coarse_bone_pts_tris()
+    d, _ = knn_query(jnp.asarray(pts, jnp.float32), jnp.asarray(pts, jnp.float32), k=2)
+    return float(np.asarray(d)[:, 1].mean())
+
+
+TINY = PipelineConfig(
+    icp_iterations=10,
+    n_coords_spectral_ordering=150,
+    n_coords_spectral_registration=100,
+    non_rigid_max_iterations=10,
+    non_rigid_n_eigens=30,
+    graph_smoothing_iterations=10,
+    projection_smooth_iterations=2,
+    eig_cg_iters=60,
+)
+
+
+def test_symmetric_pair_diagnostics_and_fusion():
+    target = mesh_to_graph_arrays(_bone_mesh(amp=0.004))
+    source = mesh_to_graph_arrays(_bone_mesh(amp=0.008, phase=0.5))
+    res = register_pair_symmetric(target, source, TINY, jax.random.PRNGKey(0))
+    n = source.n_points
+    ext = _extent()
+    assert res["sym_points"].shape == (n, 3)
+    assert res["sym_correspondences"].shape == (n,)
+    assert np.all(np.isfinite(np.asarray(res["sym_points"])))
+    # Diagnostics are physical distances: finite, nonnegative, and a small
+    # fraction of the mesh extent (the two shapes differ by <1% warps).
+    fb = float(res["fb_consistency"])
+    cyc = float(res["cycle_error"])
+    assert 0.0 <= fb < 1.5 * _spacing()
+    assert 0.0 <= cyc < 1.5 * _spacing()
+    # Fused correspondences stay in range and keep a healthy unique
+    # fraction (no collapse onto a few target vertices).
+    corr = np.asarray(res["sym_correspondences"])
+    assert corr.min() >= 0 and corr.max() < target.n_points
+    assert len(np.unique(corr)) > 0.5 * n
+    # Mirror direction present and sized to the target.
+    assert res["target_sym_points"].shape == (target.n_points, 3)
+    # The symmetric map is the midpoint of the two estimates: it can move
+    # at most half their disagreement away from the forward map.
+    gap = np.linalg.norm(
+        np.asarray(res["sym_points"])
+        - np.asarray(res["forward"]["weighted_points"]),
+        axis=1,
+    ).mean()
+    assert gap <= 0.5 * fb + 1e-5
+
+
+def test_symmetric_self_registration_near_identity():
+    """Registering a mesh to itself must produce a near-identity symmetric
+    map with tiny diagnostics."""
+    m = mesh_to_graph_arrays(_bone_mesh(amp=0.004))
+    res = register_pair_symmetric(m, m, TINY, jax.random.PRNGKey(1))
+    assert float(res["fb_consistency"]) < 1.0 * _spacing()
+    assert float(res["cycle_error"]) < 1.0 * _spacing()
+    corr = np.asarray(res["sym_correspondences"])
+    pts = np.asarray(m.points)
+    # Landing positions, not indices (adjacent vertices may swap).
+    assert np.linalg.norm(pts[corr] - pts, axis=1).mean() < 1.0 * _spacing()
+
+
+def _tiny_cohort(b=3):
+    return [_bone_mesh(amp=0.004 * (i + 1), phase=0.4 * i) for i in range(b)]
+
+
+def test_all_pairs_shapes_and_cycle_error():
+    meshes = _tiny_cohort(3)
+    corr, pair_index, results = register_all_pairs(
+        meshes, TINY, jax.random.PRNGKey(2)
+    )
+    B = len(meshes)
+    n_pad = max(m.n_points for m in meshes)
+    assert corr.shape == (B, B, n_pad)
+    assert len(pair_index) == B * (B - 1)
+    assert results["correspondences"].shape == (B * (B - 1), n_pad)
+    # Diagonal is the identity.
+    for i in range(B):
+        np.testing.assert_array_equal(corr[i, i], np.arange(n_pad))
+    pts = [np.asarray(m.points) for m in meshes]
+    n_real = [m.n_points for m in meshes]
+    err = cycle_consistency_error(corr, pts, n_real)
+    assert 0.0 <= err < 1.5 * _spacing()
+
+
+def test_synchronization_repairs_corrupted_maps():
+    meshes = _tiny_cohort(3)
+    corr, _, _ = register_all_pairs(meshes, TINY, jax.random.PRNGKey(3))
+    pts = [np.asarray(m.points) for m in meshes]
+    n_real = [m.n_points for m in meshes]
+    base = cycle_consistency_error(corr, pts, n_real)
+
+    # Corrupt ONE directed map with heavy index noise; the consensus over
+    # B two-hop compositions must pull the cycle error back down.
+    rng = np.random.default_rng(0)
+    bad = corr.copy()
+    noise = rng.integers(0, n_real[1], size=n_real[0])
+    mix = rng.random(n_real[0]) < 0.5
+    bad[0, 1, : n_real[0]] = np.where(
+        mix, noise, bad[0, 1, : n_real[0]]
+    ).astype(np.int32)
+    corrupted = cycle_consistency_error(bad, pts, n_real)
+    assert corrupted > base  # the corruption is visible
+
+    fixed = synchronize_correspondences(bad, pts, n_real)
+    repaired = cycle_consistency_error(fixed, pts, n_real)
+    assert repaired < corrupted
+    # And on the CLEAN maps, synchronization must not make things worse
+    # than a modest factor of the already-small baseline.
+    synced = synchronize_correspondences(corr, pts, n_real)
+    clean_after = cycle_consistency_error(synced, pts, n_real)
+    assert clean_after <= max(base * 1.5, 1.0 * _spacing())
+
+
+@pytest.mark.slow
+def test_all_pairs_sharded_matches_unsharded():
+    meshes = _tiny_cohort(3)
+    corr0, _, _ = register_all_pairs(meshes, TINY, jax.random.PRNGKey(4))
+    devs = np.array(jax.devices()[:6]).reshape(6)
+    mesh = Mesh(devs, ("pairs",))
+    corr1, _, _ = register_all_pairs(
+        meshes, TINY, jax.random.PRNGKey(4), device_mesh=mesh
+    )
+    agree = (corr0 == corr1).mean()
+    assert agree > 0.95  # identical program, device-order reductions only
