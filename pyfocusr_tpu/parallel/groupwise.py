@@ -28,6 +28,7 @@ shipping [B^2, N] index tensors through jit).
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import List, Sequence
 
@@ -42,6 +43,7 @@ from ..pipeline import (
     SENTINEL,
     GraphArrays,
     PipelineConfig,
+    _spectrum,
     register_pair,
 )
 from .cohort import check_cohort_config, pad_cohort, stack_graph_arrays
@@ -55,6 +57,8 @@ __all__ = [
     "register_pair_symmetric",
     "register_all_pairs",
     "synchronize_correspondences",
+    "synchronize_spectral",
+    "spectral_bases",
     "cycle_consistency_error",
 ]
 
@@ -309,3 +313,185 @@ def synchronize_correspondences(
             )
             out[j, i, : n_real[j]] = np.asarray(snapped, np.int32)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cfg"))
+def _basis_spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
+    lams, vecs, _ = _spectrum(graph, k, key, cfg)
+    return lams, vecs
+
+
+def spectral_bases(
+    graphs: Sequence[GraphArrays],
+    cfg: PipelineConfig,
+    key: jax.Array,
+    n_basis: int = 12,
+) -> List[np.ndarray]:
+    """Per-mesh orthonormal low-frequency Laplacian bases.
+
+    Each mesh's ``n_basis`` smallest nonzero eigenvectors (device
+    eigensolve, the same ``_spectrum`` the pipeline uses) are restricted to
+    real (unpadded) rows, re-orthonormalized by a host QR (the pipeline
+    min-max normalizes columns, which breaks orthogonality), and row-scaled
+    by sqrt(n_real) so descriptor rows are O(1) regardless of mesh size —
+    the basis convention ``synchronize_spectral`` assumes.
+    """
+    keys = jax.random.split(key, max(len(graphs), 1))
+    out = []
+    for g, k_ in zip(graphs, keys):
+        mask = np.asarray(g.valid_mask) > 0
+        n = int(mask.sum())
+        if n_basis >= n:
+            raise ValueError(
+                f"n_basis={n_basis} must be smaller than the real vertex "
+                f"count {n}"
+            )
+        _, vecs = _basis_spectrum(g, n_basis, k_, cfg)
+        v = np.asarray(vecs, np.float64)[mask]
+        q, _ = np.linalg.qr(v)
+        out.append(q * np.sqrt(n))
+    return out
+
+
+def synchronize_spectral(
+    corr: np.ndarray,  # [B, B, N_pad] from register_all_pairs
+    graphs: Sequence[GraphArrays],
+    cfg: PipelineConfig,
+    key: jax.Array,
+    n_basis: int = 20,
+    outlier_factor: float = 1.3,
+    repair: str = "consensus",
+):
+    """Functional-map synchronization: detect inconsistent pairwise maps in
+    a shared latent spectral basis, then repair ONLY those.
+
+    Position consensus (``synchronize_correspondences``) averages two-hop
+    landing positions into EVERY map — it repairs corruption but also
+    perturbs already-good maps.  This is the spectral-domain alternative
+    the ROADMAP lists: each vertex map j->i induces a functional map
+    ``D[j,i] = pinv(Phi_j) @ P_ji @ Phi_i`` (the pullback expressed in the
+    reduced Laplacian bases).  For a cycle-consistent map set these satisfy
+    ``D[j,i] ~= Q_j @ Q_i.T`` with per-mesh orthogonal latent alignments
+    Q_i, so the block matrix W with blocks D[j,i] is rank-``n_basis`` and
+    its top eigenspace recovers every Q_i at once (synchronization by
+    spectral relaxation; polar projection onto O(k) per block).  The
+    Frobenius residual ``|D[j,i] - Q_j@Q_i.T| / sqrt(k)`` measures how far
+    each input map sits from the global consensus; maps whose residual
+    exceeds ``outlier_factor`` x the off-diagonal median are flagged
+    (measured on the decimated bundled bone: a 50%-scrambled map scores
+    ~0.73 vs a clean ceiling of ~0.53, a robust margin at factor 1.3) and
+    repaired:
+
+    * ``repair="consensus"`` (default): two-hop position consensus
+      j->k->i routed ONLY through unflagged maps — the trusted-path
+      version of ``synchronize_correspondences``.
+    * ``repair="spectral"`` (also the fallback when no trusted two-hop
+      path exists): nearest neighbor between the synchronized descriptor
+      clouds ``Z_i = Phi_i @ Q_i`` — coarser (low-frequency basis) but
+      needs no trusted path.
+
+    Unflagged maps are returned bit-identical, so a clean map set is a
+    fixed point.  Detection needs B >= 3 (with two meshes a transitivity
+    violation cannot be attributed to either map); for B == 2 nothing is
+    flagged.
+
+    TPU shape: eigensolves and descriptor/consensus NN snaps run on
+    device; only the [B*k, B*k] block eigenproblem (k, B tens at most)
+    runs on host.
+
+    Returns ``(out, info)``: ``out`` a corrected copy of ``corr`` and
+    ``info`` a dict with ``Q`` [B, k, k] latent alignments, ``residuals``
+    [B, B], ``flagged`` (boolean [B, B]), and ``bases`` (the synchronized
+    descriptors ``Z_i``).
+    """
+    B = corr.shape[0]
+    if len(graphs) != B:
+        raise ValueError(f"corr is {B}x{B} but {len(graphs)} graphs given")
+    if repair not in ("consensus", "spectral"):
+        raise ValueError(f"unknown repair mode {repair!r}")
+    masks = [np.asarray(g.valid_mask) > 0 for g in graphs]
+    n_real = [int(m.sum()) for m in masks]
+    # Padded index <-> real-row index maps (padding need not be trailing).
+    pad_of_real = [np.flatnonzero(m) for m in masks]
+    real_of_pad = []
+    for m in masks:
+        r = np.zeros(m.shape[0], np.int64)
+        r[m] = np.arange(int(m.sum()))
+        real_of_pad.append(r)
+
+    phis = spectral_bases(graphs, cfg, key, n_basis=n_basis)
+    k = n_basis
+
+    # Pairwise functional maps.  With the sqrt(n)-scaled orthonormal bases,
+    # pinv(Phi_j) = Phi_j.T / n_j.
+    D = np.zeros((B, B, k, k))
+    for j in range(B):
+        D[j, j] = np.eye(k)
+        for i in range(B):
+            if i == j:
+                continue
+            t = real_of_pad[i][corr[j, i][: n_real[j]]]
+            D[j, i] = phis[j].T @ phis[i][t] / n_real[j]
+
+    # Block synchronization: top-k eigenspace of the symmetrized block
+    # matrix, polar-projected onto O(k) per mesh.
+    W = D.transpose(0, 2, 1, 3).reshape(B * k, B * k)
+    W = 0.5 * (W + W.T)
+    _, evecs = np.linalg.eigh(W)
+    U = evecs[:, -k:]
+    Q = np.zeros((B, k, k))
+    for i in range(B):
+        a, _, bt = np.linalg.svd(U[i * k : (i + 1) * k])
+        Q[i] = a @ bt
+
+    residuals = np.zeros((B, B))
+    for j in range(B):
+        for i in range(B):
+            if i != j:
+                residuals[j, i] = np.linalg.norm(
+                    D[j, i] - Q[j] @ Q[i].T
+                ) / np.sqrt(k)
+
+    off = ~np.eye(B, dtype=bool)
+    flagged = np.zeros((B, B), dtype=bool)
+    if B >= 3:
+        thresh = outlier_factor * float(np.median(residuals[off]))
+        flagged = off & (residuals > thresh)
+
+    Z = [phis[i] @ Q[i] for i in range(B)]
+    points = [np.asarray(g.points)[m] for g, m in zip(graphs, masks)]
+
+    def _spectral_map(j, i):
+        _, idx = nn_query(
+            jnp.asarray(Z[i], jnp.float32), jnp.asarray(Z[j], jnp.float32)
+        )
+        return pad_of_real[i][np.asarray(idx, np.int64)].astype(np.int32)
+
+    out = corr.copy()
+    for j in range(B):
+        for i in range(B):
+            if not flagged[j, i]:
+                continue
+            trusted = [
+                t
+                for t in range(B)
+                if t != j and t != i and not flagged[j, t] and not flagged[t, i]
+            ]
+            if repair == "spectral" or not trusted:
+                out[j, i, : n_real[j]] = _spectral_map(j, i)
+                continue
+            acc = np.zeros((n_real[j], 3), np.float64)
+            for t in trusted:
+                landing = real_of_pad[i][
+                    corr[t, i][corr[j, t][: n_real[j]]]
+                ]
+                acc += points[i][landing]
+            acc /= len(trusted)
+            _, snapped = nn_query(
+                jnp.asarray(points[i], jnp.float32),
+                jnp.asarray(acc, jnp.float32),
+            )
+            out[j, i, : n_real[j]] = pad_of_real[i][
+                np.asarray(snapped, np.int64)
+            ].astype(np.int32)
+    return out, {"Q": Q, "residuals": residuals, "flagged": flagged, "bases": Z}

@@ -26,7 +26,9 @@ from pyfocusr_tpu.parallel.groupwise import (
     cycle_consistency_error,
     register_all_pairs,
     register_pair_symmetric,
+    spectral_bases,
     synchronize_correspondences,
+    synchronize_spectral,
 )
 from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
 
@@ -173,6 +175,96 @@ def test_synchronization_repairs_corrupted_maps():
     synced = synchronize_correspondences(corr, pts, n_real)
     clean_after = cycle_consistency_error(synced, pts, n_real)
     assert clean_after <= max(base * 1.5, 1.0 * _spacing())
+
+
+def test_spectral_synchronization_repairs_and_detects():
+    """Functional-map synchronization: latent alignments are orthogonal,
+    clean maps stay near the consistent branch, a corrupted map is both
+    FLAGGED (largest functional-map residual) and repaired."""
+    from pyfocusr_tpu.parallel.cohort import pad_cohort
+
+    meshes = _tiny_cohort(3)
+    graphs = pad_cohort(meshes)
+    corr, _, _ = register_all_pairs(graphs, TINY, jax.random.PRNGKey(5))
+    pts = [np.asarray(m.points) for m in meshes]
+    n_real = [m.n_points for m in meshes]
+    base = cycle_consistency_error(corr, pts, n_real)
+
+    synced, info = synchronize_spectral(
+        corr, graphs, TINY, jax.random.PRNGKey(6)
+    )
+    # Latent alignments are orthogonal matrices.
+    for q in info["Q"]:
+        np.testing.assert_allclose(q @ q.T, np.eye(q.shape[0]), atol=1e-8)
+    # A clean map set is a fixed point: nothing flagged, maps bit-identical.
+    assert not info["flagged"].any()
+    np.testing.assert_array_equal(synced, corr)
+
+    # Corrupt ONE directed map with heavy index noise.
+    rng = np.random.default_rng(1)
+    bad = corr.copy()
+    noise = rng.integers(0, n_real[1], size=n_real[0])
+    mix = rng.random(n_real[0]) < 0.5
+    bad[0, 1, : n_real[0]] = np.where(
+        mix, noise, bad[0, 1, : n_real[0]]
+    ).astype(np.int32)
+    corrupted = cycle_consistency_error(bad, pts, n_real)
+    assert corrupted > base
+
+    fixed, info_bad = synchronize_spectral(
+        bad, graphs, TINY, jax.random.PRNGKey(6)
+    )
+    # Detection: exactly the corrupted directed map is flagged, and it has
+    # the largest functional-map residual.
+    res = info_bad["residuals"]
+    assert info_bad["flagged"][0, 1]
+    assert info_bad["flagged"].sum() == 1
+    off_diag = res[~np.eye(len(meshes), dtype=bool)]
+    assert res[0, 1] == off_diag.max()
+    # Every other map untouched.
+    untouched = fixed.copy()
+    untouched[0, 1] = bad[0, 1]
+    np.testing.assert_array_equal(untouched, bad)
+    # Repair: cycle error pulled back down near the clean baseline, and the
+    # repaired map lands near the clean pipeline map (positions on mesh 1).
+    repaired = cycle_consistency_error(fixed, pts, n_real)
+    assert repaired < corrupted
+    assert repaired <= max(1.5 * base, 0.5 * _spacing())
+    dist = np.linalg.norm(
+        pts[1][fixed[0, 1, : n_real[0]]] - pts[1][corr[0, 1, : n_real[0]]],
+        axis=1,
+    ).mean()
+    bad_dist = np.linalg.norm(
+        pts[1][bad[0, 1, : n_real[0]]] - pts[1][corr[0, 1, : n_real[0]]],
+        axis=1,
+    ).mean()
+    assert dist < 0.25 * bad_dist
+
+    # The pure-spectral repair mode also recovers (coarser, but must beat
+    # the corrupted map by a wide margin) — exercises the B==2-style path
+    # where no trusted two-hop route exists.
+    fixed_sp, _ = synchronize_spectral(
+        bad, graphs, TINY, jax.random.PRNGKey(6), repair="spectral"
+    )
+    dist_sp = np.linalg.norm(
+        pts[1][fixed_sp[0, 1, : n_real[0]]] - pts[1][corr[0, 1, : n_real[0]]],
+        axis=1,
+    ).mean()
+    assert dist_sp < 0.5 * bad_dist
+
+
+def test_spectral_bases_shapes_and_guard():
+    meshes = _tiny_cohort(2)
+    graphs = [mesh_to_graph_arrays(m) for m in meshes]
+    bases = spectral_bases(graphs, TINY, jax.random.PRNGKey(7), n_basis=6)
+    for b, m in zip(bases, meshes):
+        assert b.shape == (m.n_points, 6)
+        # Orthonormal columns under the sqrt(n) row scaling.
+        np.testing.assert_allclose(
+            b.T @ b / m.n_points, np.eye(6), atol=1e-8
+        )
+    with pytest.raises(ValueError, match="n_basis"):
+        spectral_bases(graphs, TINY, jax.random.PRNGKey(7), n_basis=10**6)
 
 
 @pytest.mark.slow
