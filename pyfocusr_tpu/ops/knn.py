@@ -8,13 +8,16 @@ The reference uses scipy cKDTree in three places: the eigsort spatial cost
 D <= ~12): squared distances are one MXU matmul per tile
 (|q|^2 + |r|^2 - 2 q.r), and the argmin/top-k rides along in registers.
 
-Implementation: a single XLA path (lax.scan over reference tiles, running
-top-k) used on every backend.  There is deliberately NO hand-written Pallas
-KNN kernel: XLA already fuses the tile matmul with the norm-adds and keeps
-the running top-k on-chip, so the op is MXU-matmul-bound with nothing left
-for a custom kernel to recover (ops/pallas_kernels.py holds the kernels
-where hand-fusion DID win: the streamed CPD E-step and the Sinkhorn dual
-updates, both HBM-bandwidth-bound).
+Two implementations:
+
+* On TPU with D <= 16 (every call site: xyz is D=3, spectral coords are
+  D <= ~12), ``pallas_kernels.knn_pallas`` — direct (q_d - r_d)^2 expansion
+  on the VPU with the running top-k VMEM-resident.  The matmul identity is
+  the wrong tool here: it must run at Precision.HIGHEST (see below) and the
+  MXU pads the D=3 contraction to 128 lanes, so it does ~128/3 x 6-pass the
+  useful FLOPs.
+* Everywhere else, an XLA path (lax.scan over reference tiles, running
+  top-k) using the matmul identity at HIGHEST precision.
 
 Distances returned are *Euclidean* (sqrt applied at the end), matching
 ``KDTree.query``.
@@ -64,10 +67,27 @@ def _query_chunks(nq: int, tile: int) -> int:
     return -(-nq // per_chunk)  # ceil
 
 
-def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, precision=None):
+def _use_pallas(d_dim: int, nr: int, k: int, use_pallas) -> bool:
+    """Route to the direct-difference kernel?  Measured on v5e at 15k x 15k:
+    nn 3.8 -> 0.5 ms (D=3) / 1.8x (D=8); knn3 12.8 -> 1.0 ms (D=3) / 3.2x
+    (D=8) — the XLA path pays the 128-lane 6-pass MXU padding tax."""
+    if use_pallas is not None:
+        return bool(use_pallas)
+    return jax.default_backend() == "tpu" and d_dim <= 16 and nr >= k
+
+
+def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
+             precision=None, use_pallas: bool | None = None):
     """Nearest neighbor of each query point among ref points (see
     _nn_query_impl); very large query sets are processed in row chunks so
-    one [Nq, tile] distance block never exceeds ~1 GB."""
+    one [Nq, tile] distance block never exceeds ~1 GB.  On TPU with D <= 16
+    this routes to the exact-f32 Pallas kernel (no chunking needed: it
+    never materializes a distance block)."""
+    if _use_pallas(query.shape[1], ref.shape[0], 1, use_pallas):
+        from .pallas_kernels import knn_pallas
+
+        d, i = knn_pallas(ref, query, 1)
+        return d[:, 0], i[:, 0]
     nq = query.shape[0]
     n_chunks = _query_chunks(nq, tile)
     if n_chunks <= 1:
@@ -128,9 +148,14 @@ def _nn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, preci
     return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_idx
 
 
-def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192):
+def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192,
+              use_pallas: bool | None = None):
     """k nearest neighbors of each query among ref (see _knn_query_impl);
-    large query sets chunked like nn_query."""
+    large query sets chunked like nn_query; Pallas kernel on TPU."""
+    if _use_pallas(query.shape[1], ref.shape[0], k, use_pallas):
+        from .pallas_kernels import knn_pallas
+
+        return knn_pallas(ref, query, k)
     nq = query.shape[0]
     n_chunks = _query_chunks(nq, tile)
     if n_chunks <= 1:

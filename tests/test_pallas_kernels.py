@@ -161,3 +161,80 @@ def test_jv_device_pallas_interpret_warm_started():
     obj = np.asarray(cost)[np.arange(n), np.asarray(col)].sum()
     obj_ref = np.asarray(cost)[ri, ci].sum()
     assert abs(obj - obj_ref) < 1e-5 * max(obj_ref, 1.0), (obj, obj_ref)
+
+
+class TestKnnPallas:
+    """Direct coordinate-difference KNN kernel vs scipy cKDTree."""
+
+    def _check(self, nq, nr, d, k, seed=0, **kw):
+        from scipy.spatial import cKDTree
+
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        rng = np.random.default_rng(seed)
+        q = rng.normal(size=(nq, d)).astype(np.float32)
+        r = rng.normal(size=(nr, d)).astype(np.float32)
+        dist, idx = knn_pallas(
+            jnp.asarray(r), jnp.asarray(q), k, interpret=True, **kw
+        )
+        sd, si = cKDTree(r).query(q, k=k)
+        if k == 1:
+            sd, si = sd[:, None], si[:, None]
+        np.testing.assert_allclose(np.asarray(dist), sd, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), si)
+
+    def test_nn_small_d3(self):
+        self._check(300, 500, 3, 1, block_q=64, block_r=256)
+
+    def test_knn3_small_d3(self):
+        self._check(300, 500, 3, 3, block_q=64, block_r=256)
+
+    def test_unaligned_sizes_d12(self):
+        # nq/nr not multiples of the blocks; D padded 12 -> 16.
+        self._check(77, 2049, 12, 3, block_q=64, block_r=256)
+
+    def test_tiny_ref(self):
+        self._check(8, 9, 2, 3, block_q=8, block_r=256)
+
+    def test_tie_break_lower_index_first(self):
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        rng = np.random.default_rng(1)
+        r = np.repeat(rng.normal(size=(50, 3)), 2, axis=0).astype(np.float32)
+        q = r[::2].copy()
+        _, i = knn_pallas(
+            jnp.asarray(r), jnp.asarray(q), 2, block_q=8, block_r=256,
+            interpret=True,
+        )
+        i = np.asarray(i)
+        np.testing.assert_array_equal(i[:, 0], np.arange(0, 100, 2))
+        np.testing.assert_array_equal(i[:, 1], np.arange(1, 100, 2))
+
+    def test_vmap_batches(self):
+        from functools import partial
+
+        from scipy.spatial import cKDTree
+
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        rng = np.random.default_rng(2)
+        qb = rng.normal(size=(3, 60, 3)).astype(np.float32)
+        rb = rng.normal(size=(3, 90, 3)).astype(np.float32)
+        f = jax.vmap(
+            partial(knn_pallas, k=3, block_q=32, block_r=256, interpret=True)
+        )
+        db, ib = f(jnp.asarray(rb), jnp.asarray(qb))
+        for b in range(3):
+            sd, si = cKDTree(rb[b]).query(qb[b], k=3)
+            np.testing.assert_allclose(np.asarray(db[b]), sd, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(ib[b]), si)
+
+    def test_guards(self):
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        r = jnp.zeros((10, 17), jnp.float32)
+        with pytest.raises(ValueError, match="D<=16"):
+            knn_pallas(r, r, 1)
+        r3 = jnp.zeros((2, 3), jnp.float32)
+        with pytest.raises(ValueError, match="reference points"):
+            knn_pallas(r3, r3, 3)
