@@ -10,7 +10,11 @@ correspondence-smoothing + final-location stages.  Time and memory scale
 linearly with the fine vertex count.
 
 Usage:
-    python examples/multires_large_mesh.py [subdivisions] [out_dir]
+    python examples/multires_large_mesh.py [subdivisions] [out_dir] [--warm]
+
+``--warm`` registers a second time in the same process and reports the
+steady-state (compile-free) time — the per-pair cost when sweeping a cohort
+of same-sized meshes.
 """
 
 import os
@@ -30,8 +34,10 @@ DATA = "/root/reference/data"
 
 
 def main():
-    n_sub = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "multires_out"
+    args = [a for a in sys.argv[1:] if a != "--warm"]
+    warm = "--warm" in sys.argv[1:]
+    n_sub = int(args[0]) if len(args) > 0 else 1
+    out_dir = args[1] if len(args) > 1 else "multires_out"
     os.makedirs(out_dir, exist_ok=True)
 
     target = load_mesh(f"{DATA}/target_mesh_15k.vtk")
@@ -57,6 +63,15 @@ def main():
     )
     jax.block_until_ready(fine)
     dt = time.perf_counter() - t0
+
+    if warm:
+        t0 = time.perf_counter()
+        fine, coarse = register_pair_multires(
+            target, source, cfg, jax.random.PRNGKey(1), coarse_n=12000
+        )
+        jax.block_until_ready(fine)
+        dt_warm = time.perf_counter() - t0
+        print(f"warm (steady-state) second registration: {dt_warm:.1f}s")
 
     corr = np.asarray(fine["correspondences"])
     w = np.asarray(fine["weighted_points"], np.float64)

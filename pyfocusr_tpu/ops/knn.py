@@ -70,10 +70,19 @@ def _query_chunks(nq: int, tile: int) -> int:
 def _use_pallas(d_dim: int, nr: int, k: int, use_pallas) -> bool:
     """Route to the direct-difference kernel?  Measured on v5e at 15k x 15k:
     nn 3.8 -> 0.5 ms (D=3) / 1.8x (D=8); knn3 12.8 -> 1.0 ms (D=3) / 3.2x
-    (D=8) — the XLA path pays the 128-lane 6-pass MXU padding tax."""
+    (D=8) — the XLA path pays the 128-lane 6-pass MXU padding tax.
+    ``PYFOCUSR_TPU_KNN=xla|pallas`` overrides the routing (decided at trace
+    time) for A/B timing or to work around a Mosaic toolchain regression."""
+    import os
+
+    forced = os.environ.get("PYFOCUSR_TPU_KNN", "").lower()
+    if forced == "xla":
+        return False
     if use_pallas is not None:
         return bool(use_pallas)
-    return jax.default_backend() == "tpu" and d_dim <= 16 and nr >= k
+    if d_dim > 16 or nr < k:
+        return False
+    return forced == "pallas" or jax.default_backend() == "tpu"
 
 
 def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,

@@ -577,8 +577,8 @@ def jv_device_pallas(cost, u0, v0, row4col0, col4row0, max_total_steps: int,
 # VMEM-resident across reference tiles, so the [Nq, Nr] distance matrix
 # never exists.  Measured on v5e at 15k x 15k (chained dispatch, transfer-
 # fenced): D=3 nn 3.8 -> 0.5 ms, knn3 12.8 -> 1.0 ms; D=8 nn 3.7 -> 2.0 ms,
-# knn3 12.6 -> 3.9 ms; the 960k multires probe's KNN floor drops
-# proportionally.  Block sweep: (256, 2048) best of six tried.
+# knn3 12.6 -> 3.9 ms; at 960k x 960k D=3: nn 19.8 -> 3.9 s, knn3
+# 42.8 -> 7.6 s (compute-bound).  Block sweep: (256, 2048) best of six.
 #
 # Mosaic constraints shape the code (see memory notes / JV kernel above):
 # no VMEM gathers and no scalar stores, so per-lane reads are masked lane
