@@ -162,28 +162,35 @@ def main():
     diag["runs_s"] = [round(t, 3) for t in times]
 
     # --- Quality metrics (BASELINE.json tracked; VERDICT r1 task #2) ---
-    corr = np.asarray(res["correspondences"])
-    uniq = len(np.unique(corr))
-    weighted = np.asarray(res["weighted_points"], np.float64)
-    src_pts = np.asarray(source.points, np.float64)
-    tgt_pts = np.asarray(target.points, np.float64)
-    diag["unique_correspondences"] = f"{uniq}/{corr.shape[0]}"
-    diag["unique_fraction"] = round(uniq / corr.shape[0], 4)
-    diag["mean_displacement_mm"] = round(
-        float(np.linalg.norm(weighted - src_pts, axis=1).mean()), 4
-    )
-    # Symmetric surface (point-cloud) distance: transformed source <-> target.
-    import jax.numpy as jnp
+    # Guarded like the scale diagnostics below: once the timed runs are in,
+    # a transient tunnel fault in any later phase must not kill the bench
+    # (observed: "TPU backend error (Internal)" on a device_put mid-run).
+    try:
+        corr = np.asarray(res["correspondences"])
+        uniq = len(np.unique(corr))
+        weighted = np.asarray(res["weighted_points"], np.float64)
+        src_pts = np.asarray(source.points, np.float64)
+        tgt_pts = np.asarray(target.points, np.float64)
+        diag["unique_correspondences"] = f"{uniq}/{corr.shape[0]}"
+        diag["unique_fraction"] = round(uniq / corr.shape[0], 4)
+        diag["mean_displacement_mm"] = round(
+            float(np.linalg.norm(weighted - src_pts, axis=1).mean()), 4
+        )
+        # Symmetric surface distance: transformed source <-> target.
+        import jax.numpy as jnp
 
-    from pyfocusr_tpu.ops.knn import nn_query
+        from pyfocusr_tpu.ops.knn import nn_query
 
-    wj = jnp.asarray(weighted, jnp.float32)
-    tj = jnp.asarray(tgt_pts, jnp.float32)
-    d_fwd, _ = nn_query(tj, wj)
-    d_rev, _ = nn_query(wj, tj)
-    diag["symmetric_surface_dist_mm"] = round(
-        float((np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0), 4
-    )
+        wj = jnp.asarray(weighted, jnp.float32)
+        tj = jnp.asarray(tgt_pts, jnp.float32)
+        d_fwd, _ = nn_query(tj, wj)
+        d_rev, _ = nn_query(wj, tj)
+        diag["symmetric_surface_dist_mm"] = round(
+            float((np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0), 4
+        )
+    except Exception as e:
+        print(f"quality diagnostic failed: {e}", file=sys.stderr)
+        diag["quality_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # --- Standalone k=6 eigensolve time (BASELINE.json tracked metric) ---
     from functools import partial
@@ -195,25 +202,26 @@ def main():
         lams, vecs, _ = _spectrum(g, k, key, cfg)
         return lams, vecs
 
-    eig_times = []
-    _ = jax.block_until_ready(
-        eigensolve(tg, cfg.n_total, jax.random.PRNGKey(0), cfg)
-    )  # compile
-    for i in range(3):
-        t0 = time.perf_counter()
-        out_t = eigensolve(tg, cfg.n_total, jax.random.PRNGKey(i), cfg)
-        out_s = eigensolve(sg, cfg.n_total, jax.random.PRNGKey(i), cfg)
-        jax.block_until_ready((out_t, out_s))
-        _ = np.asarray(out_t[0])
-        eig_times.append(time.perf_counter() - t0)
-    diag["eigensolve_k6_both_meshes_s"] = round(float(np.median(eig_times)), 4)
-    diag["eigensolve_runs_s"] = [round(t, 4) for t in eig_times]
+    try:
+        eig_times = []
+        _ = jax.block_until_ready(
+            eigensolve(tg, cfg.n_total, jax.random.PRNGKey(0), cfg)
+        )  # compile
+        for i in range(3):
+            t0 = time.perf_counter()
+            out_t = eigensolve(tg, cfg.n_total, jax.random.PRNGKey(i), cfg)
+            out_s = eigensolve(sg, cfg.n_total, jax.random.PRNGKey(i), cfg)
+            jax.block_until_ready((out_t, out_s))
+            _ = np.asarray(out_t[0])
+            eig_times.append(time.perf_counter() - t0)
+        diag["eigensolve_k6_both_meshes_s"] = round(float(np.median(eig_times)), 4)
+        diag["eigensolve_runs_s"] = [round(t, 4) for t in eig_times]
+    except Exception as e:
+        print(f"eigensolve diagnostic failed: {e}", file=sys.stderr)
+        diag["eigensolve_k6_both_meshes_s"] = None
 
     # --- 5k pair with 'hungarian' (the reference notebook's actual config;
     # exact 5000x5000 assignment ON DEVICE via sinkhorn_jv_lap) ---
-    t5 = load_mesh(f"{DATA}/target_mesh.vtk")
-    s5 = load_mesh(f"{DATA}/source_mesh.vtk")
-    tg5, sg5 = mesh_to_graph_arrays(t5), mesh_to_graph_arrays(s5)
     cfg5 = PipelineConfig(
         n_spectral_features=3,
         n_extra_spectral=3,
@@ -229,6 +237,9 @@ def main():
         initial_correspondence_type="hungarian",
     )
     try:
+        t5 = load_mesh(f"{DATA}/target_mesh.vtk")
+        s5 = load_mesh(f"{DATA}/source_mesh.vtk")
+        tg5, sg5 = mesh_to_graph_arrays(t5), mesh_to_graph_arrays(s5)
         res5 = register_pair(tg5, sg5, cfg5, jax.random.PRNGKey(0))
         jax.block_until_ready(res5)
         h_times = []
@@ -311,6 +322,11 @@ def main():
         try:
             from pyfocusr_tpu.parallel.cohort import register_cohort, stack_graph_arrays
 
+            # Load the 5k pair here too: the hungarian block above may have
+            # failed before creating t5/s5/tg5.
+            t5 = load_mesh(f"{DATA}/target_mesh.vtk")
+            s5 = load_mesh(f"{DATA}/source_mesh.vtk")
+            tg5 = mesh_to_graph_arrays(t5)
             rng = np.random.default_rng(0)
             cohort = []
             base = np.asarray(s5.points, np.float32)
