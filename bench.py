@@ -148,7 +148,7 @@ def main():
     # and the transfer guarantees the computation actually finished. ---
     times = []
     res = None
-    for i in range(3):
+    for i in range(5):
         def _timed(i=i):
             t0 = time.perf_counter()
             r = register_pair(tg, sg, cfg, jax.random.PRNGKey(i + 1))
