@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .io.vtk_io import read_vtk_polydata, write_vtk_polydata
+from .io.mesh_formats import read_any, write_any
 
 __all__ = ["TriMesh", "MeshTopology", "load_mesh", "save_mesh", "build_topology"]
 
@@ -250,15 +250,17 @@ def build_topology(
 
 
 def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
-    """Load a legacy ``.vtk`` PolyData file into a :class:`TriMesh`
-    (replaces ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``).
+    """Load a mesh file into a :class:`TriMesh` (replaces
+    ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``).
+    Format by extension: legacy ``.vtk`` PolyData plus — beyond the
+    reference — ``.ply`` / ``.obj`` / ``.stl`` (``io.mesh_formats``).
 
     Arrays are HOST-resident (numpy): all connectivity/preprocessing
     consumers are host-side, and on the remote-TPU runtime an eager device
     placement here would cost tunnel round-trips per mesh for nothing —
     ``mesh_to_graph_arrays`` makes the single device transfer when compute
     actually starts (jnp consumers accept numpy transparently)."""
-    points, triangles, point_data = read_vtk_polydata(path)
+    points, triangles, point_data = read_any(path)
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     return TriMesh(
         points=np.asarray(points, dtype=np_dtype),
@@ -268,7 +270,9 @@ def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
 
 
 def save_mesh(path: str, mesh: TriMesh) -> None:
-    write_vtk_polydata(
+    """Write ``mesh`` in the format implied by ``path``'s extension
+    (.vtk / .ply / .obj / .stl)."""
+    write_any(
         path,
         np.asarray(mesh.points, dtype=np.float64),
         np.asarray(mesh.triangles),

@@ -28,21 +28,48 @@ from pyfocusr_tpu.spectral.eigsort_jax import sort_eigenmaps_jit
 DATA = "/root/reference/data"
 
 
-def timeit(name, fn, *args, n=3, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+_BASELINE_S = [0.0]
+
+
+def _fence(out):
+    """On the remote-TPU runtime block_until_ready alone was observed to
+    return early; a small host transfer guarantees completion."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+    return out
+
+
+def measure_baseline():
+    """Per-call round-trip floor (dispatch + fence transfer), subtracted
+    from every stage time below.  On this tunnel it is typically 30-60 ms
+    and swamps sub-50ms ops if not removed."""
+    x = jnp.ones((8, 8), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    _fence(f(x))
+    ts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        _fence(f(x))
+        ts.append(time.perf_counter() - t0)
+    _BASELINE_S[0] = float(np.median(ts))
+    print(f"{'round-trip baseline (subtracted)':42s} {_BASELINE_S[0]*1000:10.1f} ms")
+
+
+def timeit(name, fn, *args, n=5, **kw):
+    out = _fence(fn(*args, **kw))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = _fence(fn(*args, **kw))
         ts.append(time.perf_counter() - t0)
-    print(f"{name:42s} {min(ts)*1000:10.1f} ms")
+    dt = max(float(np.median(ts)) - _BASELINE_S[0], 0.0)
+    print(f"{name:42s} {dt*1000:10.1f} ms")
     return out
 
 
 def main():
     print("device:", jax.devices()[0])
+    measure_baseline()
     target = load_mesh(f"{DATA}/target_mesh_15k.vtk")
     source = load_mesh(f"{DATA}/source_mesh_15k.vtk")
     tg = mesh_to_graph_arrays(target)
