@@ -34,9 +34,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="pyfocusr-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    p_reg = sub.add_parser("register", help="register source mesh onto target")
+    p_reg = sub.add_parser("register", help="register source mesh(es) onto target")
     p_reg.add_argument("target")
-    p_reg.add_argument("source")
+    p_reg.add_argument(
+        "source", nargs="+",
+        help="one or more source meshes; with several, the target's "
+        "spectrum/smoothing is prepared ONCE and reused per pair "
+        "(pipeline.prepare_target, 1.69x per pair at 15k)",
+    )
     p_reg.add_argument("-o", "--out-dir", default=".")
     p_reg.add_argument(
         "--multires",
@@ -186,46 +191,75 @@ def main(argv=None):
 
     if args.cmd == "register":
         target = load_mesh(args.target)
-        source = load_mesh(args.source)
-        t0 = time.perf_counter()
-        if args.multires:
-            from .multires import register_pair_multires
+        multi = len(args.source) > 1
+        if multi and args.multires:
+            print(
+                "--multires supports a single source per invocation",
+                file=sys.stderr,
+            )
+            return 2
+        tg = None if args.multires else mesh_to_graph_arrays(target)
+        prep = None
+        if multi:
+            from .pipeline import prepare_target
 
-            res, _ = register_pair_multires(
-                target, source, cfg, jax.random.PRNGKey(args.seed),
-                coarse_n=args.multires,
+            key8 = jax.random.split(jax.random.PRNGKey(args.seed), 8)
+            prep = prepare_target(tg, cfg, key8[0])
+        summaries = []
+        for src_path in args.source:
+            source = load_mesh(src_path)
+            t0 = time.perf_counter()
+            if args.multires:
+                from .multires import register_pair_multires
+
+                res, _ = register_pair_multires(
+                    target, source, cfg, jax.random.PRNGKey(args.seed),
+                    coarse_n=args.multires,
+                )
+            elif prep is not None:
+                from .pipeline import register_pair_prepared
+
+                res = register_pair_prepared(
+                    prep, tg, mesh_to_graph_arrays(source), cfg,
+                    jax.random.PRNGKey(args.seed),
+                )
+            else:
+                res = register_pair(
+                    tg,
+                    mesh_to_graph_arrays(source),
+                    cfg,
+                    jax.random.PRNGKey(args.seed),
+                )
+            jax.block_until_ready(res)
+            dt = time.perf_counter() - t0
+            corr = np.asarray(res["correspondences"])
+            stem = (
+                os.path.splitext(os.path.basename(src_path))[0] + "_"
+                if multi
+                else ""
             )
-        else:
-            res = register_pair(
-                mesh_to_graph_arrays(target),
-                mesh_to_graph_arrays(source),
-                cfg,
-                jax.random.PRNGKey(args.seed),
+            out_t = source.with_points(res["weighted_points"]).with_point_data(
+                "corresp_idx", corr.astype(np.float32)
             )
-        jax.block_until_ready(res)
-        dt = time.perf_counter() - t0
-        corr = np.asarray(res["correspondences"])
-        out_t = source.with_points(res["weighted_points"]).with_point_data(
-            "corresp_idx", corr.astype(np.float32)
-        )
-        save_mesh(os.path.join(args.out_dir, "transformed_source.vtk"), out_t)
-        avg = source.with_points(res["average_points"])
-        save_mesh(os.path.join(args.out_dir, "average_mesh.vtk"), avg)
-        np.save(os.path.join(args.out_dir, "correspondences.npy"), corr)
-        print(
-            json.dumps(
+            names = [
+                f"{stem}transformed_source.vtk",
+                f"{stem}average_mesh.vtk",
+                f"{stem}correspondences.npy",
+            ]
+            save_mesh(os.path.join(args.out_dir, names[0]), out_t)
+            avg = source.with_points(res["average_points"])
+            save_mesh(os.path.join(args.out_dir, names[1]), avg)
+            np.save(os.path.join(args.out_dir, names[2]), corr)
+            summaries.append(
                 {
+                    "source": src_path,
                     "seconds": round(dt, 3),
                     "unique_correspondences": int(len(np.unique(corr))),
                     "n_source_points": int(corr.shape[0]),
-                    "outputs": [
-                        "transformed_source.vtk",
-                        "average_mesh.vtk",
-                        "correspondences.npy",
-                    ],
+                    "outputs": names,
                 }
             )
-        )
+        print(json.dumps(summaries[0] if not multi else summaries))
         return 0
 
     if args.cmd == "ssm":

@@ -193,3 +193,48 @@ def test_warmup_command(tmp_path):
     out = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["compile_plus_first_run_s"] > 0
     assert exp_path.exists() and exp_path.stat().st_size > 10000
+
+
+@pytest.mark.slow
+def test_register_multi_source_prepared(tmp_path):
+    """Several sources against one target: the prepared-template path
+    writes per-source-stem outputs and a JSON list summary."""
+    proc = _run_cli(
+        [
+            "register",
+            f"{DATA}/target_mesh.vtk",
+            f"{DATA}/source_mesh.vtk",
+            f"{DATA}/target_mesh.vtk",  # self-registration as 2nd source
+            "-o",
+            str(tmp_path),
+            "--non-rigid-max-iterations",
+            "30",
+            "--graph-smoothing-iterations",
+            "30",
+            "--n-coords-spectral-registration",
+            "500",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout[proc.stdout.index("["):])
+    assert isinstance(out, list) and len(out) == 2
+    assert (tmp_path / "source_mesh_transformed_source.vtk").exists()
+    assert (tmp_path / "target_mesh_correspondences.npy").exists()
+    # self-registration correspondences should be near-identity
+    self_corr = np.load(tmp_path / "target_mesh_correspondences.npy")
+    assert (self_corr == np.arange(len(self_corr))).mean() > 0.5
+
+
+def test_register_multi_source_rejects_multires(tmp_path):
+    proc = _run_cli(
+        [
+            "register",
+            f"{DATA}/target_mesh.vtk",
+            f"{DATA}/source_mesh.vtk",
+            f"{DATA}/source_mesh.vtk",
+            "--multires", "1000",
+            "-o", str(tmp_path),
+        ]
+    )
+    assert proc.returncode == 2
+    assert "single source" in proc.stderr

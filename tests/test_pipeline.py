@@ -401,3 +401,28 @@ def test_landmark_pairs_from_positions():
     assert float(np.max(np.asarray(dists))) < 0.3
     with pytest.raises(ValueError, match="L, 3"):
         landmark_pairs_from_positions(source, target, sp, tp[:2])
+
+
+@pytest.mark.slow
+def test_prepared_target_matches_register_pair(pair_5k):
+    """prepare_target + register_pair_prepared must reproduce register_pair
+    bit-for-bit when fed the same key split (the prepared state replaces
+    exactly the values the fused program computes)."""
+    from pyfocusr_tpu.pipeline import prepare_target, register_pair_prepared
+
+    tg, sg = pair_5k
+    cfg = PipelineConfig(**FAST)
+    key = jax.random.PRNGKey(11)
+    ref = register_pair(tg, sg, cfg, key)
+    prep = prepare_target(tg, cfg, jax.random.split(key, 8)[0])
+    out = register_pair_prepared(prep, tg, sg, cfg, key)
+    for k in ("correspondences", "weighted_points", "eig_vals_target"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+
+
+def test_prepare_target_rejects_moving_target():
+    from pyfocusr_tpu.pipeline import prepare_target
+
+    cfg = PipelineConfig(icp_register_first=True, icp_reg_target_to_source=True)
+    with pytest.raises(ValueError, match="fixed target"):
+        prepare_target(None, cfg, jax.random.PRNGKey(0))
