@@ -91,7 +91,9 @@ def main():
         np.asarray(x @ x)  # round-trip through the device
         return dev
 
-    dev, warm_attempts = _retry(_prewarm, sleep_s=15.0)
+    # The tunnel was observed fully UNAVAILABLE for ~30 min stretches;
+    # generous backoff here is what decides whether the whole bench runs.
+    dev, warm_attempts = _retry(_prewarm, n_attempts=8, sleep_s=120.0)
     diag["device"] = str(dev)
     diag["backend_init_s"] = round(time.perf_counter() - t0, 3)
     diag["backend_init_attempts"] = warm_attempts
@@ -219,6 +221,27 @@ def main():
     except Exception as e:
         print(f"eigensolve diagnostic failed: {e}", file=sys.stderr)
         diag["eigensolve_k6_both_meshes_s"] = None
+
+    # --- Template-serving path: prepare_target hoists the target eigensolve
+    # + smoothing; measures the steady-state per-pair cost when sweeping
+    # many subjects against one template (docs/api.md). ---
+    try:
+        from pyfocusr_tpu.pipeline import prepare_target, register_pair_prepared
+
+        prep = prepare_target(tg, cfg, jax.random.split(jax.random.PRNGKey(1), 8)[0])
+        jax.block_until_ready(prep["vecs"])
+        r = register_pair_prepared(prep, tg, sg, cfg, jax.random.PRNGKey(1))
+        _ = np.asarray(r["correspondences"])[:4]  # compile + fence
+        p_times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            r = register_pair_prepared(prep, tg, sg, cfg, jax.random.PRNGKey(i + 1))
+            _ = np.asarray(r["correspondences"])[:4]
+            p_times.append(time.perf_counter() - t0)
+        diag["prepared_template_15k_s"] = round(float(np.median(p_times)), 4)
+    except Exception as e:
+        print(f"prepared-template diagnostic failed: {e}", file=sys.stderr)
+        diag["prepared_template_15k_s"] = None
 
     # --- 5k pair with 'hungarian' (the reference notebook's actual config;
     # exact 5000x5000 assignment ON DEVICE via sinkhorn_jv_lap) ---

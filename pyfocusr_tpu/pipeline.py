@@ -649,8 +649,8 @@ def prepare_target(target: GraphArrays, cfg: PipelineConfig, key):
     spectrum and smoothed coordinates every pair; this hoists both,
     cutting steady-state per-pair cost 1.69x (measured 205 -> 121 ms at
     15k on v5e, bit-identical outputs).  Returns a dict pytree to pass
-    to :func:`register_pair_prepared`; serialize it with
-    ``utils.checkpoint`` to reuse across processes.
+    to :func:`register_pair_prepared`; persist it across processes with
+    :func:`save_prepared_target` / :func:`load_prepared_target`.
 
     Beyond-reference capability (the reference recomputes everything per
     ``Focusr`` instance, ``focusr.py:134-170``).
@@ -687,6 +687,33 @@ def register_pair_prepared(
     return _register_pair_jit(
         target, source, cfg, key, landmark_pairs, pre=prep
     )
+
+
+def save_prepared_target(path: str, prep) -> None:
+    """Persist a :func:`prepare_target` state to ``.npz`` so a serving
+    process can skip the template eigensolve entirely."""
+    from .utils.checkpoint import save_results
+
+    save_results(path, prep)
+
+
+def load_prepared_target(path: str):
+    """Inverse of :func:`save_prepared_target` -> the dict pytree
+    :func:`register_pair_prepared` expects."""
+    from .utils.checkpoint import load_results
+
+    flat = load_results(path)
+    w = []
+    i = 0
+    while f"['w']/[{i}]" in flat:
+        w.append(jnp.asarray(flat[f"['w']/[{i}]"]))
+        i += 1
+    return {
+        "lams": jnp.asarray(flat["['lams']"]),
+        "vecs": jnp.asarray(flat["['vecs']"]),
+        "w": tuple(w),
+        "smoothed_points": jnp.asarray(flat["['smoothed_points']"]),
+    }
 
 
 @partial(jax.jit, static_argnames=("cfg",))

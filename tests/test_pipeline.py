@@ -426,3 +426,33 @@ def test_prepare_target_rejects_moving_target():
     cfg = PipelineConfig(icp_register_first=True, icp_reg_target_to_source=True)
     with pytest.raises(ValueError, match="fixed target"):
         prepare_target(None, cfg, jax.random.PRNGKey(0))
+
+
+def test_prepared_target_checkpoint_roundtrip(tmp_path):
+    """save/load_prepared_target restores the exact pytree structure."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.pipeline import (
+        load_prepared_target,
+        save_prepared_target,
+    )
+
+    prep = {
+        "lams": jnp.arange(7, dtype=jnp.float32),
+        "vecs": jnp.ones((12, 7), jnp.float32),
+        "w": (
+            jnp.ones((12, 8), jnp.float32),
+            jnp.zeros((3, 2), jnp.int32),
+            jnp.ones((3,), jnp.float32),
+        ),
+        "smoothed_points": jnp.full((12, 3), 2.0, jnp.float32),
+    }
+    p = str(tmp_path / "prep.npz")
+    save_prepared_target(p, prep)
+    back = load_prepared_target(p)
+    assert set(back) == set(prep)
+    assert isinstance(back["w"], tuple) and len(back["w"]) == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(prep), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
