@@ -44,6 +44,16 @@ def main(argv=None):
     )
     p_reg.add_argument("-o", "--out-dir", default=".")
     p_reg.add_argument(
+        "--save-prepared", metavar="NPZ", default=None,
+        help="persist the target's prepared state (spectrum + smoothing) "
+        "for later --prepared runs",
+    )
+    p_reg.add_argument(
+        "--prepared", metavar="NPZ", default=None,
+        help="reuse a state saved with --save-prepared instead of "
+        "recomputing the target eigensolve (serving path)",
+    )
+    p_reg.add_argument(
         "--multires",
         type=int,
         metavar="COARSE_N",
@@ -198,13 +208,24 @@ def main(argv=None):
                 file=sys.stderr,
             )
             return 2
+        if args.multires and (args.prepared or args.save_prepared):
+            print("--multires cannot use prepared target state", file=sys.stderr)
+            return 2
         tg = None if args.multires else mesh_to_graph_arrays(target)
         prep = None
-        if multi:
+        if args.prepared:
+            from .pipeline import load_prepared_target
+
+            prep = load_prepared_target(args.prepared)
+        elif multi or args.save_prepared:
             from .pipeline import prepare_target
 
             key8 = jax.random.split(jax.random.PRNGKey(args.seed), 8)
             prep = prepare_target(tg, cfg, key8[0])
+        if args.save_prepared and prep is not None:
+            from .pipeline import save_prepared_target
+
+            save_prepared_target(args.save_prepared, prep)
         summaries = []
         for src_path in args.source:
             source = load_mesh(src_path)

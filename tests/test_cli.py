@@ -238,3 +238,31 @@ def test_register_multi_source_rejects_multires(tmp_path):
     )
     assert proc.returncode == 2
     assert "single source" in proc.stderr
+
+
+@pytest.mark.slow
+def test_register_prepared_state_roundtrip(tmp_path):
+    """--save-prepared then --prepared reproduces the direct run exactly
+    (same seed -> same key split -> bit-identical correspondences)."""
+    common = [
+        "--non-rigid-max-iterations", "30",
+        "--graph-smoothing-iterations", "30",
+        "--n-coords-spectral-registration", "500",
+    ]
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    prep_npz = str(tmp_path / "prep.npz")
+    p1 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d1), "--save-prepared", prep_npz] + common
+    )
+    assert p1.returncode == 0, p1.stderr[-800:]
+    assert os.path.exists(prep_npz)
+    p2 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d2), "--prepared", prep_npz] + common
+    )
+    assert p2.returncode == 0, p2.stderr[-800:]
+    c1 = np.load(d1 / "correspondences.npy")
+    c2 = np.load(d2 / "correspondences.npy")
+    np.testing.assert_array_equal(c1, c2)
