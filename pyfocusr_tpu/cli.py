@@ -216,7 +216,7 @@ def main(argv=None):
         if args.prepared:
             from .pipeline import load_prepared_target
 
-            prep = load_prepared_target(args.prepared)
+            prep = load_prepared_target(args.prepared, cfg)
         elif multi or args.save_prepared:
             from .pipeline import prepare_target
 
@@ -225,7 +225,7 @@ def main(argv=None):
         if args.save_prepared and prep is not None:
             from .pipeline import save_prepared_target
 
-            save_prepared_target(args.save_prepared, prep)
+            save_prepared_target(args.save_prepared, prep, cfg)
         summaries = []
         for src_path in args.source:
             source = load_mesh(src_path)

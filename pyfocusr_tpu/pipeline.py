@@ -689,20 +689,39 @@ def register_pair_prepared(
     )
 
 
-def save_prepared_target(path: str, prep) -> None:
+def save_prepared_target(path: str, prep, cfg: PipelineConfig = None) -> None:
     """Persist a :func:`prepare_target` state to ``.npz`` so a serving
-    process can skip the template eigensolve entirely."""
+    process can skip the template eigensolve entirely.  Pass the ``cfg``
+    it was prepared under to embed a config fingerprint; loading with a
+    different config then fails loudly instead of silently mixing
+    smoothing/spectral settings."""
+    import numpy as _np
+
     from .utils.checkpoint import save_results
 
-    save_results(path, prep)
+    tree = dict(prep)
+    if cfg is not None:
+        tree["cfg_fingerprint"] = _np.frombuffer(
+            repr(cfg).encode(), dtype=_np.uint8
+        ).copy()
+    save_results(path, tree)
 
 
-def load_prepared_target(path: str):
+def load_prepared_target(path: str, cfg: PipelineConfig = None):
     """Inverse of :func:`save_prepared_target` -> the dict pytree
-    :func:`register_pair_prepared` expects."""
+    :func:`register_pair_prepared` expects.  With ``cfg``, verifies the
+    stored config fingerprint (if any) matches."""
     from .utils.checkpoint import load_results
 
     flat = load_results(path)
+    if cfg is not None and "['cfg_fingerprint']" in flat:
+        stored = bytes(flat["['cfg_fingerprint']"]).decode()
+        if stored != repr(cfg):
+            raise ValueError(
+                "prepared-target state was saved under a different "
+                "PipelineConfig; re-run prepare_target (stored: "
+                f"{stored[:200]}...)"
+            )
     w = []
     i = 0
     while f"['w']/[{i}]" in flat:

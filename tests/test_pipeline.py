@@ -456,3 +456,26 @@ def test_prepared_target_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(prep), jax.tree_util.tree_leaves(back)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prepared_target_config_fingerprint(tmp_path):
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.pipeline import (
+        load_prepared_target,
+        save_prepared_target,
+    )
+
+    prep = {
+        "lams": jnp.zeros(3), "vecs": jnp.zeros((4, 3)),
+        "w": (jnp.zeros((4, 8)),),
+        "smoothed_points": jnp.zeros((4, 3)),
+    }
+    cfg_a = PipelineConfig(graph_smoothing_iterations=300)
+    cfg_b = PipelineConfig(graph_smoothing_iterations=600)
+    p = str(tmp_path / "prep.npz")
+    save_prepared_target(p, prep, cfg_a)
+    load_prepared_target(p, cfg_a)  # same config: ok
+    load_prepared_target(p)  # no check requested: ok
+    with pytest.raises(ValueError, match="different\\s+PipelineConfig"):
+        load_prepared_target(p, cfg_b)
