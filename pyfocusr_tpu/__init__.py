@@ -20,9 +20,11 @@ from .pipeline import (  # noqa: F401
     GraphArrays,
     PipelineConfig,
     mesh_to_graph_arrays,
+    prepare_source,
     prepare_target,
     register_pair,
     register_pair_prepared,
+    register_pair_prepared_source,
 )
 from .spectral.eigsort import eigsort  # noqa: F401
 from .spectral.graph import Graph, features_dictionary  # noqa: F401

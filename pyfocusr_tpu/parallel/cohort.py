@@ -28,7 +28,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..mesh import TriMesh
 from ..ops.icp import icp
 from ..ops.knn import nn_query
-from ..pipeline import GraphArrays, PipelineConfig, mesh_to_graph_arrays, register_pair
+from ..pipeline import (
+    GraphArrays,
+    PipelineConfig,
+    mesh_to_graph_arrays,
+    prepare_source,
+    register_pair,
+    register_pair_prepared_source,
+    source_spectrum_hoistable,
+)
 
 try:  # JAX >= 0.4.35 public API, else experimental
     shard_map = jax.shard_map
@@ -76,11 +84,16 @@ def stack_graph_arrays(graphs: Sequence[GraphArrays]) -> GraphArrays:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
 
 
-def _batched_register(targets, template, cfg, keys):
-    """vmap register_pair over the cohort axis; template broadcast."""
-    return jax.vmap(
-        lambda t, k: register_pair(t, template, cfg, k), in_axes=(0, 0)
-    )(targets, keys)
+def _batched_register(targets, template, cfg, keys, prep=None):
+    """vmap register_pair over the cohort axis; template (and its prepared
+    spectrum, when hoisted) broadcast into every lane."""
+    if prep is None:
+        fn = lambda t, k: register_pair(t, template, cfg, k)
+    else:
+        fn = lambda t, k: register_pair_prepared_source(
+            prep, t, template, cfg, k
+        )
+    return jax.vmap(fn, in_axes=(0, 0))(targets, keys)
 
 
 def check_cohort_config(
@@ -127,6 +140,7 @@ def register_cohort(
     cfg: PipelineConfig,
     key: jax.Array,
     device_mesh: Mesh | None = None,
+    prepared_template: bool | None = None,
 ):
     """Register the template (as source) to every target in the cohort.
 
@@ -138,6 +152,14 @@ def register_cohort(
     at ``focusr.py:32-35``: the template is the *source*, each cohort subject
     the *target*, so ``weighted_points`` live in template vertex order and can
     be averaged across the cohort directly.
+
+    ``prepared_template`` hoists the template's eigensolve out of the
+    per-pair fan-out (``pipeline.prepare_source``): it runs ONCE and the
+    spectrum broadcasts into every vmap lane instead of being recomputed
+    per pair.  Default (None) enables the hoist whenever the config
+    permits it (``pipeline.source_spectrum_hoistable`` — always true for
+    rigid/absent ICP); passing True forces it (raising on non-hoistable
+    configs), False disables it.
     """
     batch = jax.tree.leaves(targets)[0].shape[0]
     min_real = int(
@@ -152,8 +174,16 @@ def register_cohort(
     )
     keys = jax.random.split(key, batch)
 
+    if prepared_template is None:
+        prepared_template = source_spectrum_hoistable(cfg)
+    prep = (
+        prepare_source(template, cfg, jax.random.fold_in(key, batch))
+        if prepared_template
+        else None
+    )
+
     if device_mesh is None:
-        results = _batched_register(targets, template, cfg, keys)
+        results = _batched_register(targets, template, cfg, keys, prep)
         mean_shape = jnp.mean(results["weighted_points"], axis=0)
         return results, mean_shape
 
@@ -167,16 +197,18 @@ def register_cohort(
         jax.tree.map(lambda _: P("cohort"), targets),
         jax.tree.map(lambda _: P(), template),
         P("cohort"),
+        jax.tree.map(lambda _: P(), prep),
     )
     out_specs = (
         jax.tree.map(lambda _: P("cohort"), jax.eval_shape(
-            lambda t, k: _batched_register(t, template, cfg, k), targets, keys
+            lambda t, k: _batched_register(t, template, cfg, k, prep),
+            targets, keys,
         )),
         P(),
     )
 
-    def shard_fn(tgt_shard, tmpl, key_shard):
-        res = _batched_register(tgt_shard, tmpl, cfg, key_shard)
+    def shard_fn(tgt_shard, tmpl, key_shard, prep_arg):
+        res = _batched_register(tgt_shard, tmpl, cfg, key_shard, prep_arg)
         local_sum = jnp.sum(res["weighted_points"], axis=0)
         total = jax.lax.psum(local_sum, axis_name="cohort")
         return res, total / batch
@@ -188,7 +220,7 @@ def register_cohort(
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(targets, template, keys)
+    return jax.jit(fn)(targets, template, keys, prep)
 
 
 def iterate_template(

@@ -57,6 +57,11 @@ __all__ = [
     "mesh_to_graph_arrays",
     "register_pair",
     "landmark_pairs_from_positions",
+    "prepare_target",
+    "register_pair_prepared",
+    "prepare_source",
+    "register_pair_prepared_source",
+    "source_spectrum_hoistable",
 ]
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -689,6 +694,78 @@ def register_pair_prepared(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+@f32_matmuls
+def _prepare_source_jit(source: GraphArrays, cfg: PipelineConfig, key):
+    lams, vecs, w = _spectrum(source, cfg.n_total, key, cfg)
+    return {"lams": lams, "vecs": vecs, "w": w}
+
+
+def source_spectrum_hoistable(cfg: PipelineConfig) -> bool:
+    """Whether the source spectrum/operators are pair-independent under
+    ``cfg`` (the :func:`prepare_source` validity condition).
+
+    The spectrum and smoothing operators depend only on edge weights
+    w = 1/dist (reference ``graph.py:148-178``), which rigid motion
+    preserves exactly — so hoisting is valid even when ICP moves the
+    source per pair, as long as the mode is 'rigid'.  'similarity' ICP
+    rescales edge lengths: the normalized Laplacian L = D^-1(D - W) is
+    still scale-invariant, but the mean-filter operator
+    D'^-1 (W + I) (``graph.py:320-354``) mixes the scaled W with the
+    unscaled I, so the smoothed projections would diverge — not hoistable.
+    """
+    return not (
+        cfg.icp_register_first
+        and not cfg.icp_reg_target_to_source
+        and cfg.icp_registration_mode != "rigid"
+    )
+
+
+def prepare_source(source: GraphArrays, cfg: PipelineConfig, key):
+    """Precompute the source-only pipeline state (spectrum + graph
+    operators) for the cohort/SSM direction of template serving.
+
+    ``parallel.cohort.register_cohort`` registers ONE template (as source,
+    so ``weighted_points`` land in template vertex order — reference
+    ``focusr.py:32-35``) against every cohort subject; without hoisting,
+    the template's eigensolve is recomputed in every vmap lane.  This is
+    the mirror image of :func:`prepare_target` (which serves the
+    target-fixed direction).
+
+    Exactness: with ``icp_register_first=False``, passing the same key the
+    fused program would use (``jax.random.split(key, 8)[1]``) reproduces
+    ``register_pair`` bit-for-bit.  With rigid ICP the hoisted spectrum is
+    computed from the unmoved source; since rigid motion preserves the
+    edge weights the spectra agree to solver tolerance (see
+    :func:`source_spectrum_hoistable`).
+    """
+    if not source_spectrum_hoistable(cfg):
+        raise ValueError(
+            "prepare_source requires pair-independent source operators; "
+            "icp_registration_mode='similarity' with the source moving "
+            "per pair rescales the smoothing operator. Use rigid ICP, "
+            "icp_reg_target_to_source=True, or icp_register_first=False."
+        )
+    return _prepare_source_jit(source, cfg, key)
+
+
+def register_pair_prepared_source(
+    prep_src,
+    target: GraphArrays,
+    source: GraphArrays,
+    cfg: PipelineConfig,
+    key,
+    landmark_pairs=None,
+):
+    """Register onto ``target`` with a source prepared by
+    :func:`prepare_source` (same contract as :func:`register_pair`, minus
+    the source's eigensolve)."""
+    _check_padding_hazards(target, source, cfg)
+    return _register_pair_jit(
+        target, source, cfg, key, landmark_pairs, pre_src=prep_src
+    )
+
+
 def save_prepared_target(path: str, prep, cfg: PipelineConfig = None) -> None:
     """Persist a :func:`prepare_target` state to ``.npz`` so a serving
     process can skip the template eigensolve entirely.  Pass the ``cfg``
@@ -744,6 +821,7 @@ def _register_pair_jit(
     key,
     landmark_pairs=None,
     pre=None,
+    pre_src=None,
 ):
     """Full registration of one mesh pair.  Returns a dict pytree (all sized
     to the padded source/target shapes; rows where ``source.valid_mask == 0``
@@ -803,7 +881,16 @@ def _register_pair_jit(
         lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
     else:
         lams_t, vecs_t, w_t = pre["lams"], pre["vecs"], pre["w"]
-    lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+    if pre_src is None:
+        lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+    else:
+        # ``pre_src`` (from ``prepare_source``) carries the SOURCE spectrum
+        # precomputed once — the cohort/SSM direction, where one template
+        # (as source, cohort.py) registers to many subjects.  Valid even
+        # with rigid ICP enabled: the random-walk Laplacian and smoothing
+        # operators depend only on edge lengths, which rigid motion
+        # preserves (see prepare_source for the guard on 'similarity').
+        lams_s, vecs_s, w_s = pre_src["lams"], pre_src["vecs"], pre_src["w"]
 
     # --- eigsort (reference ``focusr.py:514-521``) ---
     # Per-mesh sample sizes (reference: each graph draws its own rand_idxs,

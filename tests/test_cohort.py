@@ -491,3 +491,63 @@ class TestSSMProjection:
         assert abs(fit_span - build_span) < 0.35 * abs(build_span), (
             fitted, b_build,
         )
+
+
+def test_register_cohort_prepared_template_agrees():
+    """The hoisted-template path (prepare_source broadcast into every lane)
+    agrees geometrically with the per-lane recompute.  Bone geometry: its
+    spectrum is well-separated, so the hoisted eigensolve (different PRNG
+    init, and computed pre-ICP) converges to the same basis."""
+    from pyfocusr_tpu import load_mesh
+    from pyfocusr_tpu.mesh import TriMesh as TM
+
+    bone = load_mesh("/root/reference/data/target_mesh.vtk")
+    pts = np.asarray(bone.points)
+
+    def warped(i):
+        w = pts * (1.0 + 0.002 * (i + 1) * np.sin(0.05 * pts[:, [1]]))
+        return TM(jnp.asarray(w, jnp.float32), bone.triangles)
+
+    template = mesh_to_graph_arrays(bone)
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(warped(i)) for i in range(2)]
+    )
+    res_p, mean_p = register_cohort(
+        template, subjects, TINY, jax.random.PRNGKey(2), prepared_template=True
+    )
+    res_u, mean_u = register_cohort(
+        template, subjects, TINY, jax.random.PRNGKey(2), prepared_template=False
+    )
+    wp = np.asarray(res_p["weighted_points"])
+    wu = np.asarray(res_u["weighted_points"])
+    extent = np.linalg.norm(np.ptp(pts, axis=0))
+    d = np.linalg.norm(wp - wu, axis=-1)
+    assert np.median(d) < 0.05 * extent, (np.median(d), extent)
+    np.testing.assert_allclose(mean_p, mean_u, atol=0.05 * extent)
+    # Most correspondences identical (differences only at decision
+    # boundaries of the NN search, from f32 eigensolve noise).
+    agree = np.mean(
+        np.asarray(res_p["correspondences"]) == np.asarray(res_u["correspondences"])
+    )
+    assert agree > 0.9, agree
+
+
+def test_register_cohort_prepared_template_guard():
+    """prepared_template=True on a non-hoistable config raises; the default
+    (None) silently falls back to the per-lane recompute."""
+    template = mesh_to_graph_arrays(_sphere_mesh())
+    subjects = stack_graph_arrays(
+        [mesh_to_graph_arrays(_sphere_mesh(warp=0.05))]
+    )
+    import dataclasses
+
+    sim = dataclasses.replace(TINY, icp_registration_mode="similarity")
+    with pytest.raises(ValueError, match="pair-independent"):
+        register_cohort(
+            template, subjects, sim, jax.random.PRNGKey(0),
+            prepared_template=True,
+        )
+    res, mean_shape = register_cohort(
+        template, subjects, sim, jax.random.PRNGKey(0)
+    )
+    assert np.all(np.isfinite(np.asarray(mean_shape)))

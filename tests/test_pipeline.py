@@ -479,3 +479,46 @@ def test_prepared_target_config_fingerprint(tmp_path):
     load_prepared_target(p)  # no check requested: ok
     with pytest.raises(ValueError, match="different\\s+PipelineConfig"):
         load_prepared_target(p, cfg_b)
+
+
+@pytest.mark.slow
+def test_prepared_source_matches_register_pair(pair_5k):
+    """prepare_source + register_pair_prepared_source (the cohort/SSM
+    direction: template-as-source) must reproduce register_pair bit-for-bit
+    when ICP is off and the same key split is used."""
+    from pyfocusr_tpu.pipeline import (
+        prepare_source,
+        register_pair_prepared_source,
+    )
+
+    tg, sg = pair_5k
+    cfg = PipelineConfig(icp_register_first=False, **FAST)
+    key = jax.random.PRNGKey(13)
+    ref = register_pair(tg, sg, cfg, key)
+    prep = prepare_source(sg, cfg, jax.random.split(key, 8)[1])
+    out = register_pair_prepared_source(prep, tg, sg, cfg, key)
+    for k in ("correspondences", "weighted_points", "eig_vals_source"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+
+
+def test_source_spectrum_hoistable_matrix():
+    from pyfocusr_tpu.pipeline import prepare_source, source_spectrum_hoistable
+
+    # Rigid ICP preserves edge weights: hoistable (the default config).
+    assert source_spectrum_hoistable(PipelineConfig())
+    # Similarity ICP moving the source rescales the smoothing operator.
+    sim = PipelineConfig(icp_registration_mode="similarity")
+    assert not source_spectrum_hoistable(sim)
+    with pytest.raises(ValueError, match="pair-independent"):
+        prepare_source(None, sim, jax.random.PRNGKey(0))
+    # ...but with the TARGET moving instead, the source never moves.
+    assert source_spectrum_hoistable(
+        PipelineConfig(
+            icp_registration_mode="similarity", icp_reg_target_to_source=True
+        )
+    )
+    # No ICP at all: trivially hoistable.
+    assert source_spectrum_hoistable(
+        PipelineConfig(icp_register_first=False,
+                       icp_registration_mode="similarity")
+    )
