@@ -47,11 +47,13 @@ try:  # persistent compile cache: cold pipeline compiles take minutes
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 except Exception:
     pass
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
 
 from pyfocusr_tpu import load_mesh
+from pyfocusr_tpu.ops.knn import nn_query
 from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
 
 DATA = "/root/reference/data"
@@ -179,10 +181,6 @@ def main():
             float(np.linalg.norm(weighted - src_pts, axis=1).mean()), 4
         )
         # Symmetric surface distance: transformed source <-> target.
-        import jax.numpy as jnp
-
-        from pyfocusr_tpu.ops.knn import nn_query
-
         wj = jnp.asarray(weighted, jnp.float32)
         tj = jnp.asarray(tgt_pts, jnp.float32)
         d_fwd, _ = nn_query(tj, wj)

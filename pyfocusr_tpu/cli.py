@@ -15,6 +15,19 @@ import sys
 import time
 
 
+def _output_stems(paths):
+    """Per-source output stems from basenames, disambiguated with a
+    counter suffix: sources with equal basenames in different directories
+    (a/mesh.vtk, b/mesh.vtk) must not overwrite each other's outputs."""
+    stems, seen = [], {}
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        stems.append(base if n == 0 else f"{base}_{n}")
+    return stems
+
+
 def _add_common(p):
     p.add_argument("--n-spectral-features", type=int, default=3)
     p.add_argument("--n-extra-spectral", type=int, default=3)
@@ -216,7 +229,7 @@ def main(argv=None):
         if args.prepared:
             from .pipeline import load_prepared_target
 
-            prep = load_prepared_target(args.prepared, cfg)
+            prep = load_prepared_target(args.prepared, cfg, target=tg)
         elif multi or args.save_prepared:
             from .pipeline import prepare_target
 
@@ -225,9 +238,9 @@ def main(argv=None):
         if args.save_prepared and prep is not None:
             from .pipeline import save_prepared_target
 
-            save_prepared_target(args.save_prepared, prep, cfg)
+            save_prepared_target(args.save_prepared, prep, cfg, target=tg)
         summaries = []
-        for src_path in args.source:
+        for src_path, src_stem in zip(args.source, _output_stems(args.source)):
             source = load_mesh(src_path)
             t0 = time.perf_counter()
             if args.multires:
@@ -254,11 +267,7 @@ def main(argv=None):
             jax.block_until_ready(res)
             dt = time.perf_counter() - t0
             corr = np.asarray(res["correspondences"])
-            stem = (
-                os.path.splitext(os.path.basename(src_path))[0] + "_"
-                if multi
-                else ""
-            )
+            stem = src_stem + "_" if multi else ""
             out_t = source.with_points(res["weighted_points"]).with_point_data(
                 "corresp_idx", corr.astype(np.float32)
             )

@@ -277,7 +277,16 @@ def read_stl(path: str):
     """Read an STL (binary or ascii) -> welded (points, triangles, {})."""
     with open(path, "rb") as fh:
         raw = fh.read()
-    is_ascii = raw[:5] == b"solid" and b"facet" in raw[:1024]
+    # Binary/ascii discrimination: the 'solid' prefix is NOT reliable
+    # (real-world binary STLs put free text like 'solid Part1' in the
+    # 80-byte header).  The robust test is the exact binary size identity
+    # len == 84 + 50 * n_tri; only when that fails, fall back to the
+    # ascii markers.
+    is_binary = False
+    if len(raw) >= 84:
+        (n_tri_hdr,) = struct.unpack("<I", raw[80:84])
+        is_binary = len(raw) == 84 + 50 * n_tri_hdr
+    is_ascii = not is_binary and raw[:5] == b"solid"
     if is_ascii:
         toks = raw.decode("ascii", "replace").split()
         coords = []
@@ -290,6 +299,14 @@ def read_stl(path: str):
                 i += 4
             else:
                 i += 1
+        if not coords and len(raw) >= 84:
+            # 'solid' prefix but no ascii vertices and not the binary size
+            # identity either: corrupt/truncated — never return an empty
+            # mesh silently.
+            raise ValueError(
+                f"{path}: not a valid STL (binary size identity fails "
+                "and no ascii 'vertex' records found)"
+            )
         tri_pts = np.asarray(coords, np.float64).reshape(-1, 3, 3)
     else:
         if len(raw) < 84:

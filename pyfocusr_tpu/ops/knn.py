@@ -39,7 +39,7 @@ _PREC = jax.lax.Precision.HIGHEST
 
 from ..utils.precision import f32_matmuls  # noqa: E402
 
-__all__ = ["nn_query", "knn_query", "pairwise_sq_dists"]
+__all__ = ["nn_query", "knn_query", "pairwise_sq_dists", "idw_pull_k3"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -80,9 +80,31 @@ def _use_pallas(d_dim: int, nr: int, k: int, use_pallas) -> bool:
         return False
     if use_pallas is not None:
         return bool(use_pallas)
-    if d_dim > 16 or nr < k:
+    # k > 128 would overflow the kernel's 128 top-k lanes (knn_pallas keeps
+    # the running top-k in one 128-wide VMEM block) — route to XLA.
+    if d_dim > 16 or nr < k or k > 128:
         return False
     return forced == "pallas" or jax.default_backend() == "tpu"
+
+
+def _chunked_query(impl, ref, query, tile):
+    """Process a large query set in row chunks so one [Nq, tile] distance
+    block never exceeds ~1 GB (identity when one chunk suffices).
+    ``impl(ref, query_chunk)`` returns a pytree of [per, ...] arrays; the
+    chunked results are re-flattened to the original Nq rows."""
+    nq = query.shape[0]
+    n_chunks = _query_chunks(nq, tile)
+    if n_chunks <= 1:
+        return impl(ref, query)
+    per = -(-nq // n_chunks)
+    per = _round_up(per, 8)
+    nq_pad = per * (-(-nq // per))
+    q_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
+    chunks = q_p.reshape(nq_pad // per, per, query.shape[1])
+    out = jax.lax.map(lambda qc: impl(ref, qc), chunks)
+    return jax.tree.map(
+        lambda x: x.reshape((nq_pad,) + x.shape[2:])[:nq], out
+    )
 
 
 def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
@@ -97,20 +119,10 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
 
         d, i = knn_pallas(ref, query, 1)
         return d[:, 0], i[:, 0]
-    nq = query.shape[0]
-    n_chunks = _query_chunks(nq, tile)
-    if n_chunks <= 1:
-        return _nn_query_impl(ref, query, tile=tile, precision=precision)
-    per = -(-nq // n_chunks)
-    per = _round_up(per, 8)
-    nq_pad = per * (-(-nq // per))
-    q_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
-    chunks = q_p.reshape(nq_pad // per, per, query.shape[1])
-    d, i = jax.lax.map(
-        lambda qc: _nn_query_impl(ref, qc, tile=tile, precision=precision),
-        chunks,
+    return _chunked_query(
+        lambda r, q: _nn_query_impl(r, q, tile=tile, precision=precision),
+        ref, query, tile,
     )
-    return d.reshape(nq_pad)[:nq], i.reshape(nq_pad)[:nq]
 
 
 @partial(jax.jit, static_argnames=("tile", "precision"))
@@ -165,21 +177,8 @@ def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192,
         from .pallas_kernels import knn_pallas
 
         return knn_pallas(ref, query, k)
-    nq = query.shape[0]
-    n_chunks = _query_chunks(nq, tile)
-    if n_chunks <= 1:
-        return _knn_query_impl(ref, query, k, tile=tile)
-    per = -(-nq // n_chunks)
-    per = _round_up(per, 8)
-    nq_pad = per * (-(-nq // per))
-    q_p = jnp.pad(query, ((0, nq_pad - nq), (0, 0)))
-    chunks = q_p.reshape(nq_pad // per, per, query.shape[1])
-    d, i = jax.lax.map(
-        lambda qc: _knn_query_impl(ref, qc, k, tile=tile), chunks
-    )
-    return (
-        d.reshape(nq_pad, k)[:nq],
-        i.reshape(nq_pad, k)[:nq],
+    return _chunked_query(
+        lambda r, q: _knn_query_impl(r, q, k, tile=tile), ref, query, tile
     )
 
 
@@ -227,3 +226,29 @@ def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 81
         step, init, (jnp.arange(n_tiles, dtype=jnp.int32), ref_tiles)
     )
     return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_idx
+
+
+# Masked-out reference rows are pushed to this coordinate so they can never
+# win a nearest-neighbor query (matches pipeline.SENTINEL).
+SENTINEL = 1e30
+
+
+def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
+    """k=3 inverse-distance interpolation of ``ref_values`` at
+    ``query_points`` — the reference's weighted final-location semantics
+    (``focusr.py:401-426``) including the exact-hit shortcut (distance-0
+    neighbor wins outright).  Padded reference rows (``ref_mask == 0``)
+    are pushed to ``SENTINEL`` so they can never be selected.  Shared by
+    the pipeline's final locations and groupwise map inversion."""
+    ref_q = jnp.where(ref_mask[:, None] > 0, ref_positions, SENTINEL)
+    dists, idxs = knn_query(ref_q, query_points, k=3)
+    vals = ref_values[idxs]  # [Nq, 3, D]
+    exact = dists <= 0.0
+    any_exact = jnp.any(exact, axis=1)
+    first = jnp.argmax(exact, axis=1)
+    exact_vals = jnp.take_along_axis(vals, first[:, None, None], axis=1)[:, 0]
+    wts = 1.0 / jnp.maximum(dists, 1e-30)
+    out = jnp.sum(vals * wts[:, :, None], axis=1) / jnp.sum(
+        wts, axis=1, keepdims=True
+    )
+    return jnp.where(any_exact[:, None], exact_vals, out)

@@ -678,6 +678,11 @@ def knn_pallas(ref, query, k: int, block_q: int = 256, block_r: int = 2048,
         raise ValueError(f"knn_pallas supports D<=16, got {d_dim}")
     if nr < k:
         raise ValueError(f"need at least k={k} reference points, got {nr}")
+    if k > 128:
+        # The running top-k lives in one 128-lane VMEM block; more
+        # neighbors than lanes cannot be represented.  (knn_query routes
+        # k > 128 to the XLA path before reaching here.)
+        raise ValueError(f"knn_pallas supports k<=128, got {k}")
     d8 = _round_up(d_dim, 8)
     nq_pad = _round_up(max(nq, 1), block_q)
     nr_pad = _round_up(max(nr, 1), block_r)

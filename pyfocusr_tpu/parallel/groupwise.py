@@ -38,7 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mesh import TriMesh
-from ..ops.knn import knn_query, nn_query
+from ..ops.knn import idw_pull_k3, nn_query
 from ..pipeline import (
     SENTINEL,
     GraphArrays,
@@ -63,24 +63,10 @@ __all__ = [
 ]
 
 
-def _idw_pull(ref_positions, ref_mask, ref_values, query_points):
-    """k=3 inverse-distance interpolation of ``ref_values`` at
-    ``query_points``, matching the reference's weighted final-location
-    semantics (``focusr.py:401-426``) including the exact-hit shortcut.
-    Padded reference rows (``ref_mask == 0``) are pushed to the SENTINEL so
-    they can never be selected."""
-    ref_q = jnp.where(ref_mask[:, None] > 0, ref_positions, SENTINEL)
-    dists, idxs = knn_query(ref_q, query_points, k=3)
-    vals = ref_values[idxs]  # [Nq, 3, 3]
-    exact = dists <= 0.0
-    any_exact = jnp.any(exact, axis=1)
-    first = jnp.argmax(exact, axis=1)
-    exact_vals = jnp.take_along_axis(vals, first[:, None, None], axis=1)[:, 0]
-    wts = 1.0 / jnp.maximum(dists, 1e-30)
-    out = jnp.sum(vals * wts[:, :, None], axis=1) / jnp.sum(
-        wts, axis=1, keepdims=True
-    )
-    return jnp.where(any_exact[:, None], exact_vals, out)
+# k=3 inverse-distance interpolation with exact-hit shortcut — the shared
+# implementation of the reference's weighted final-location semantics
+# (``focusr.py:401-426``), also used by the pipeline's final locations.
+_idw_pull = idw_pull_k3
 
 
 @jax.jit
@@ -184,7 +170,7 @@ def register_all_pairs(
 
     All B*(B-1) registrations run as ONE vmapped program over a stacked
     pairs axis (optionally ``shard_map``-ed over the 'pairs' axis of
-    ``device_mesh``; pair count must then divide the device count).  This is
+    ``device_mesh``; the device count must then divide the pair count).  This is
     the groupwise generalization of the reference's one-pair to the
     all-pairs capability its dead ``test.py`` harness gestured at.
 
@@ -227,8 +213,8 @@ def register_all_pairs(
         n_dev = device_mesh.devices.size
         if len(pair_index) % n_dev != 0:
             raise ValueError(
-                f"pair count {len(pair_index)} must divide the device "
-                f"count {n_dev} (pad the cohort or drop a subject)"
+                f"pair count {len(pair_index)} must be divisible by the "
+                f"device count {n_dev} (pad the cohort or drop a subject)"
             )
         spec = lambda tree: jax.tree.map(lambda _: P("pairs"), tree)
         fn = shard_map(
@@ -281,9 +267,11 @@ def synchronize_correspondences(
     """Map synchronization: consensus-refine every pairwise map.
 
     Each direct map j->i is replaced by the per-vertex consensus of all
-    two-hop compositions j->k->i (k ranging over every mesh, k == j giving
-    the direct map itself): the composed landing POSITIONS on mesh i are
-    averaged and snapped to the nearest mesh-i vertex.  This is Procrustes-
+    two-hop compositions j->k->i, k != i (k == j gives the direct map
+    itself — exactly once: k == i would re-yield it through the identity
+    diagonal and silently double its consensus weight): the composed
+    landing POSITIONS on mesh i are averaged over the B-1 contributing
+    paths and snapped to the nearest mesh-i vertex.  This is Procrustes-
     style map synchronization specialized to vertex maps — transitive
     violations between independently-estimated pairwise maps shrink toward
     the consensus (tests assert the cycle error does not increase, and
@@ -300,12 +288,16 @@ def synchronize_correspondences(
                 continue
             acc = np.zeros((n_real[j], 3), np.float64)
             for k in range(B):
+                if k == i:
+                    # corr[i, i] is the identity: this path would re-yield
+                    # the direct map and double-count it in the consensus.
+                    continue
                 if k == j:
                     landing = corr[j, i][v]
                 else:
                     landing = corr[k, i][corr[j, k][v]]
                 acc += points[i][landing]
-            acc /= B
+            acc /= B - 1
             # Snap consensus positions back to mesh-i vertices (device KNN).
             _, snapped = nn_query(
                 jnp.asarray(points[i], jnp.float32),

@@ -47,7 +47,7 @@ from .ops.eigen import (
     chebyshev_eigpairs_wide,
     smallest_nonzero_eigpairs,
 )
-from .ops.knn import knn_query, nn_query
+from .ops.knn import idw_pull_k3, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
 from .utils.precision import f32_matmuls
 
@@ -766,12 +766,29 @@ def register_pair_prepared_source(
     )
 
 
-def save_prepared_target(path: str, prep, cfg: PipelineConfig = None) -> None:
+def _graph_fingerprint(graph: GraphArrays) -> str:
+    """Content hash of a graph's geometry + topology (points, neighbors,
+    valid_mask) — identifies the mesh a prepared state was computed from."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (graph.points, graph.neighbors, graph.valid_mask):
+        a = np.asarray(arr)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def save_prepared_target(
+    path: str, prep, cfg: PipelineConfig = None, target: GraphArrays = None
+) -> None:
     """Persist a :func:`prepare_target` state to ``.npz`` so a serving
     process can skip the template eigensolve entirely.  Pass the ``cfg``
-    it was prepared under to embed a config fingerprint; loading with a
-    different config then fails loudly instead of silently mixing
-    smoothing/spectral settings."""
+    it was prepared under to embed a config fingerprint, and the
+    ``target`` GraphArrays to embed a mesh fingerprint; loading with a
+    different config or a different (even same-size) target mesh then
+    fails loudly instead of silently mixing one mesh's spectrum with
+    another's coordinates."""
     import numpy as _np
 
     from .utils.checkpoint import save_results
@@ -781,13 +798,20 @@ def save_prepared_target(path: str, prep, cfg: PipelineConfig = None) -> None:
         tree["cfg_fingerprint"] = _np.frombuffer(
             repr(cfg).encode(), dtype=_np.uint8
         ).copy()
+    if target is not None:
+        tree["target_fingerprint"] = _np.frombuffer(
+            _graph_fingerprint(target).encode(), dtype=_np.uint8
+        ).copy()
     save_results(path, tree)
 
 
-def load_prepared_target(path: str, cfg: PipelineConfig = None):
+def load_prepared_target(
+    path: str, cfg: PipelineConfig = None, target: GraphArrays = None
+):
     """Inverse of :func:`save_prepared_target` -> the dict pytree
-    :func:`register_pair_prepared` expects.  With ``cfg``, verifies the
-    stored config fingerprint (if any) matches."""
+    :func:`register_pair_prepared` expects.  With ``cfg`` (resp.
+    ``target``), verifies the stored config (resp. target-mesh)
+    fingerprint, when the file carries one."""
     from .utils.checkpoint import load_results
 
     flat = load_results(path)
@@ -798,6 +822,15 @@ def load_prepared_target(path: str, cfg: PipelineConfig = None):
                 "prepared-target state was saved under a different "
                 "PipelineConfig; re-run prepare_target (stored: "
                 f"{stored[:200]}...)"
+            )
+    if target is not None and "['target_fingerprint']" in flat:
+        stored = bytes(flat["['target_fingerprint']"]).decode()
+        if stored != _graph_fingerprint(target):
+            raise ValueError(
+                "prepared-target state was saved for a DIFFERENT target "
+                "mesh (geometry/topology hash mismatch); its spectrum and "
+                "smoothed coordinates do not describe this target. Re-run "
+                "prepare_target on the current mesh."
             )
     w = []
     i = 0
@@ -1115,22 +1148,10 @@ def _register_pair_jit(
             corr = _hungarian(smoothed_tgt, projected)
         else:
             _, corr = nn_query(smoothed_q, projected)
-        final_ref = smoothed_q
-    else:
-        final_ref = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
 
-    # --- Final locations (``focusr.py:401-431``) ---
-    dists, idxs = knn_query(final_ref, projected, k=3)
-    tgt_xyz = target.points[idxs]
-    exact = dists <= 0.0
-    any_exact = jnp.any(exact, axis=1)
-    first_exact = jnp.argmax(exact, axis=1)
-    exact_xyz = jnp.take_along_axis(tgt_xyz, first_exact[:, None, None], axis=1)[:, 0]
-    wts = 1.0 / jnp.maximum(dists, 1e-30)
-    weighted = jnp.sum(tgt_xyz * wts[:, :, None], axis=1) / jnp.sum(
-        wts, axis=1, keepdims=True
-    )
-    weighted = jnp.where(any_exact[:, None], exact_xyz, weighted)
+    # --- Final locations (``focusr.py:401-431``): shared k=3 IDW with
+    # exact-hit shortcut (ops.knn.idw_pull_k3). ---
+    weighted = idw_pull_k3(smoothed_tgt, target.valid_mask, target.points, projected)
     nearest = target.points[corr]
     average = (source.points + weighted) / 2.0
 

@@ -266,3 +266,12 @@ def test_register_prepared_state_roundtrip(tmp_path):
     c1 = np.load(d1 / "correspondences.npy")
     c2 = np.load(d2 / "correspondences.npy")
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_output_stems_disambiguate_equal_basenames():
+    from pyfocusr_tpu.cli import _output_stems
+
+    assert _output_stems(["a/mesh.vtk", "b/mesh.vtk", "c/other.ply"]) == [
+        "mesh", "mesh_1", "other",
+    ]
+    assert _output_stems(["x.vtk"]) == ["x"]

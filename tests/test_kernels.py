@@ -180,3 +180,14 @@ def test_sinkhorn_jv_rejects_rectangular():
 
     with pytest.raises(ValueError, match="square"):
         sinkhorn_jv_lap(jnp.zeros((4, 6)))
+
+
+def test_knn_routing_k_over_128():
+    """k > 128 overflows knn_pallas's 128 top-k lanes: the router must send
+    it to the XLA path, and the kernel itself must refuse."""
+    from pyfocusr_tpu.ops.knn import _use_pallas
+    from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+    assert not _use_pallas(3, 1000, 200, None)
+    with pytest.raises(ValueError, match="k<=128"):
+        knn_pallas(jnp.zeros((1000, 3)), jnp.zeros((10, 3)), 200)

@@ -145,3 +145,41 @@ class TestDispatch:
     def test_unknown_extension_raises(self, tmp_path):
         with pytest.raises(ValueError, match="unsupported mesh extension"):
             mf.read_any(str(tmp_path / "m.xyz"))
+
+
+class TestStlDetection:
+    def test_binary_stl_with_solid_header(self, tmp_path):
+        """Real-world binary STLs often carry free text like
+        'solid Part1 facet count ...' in the 80-byte header; the size
+        identity len == 84 + 50*n_tri must win over the 'solid' prefix."""
+        import struct
+
+        pts = np.asarray(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64
+        )
+        tris = np.asarray([[0, 1, 2], [0, 1, 3]], np.int64)
+        p = str(tmp_path / "m.stl")
+        mf.write_stl(p, pts, tris, binary=True)
+        raw = bytearray(open(p, "rb").read())
+        header = b"solid Part1 facet count: 2".ljust(80, b" ")
+        raw[:80] = header
+        open(p, "wb").write(bytes(raw))
+        pts2, tris2, _ = mf.read_stl(p)
+        assert len(tris2) == 2
+        np.testing.assert_allclose(
+            np.sort(pts2.ravel()), np.sort(pts.ravel()), atol=1e-6
+        )
+
+    def test_empty_ascii_solid(self, tmp_path):
+        p = str(tmp_path / "e.stl")
+        open(p, "w").write("solid empty\nendsolid empty\n")
+        pts, tris, _ = mf.read_stl(p)
+        assert len(pts) == 0 and len(tris) == 0
+
+    def test_corrupt_stl_raises(self, tmp_path):
+        """'solid' prefix, no ascii vertices, wrong binary size: loud error
+        instead of a silent empty mesh."""
+        p = str(tmp_path / "c.stl")
+        open(p, "wb").write(b"solid junk".ljust(200, b"\x00"))
+        with pytest.raises(ValueError, match="not a valid STL"):
+            mf.read_stl(p)

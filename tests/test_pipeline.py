@@ -522,3 +522,36 @@ def test_source_spectrum_hoistable_matrix():
         PipelineConfig(icp_register_first=False,
                        icp_registration_mode="similarity")
     )
+
+
+def test_prepared_target_mesh_fingerprint(tmp_path):
+    """A prepared state saved for one target must refuse to load against a
+    different same-size target (same config, same shapes — the silent-mixing
+    hazard)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.pipeline import (
+        load_prepared_target,
+        save_prepared_target,
+    )
+
+    prep = {
+        "lams": jnp.zeros(3), "vecs": jnp.zeros((4, 3)),
+        "w": (jnp.zeros((4, 8)),),
+        "smoothed_points": jnp.zeros((4, 3)),
+    }
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (16, 3))
+    tris = jnp.zeros((4, 3), jnp.int32)
+    from pyfocusr_tpu.mesh import TriMesh
+
+    ga_a = mesh_to_graph_arrays(TriMesh(pts, tris))
+    ga_b = mesh_to_graph_arrays(TriMesh(pts + 0.01, tris))  # same size!
+    p = str(tmp_path / "prep.npz")
+    save_prepared_target(p, prep, target=ga_a)
+    load_prepared_target(p, target=ga_a)  # same mesh: ok
+    load_prepared_target(p)  # no check requested: ok
+    with pytest.raises(ValueError, match="DIFFERENT target"):
+        load_prepared_target(p, target=ga_b)
