@@ -28,6 +28,11 @@ from .pipeline import (  # noqa: F401
 )
 from .spectral.eigsort import eigsort  # noqa: F401
 from .spectral.graph import Graph, features_dictionary  # noqa: F401
+from .transfer import (  # noqa: F401
+    cohort_point_data_matrix,
+    mesh_with_transferred_data,
+    transfer_point_data,
+)
 
 
 def recursive_eig(matrix, k, n_k_needed, k_buffer=1, sigma=1e-10, which="LM"):

@@ -67,6 +67,15 @@ def main(argv=None):
         "recomputing the target eigensolve (serving path)",
     )
     p_reg.add_argument(
+        "--transfer-point-data",
+        nargs="+",
+        metavar="NAME",
+        default=None,
+        help="pull named target point_data arrays onto the transformed "
+        "source outputs through the correspondences (k=3 IDW at the "
+        "projected locations; 'all' transfers every array)",
+    )
+    p_reg.add_argument(
         "--multires",
         type=int,
         metavar="COARSE_N",
@@ -271,6 +280,20 @@ def main(argv=None):
             out_t = source.with_points(res["weighted_points"]).with_point_data(
                 "corresp_idx", corr.astype(np.float32)
             )
+            if args.transfer_point_data:
+                from .transfer import transfer_point_data
+
+                t_names = (
+                    None
+                    if list(args.transfer_point_data) == ["all"]
+                    else args.transfer_point_data
+                )
+                for t_name, t_vals in transfer_point_data(
+                    target, res, t_names
+                ).items():
+                    out_t = out_t.with_point_data(
+                        t_name, np.asarray(t_vals)[: corr.shape[0]]
+                    )
             names = [
                 f"{stem}transformed_source.vtk",
                 f"{stem}average_mesh.vtk",

@@ -405,6 +405,35 @@ class Focusr(object):
         self.average_mesh = self.graph_source.mesh.with_points(mean_xyz)
         return self.average_mesh
 
+    def transfer_point_data(self, names=None, method="idw"):
+        """Pull named target point_data onto source vertices through the
+        computed correspondences (see ``pyfocusr_tpu.transfer``) — the
+        measurement-comparison step the reference leaves to hand-written
+        gathers of ``corresponding_target_idx_for_each_source_pt``.
+        Call after :meth:`align_maps`; returns ``{name: [Ns] array}``."""
+        from .transfer import transfer_point_data as _transfer
+
+        if self.corresponding_target_idx_for_each_source_pt is None:
+            raise RuntimeError("call align_maps() before transfer_point_data()")
+        smoothed = (
+            self.smoothed_target_coords
+            if self.smoothed_target_coords is not None
+            else self.graph_target.points
+        )
+        projected = (
+            self.source_projected_on_target
+            if self.source_projected_on_target is not None
+            else self.graph_source.points
+        )
+        result = {
+            "correspondences": np.asarray(
+                self.corresponding_target_idx_for_each_source_pt
+            ),
+            "smoothed_target_coords": np.asarray(smoothed),
+            "source_projected_on_target": np.asarray(projected),
+        }
+        return _transfer(self.graph_target.mesh, result, names, method)
+
     # ------------------------------------------------------------------
     # Spectral weighting (reference ``focusr.py:459-508``)
     # ------------------------------------------------------------------
