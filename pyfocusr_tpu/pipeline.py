@@ -32,6 +32,7 @@ unequal eigsort sample counts — runs inside the single program.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -612,6 +613,26 @@ def _check_padding_hazards(target: GraphArrays, source: GraphArrays, cfg: Pipeli
                 )
 
 
+# Compiling BOTH eigensolves into one program is neutral-to-slightly-faster
+# below ~62k vertices but 3.4x SLOWER at 122k (measured fused 10.75 s vs
+# separate 3.15 s on v5e, fence-corrected; neutral 1.00x at 62k, 0.84x at
+# 15k) — XLA's schedule for two independent large solver loops in one
+# executable degrades badly at scale.  Above this threshold register_pair
+# runs each spectrum as its own jit program (the prepare_* machinery) and
+# feeds the fused remainder.  Override for A/B timing via
+# PYFOCUSR_TPU_SPLIT_SPECTRA_N (0 disables the split entirely).
+_SPLIT_SPECTRA_N = int(os.environ.get("PYFOCUSR_TPU_SPLIT_SPECTRA_N", "65000"))
+
+
+def _want_split(target: GraphArrays, source: GraphArrays) -> bool:
+    if isinstance(target.points, jax.core.Tracer):
+        return False  # inside vmap/shard_map the programs fuse anyway
+    return (
+        _SPLIT_SPECTRA_N > 0
+        and max(target.n_points, source.n_points) >= _SPLIT_SPECTRA_N
+    )
+
+
 def register_pair(
     target: GraphArrays,
     source: GraphArrays,
@@ -621,9 +642,24 @@ def register_pair(
 ):
     """Pre-jit entry: runs the concrete-input padding guards (no-ops on
     tracers, e.g. under the cohort shard_map where ``check_cohort_config``
-    already ran), then dispatches to the compiled pipeline."""
+    already ran), then dispatches to the compiled pipeline — with the two
+    eigensolves hoisted into separate programs above ``_SPLIT_SPECTRA_N``
+    vertices (same math; target side bit-identical, source side identical
+    to solver tolerance under rigid ICP)."""
     _check_padding_hazards(target, source, cfg)
-    return _register_pair_jit(target, source, cfg, key, landmark_pairs)
+    pre = pre_src = None
+    if _want_split(target, source):
+        keys = jax.random.split(key, 8)
+        if not (cfg.icp_register_first and cfg.icp_reg_target_to_source):
+            # Target never moves under this config: hoisting its spectrum
+            # AND smoothed points is exact (same key split the fused
+            # program would use).
+            pre = _prepare_target_jit(target, cfg, keys[0])
+        if source_spectrum_hoistable(cfg):
+            pre_src = _prepare_source_jit(source, cfg, keys[1])
+    return _register_pair_jit(
+        target, source, cfg, key, landmark_pairs, pre=pre, pre_src=pre_src
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -689,8 +725,13 @@ def register_pair_prepared(
     (same contract as :func:`register_pair`, minus the target's eigensolve
     and smoothing)."""
     _check_padding_hazards(target, source, cfg)
+    pre_src = None
+    if _want_split(target, source) and source_spectrum_hoistable(cfg):
+        # Large meshes: keep the remaining (source) eigensolve out of the
+        # fused program too (see _SPLIT_SPECTRA_N).
+        pre_src = _prepare_source_jit(source, cfg, jax.random.split(key, 8)[1])
     return _register_pair_jit(
-        target, source, cfg, key, landmark_pairs, pre=prep
+        target, source, cfg, key, landmark_pairs, pre=prep, pre_src=pre_src
     )
 
 
@@ -761,8 +802,13 @@ def register_pair_prepared_source(
     :func:`prepare_source` (same contract as :func:`register_pair`, minus
     the source's eigensolve)."""
     _check_padding_hazards(target, source, cfg)
+    pre = None
+    if _want_split(target, source) and not (
+        cfg.icp_register_first and cfg.icp_reg_target_to_source
+    ):
+        pre = _prepare_target_jit(target, cfg, jax.random.split(key, 8)[0])
     return _register_pair_jit(
-        target, source, cfg, key, landmark_pairs, pre_src=prep_src
+        target, source, cfg, key, landmark_pairs, pre=pre, pre_src=prep_src
     )
 
 

@@ -555,3 +555,42 @@ def test_prepared_target_mesh_fingerprint(tmp_path):
     load_prepared_target(p)  # no check requested: ok
     with pytest.raises(ValueError, match="DIFFERENT target"):
         load_prepared_target(p, target=ga_b)
+
+
+def test_split_spectra_matches_fused(monkeypatch):
+    """Above _SPLIT_SPECTRA_N, register_pair hoists both eigensolves into
+    separate programs; with ICP off and the same key the outputs must be
+    bit-identical to the fused program (same key splits, same math)."""
+    import pyfocusr_tpu.pipeline as pl
+    from pyfocusr_tpu.mesh import TriMesh
+
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    tg = mesh_to_graph_arrays(TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+    warped = (pts * (1.0 + 0.05 * np.sin(3.0 * pts[:, [1]]))).astype(np.float32)
+    sg = mesh_to_graph_arrays(TriMesh(jnp.asarray(warped), jnp.asarray(tris)))
+    cfg = PipelineConfig(
+        icp_register_first=False,
+        n_coords_spectral_ordering=150,
+        n_coords_spectral_registration=100,
+        non_rigid_max_iterations=10,
+        non_rigid_n_eigens=30,
+        graph_smoothing_iterations=10,
+        projection_smooth_iterations=2,
+        eig_cg_iters=60,
+    )
+    key = jax.random.PRNGKey(3)
+    fused = register_pair(tg, sg, cfg, key)
+    monkeypatch.setattr(pl, "_SPLIT_SPECTRA_N", 1)
+    split = register_pair(tg, sg, cfg, key)
+    for k in ("correspondences", "weighted_points", "eig_vals_target",
+              "eig_vals_source"):
+        np.testing.assert_array_equal(np.asarray(fused[k]), np.asarray(split[k]))
+    # (Rigid-ICP hoist agreement is asserted on BONE meshes in
+    # tests/test_cohort.py::test_register_cohort_prepared_template_agrees —
+    # a perfect sphere's degenerate eigenspace rotates freely between
+    # solves, so correspondence agreement is not a meaningful check here.)
