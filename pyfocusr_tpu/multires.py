@@ -92,29 +92,15 @@ def subdivide(mesh: TriMesh) -> TriMesh:
     )
 
 
-def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
-    """One MIS-aggregation round, fully vectorized (Luby-style rounds over
-    the edge arrays; a 240k-vertex round runs in well under a second).
-    Returns (coarse_pts, coarse_tris, label)."""
-    n = pts.shape[0]
-    from .native import topology_native
-
-    head = topology_native(tris, n, None)
-    if head is not None:  # C++ edge extraction (same sorted unique edges)
-        u = head[0][:, 0].astype(np.int64)
-        v = head[0][:, 1].astype(np.int64)
-    else:
-        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
-        e = np.sort(e, axis=1)
-        ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
-        u, v = ukey // n, ukey % n
-
-    # --- Luby MIS: a vertex joins the set when its random priority beats
-    # every unresolved neighbor's; neighbors of new seeds drop out.
-    # Directed incidence arrays are sorted by source ONCE so each round's
-    # neighbor-min is a segment min via np.minimum.reduceat — unbuffered
-    # np.minimum.at was the decimation hotspot at 240k. ---
-    prio = rng.permutation(n).astype(np.int64)
+def _luby_mis_numpy(u, v, n, prio):
+    """Numpy fallback MIS — Luby-style rounds with static priorities: a
+    vertex joins when its priority beats every unresolved neighbor's;
+    neighbors of new seeds drop out.  Produces the lexicographically-first
+    MIS, identical to the native greedy pass (gated byte-for-byte by
+    tests/test_native_topology.py).  Directed incidence arrays are sorted
+    by source ONCE so each round's neighbor-min is a segment min via
+    np.minimum.reduceat — unbuffered np.minimum.at was the decimation
+    hotspot at 240k."""
     d_src = np.concatenate([u, v])
     d_dst = np.concatenate([v, u])
     order = np.argsort(d_src, kind="stable")
@@ -147,6 +133,34 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
         blocked[u[seed_edge]] = True
         state[blocked & (state == 0)] = -1
     state[state == 0] = 1  # leftovers (edge-free verts) become seeds
+    return state
+
+
+def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
+    """One MIS-aggregation round, fully vectorized.  The MIS itself runs as
+    a single native C++ greedy pass in priority order (same result as the
+    Luby rounds — both yield the lexicographically-first MIS; numpy
+    fallback kept); cluster assignment and coarse-mesh construction stay
+    vectorized numpy.  Returns (coarse_pts, coarse_tris, label)."""
+    n = pts.shape[0]
+    from .native import topology_native
+
+    head = topology_native(tris, n, None)
+    if head is not None:  # C++ edge extraction (same sorted unique edges)
+        u = head[0][:, 0].astype(np.int64)
+        v = head[0][:, 1].astype(np.int64)
+    else:
+        e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
+        u, v = ukey // n, ukey % n
+
+    prio = rng.permutation(n).astype(np.int64)
+    from .native import mis_greedy_native
+
+    state = mis_greedy_native(u, v, n, prio)
+    if state is None:
+        state = _luby_mis_numpy(u, v, n, prio)
 
     is_seed = state == 1
     seeds = np.where(is_seed)[0]

@@ -16,12 +16,62 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _try_autobuild(path: str) -> None:
+    """Build _native.so on first use when absent (fresh checkouts never have
+    it — it is a gitignored build artifact, and without this the native
+    fast paths silently fell back to numpy: measured 4-12 s instead of
+    0.4 s for a 240k-vertex topology build).  Atomic: compile to a unique
+    temp file and rename, so concurrent importers (pytest workers) cannot
+    observe a half-written library.  Failures are silent by design — every
+    consumer has a pure-Python fallback.  Disable with
+    PYFOCUSR_TPU_NO_AUTOBUILD=1."""
+    if os.environ.get("PYFOCUSR_TPU_NO_AUTOBUILD") == "1":
+        return
+    import shutil
+    import subprocess
+    import tempfile
+
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if cxx is None:
+        return
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    sources = [
+        os.path.join(src_dir, f)
+        for f in ("lap_jv.cpp", "fast_parse.cpp", "fast_topology.cpp")
+    ]
+    if not all(os.path.exists(s) for s in sources):
+        return
+    fd, tmp = tempfile.mkstemp(
+        suffix=".so", prefix="_native_", dir=os.path.dirname(path)
+    )
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            [cxx, "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp]
+            + sources,
+            capture_output=True,
+            timeout=120,
+        )
+        if proc.returncode == 0:
+            os.replace(tmp, path)
+    except Exception:
+        pass
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.join(os.path.dirname(__file__), "_native.so")
+    if not os.path.exists(path):
+        _try_autobuild(path)
     if not os.path.exists(path):
         return None
     try:
@@ -72,6 +122,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mis_greedy.restype = ctypes.c_int64
+        lib.mis_greedy.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8),
         ]
         _LIB = lib
     except (OSError, AttributeError):
@@ -184,3 +243,34 @@ def topology_fill_native(edges: np.ndarray, n_points: int, max_deg: int):
         n_comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return neighbors, mask, overflow[:n_ov].copy(), labels, int(n_comp[0])
+
+
+def mis_greedy_native(
+    u: np.ndarray, v: np.ndarray, n_points: int, prio: np.ndarray
+) -> Optional[np.ndarray]:
+    """Greedy maximal independent set in ascending-priority order (the
+    lexicographically-first MIS — identical to the Luby rounds the
+    multiresolution decimator runs with the same static priorities; gated
+    byte-for-byte by tests/test_native_topology.py).  Returns int8 state
+    (1 seed, -1 blocked) or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    order = np.empty(n_points, np.int64)
+    order[np.ascontiguousarray(prio, dtype=np.int64)] = np.arange(
+        n_points, dtype=np.int64
+    )
+    state = np.empty(n_points, np.int8)
+    rc = lib.mis_greedy(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(u),
+        n_points,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        state.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc != 0:
+        return None
+    return state

@@ -102,3 +102,37 @@ def test_speed_sanity():
     dt = time.perf_counter() - t0
     assert topo.edges.shape[0] > 0
     assert dt < 30.0, dt
+
+
+def test_mis_greedy_matches_numpy_luby():
+    """The native greedy MIS (priority order) must equal the numpy Luby
+    rounds byte-for-byte: both construct the lexicographically-first MIS
+    for the same static priorities."""
+    from pyfocusr_tpu.multires import _luby_mis_numpy
+    from pyfocusr_tpu.native import get_lib, mis_greedy_native
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for n, m in ((10, 15), (100, 300), (1000, 4000), (5000, 0)):
+        if m:
+            e = rng.integers(0, n, size=(m, 2))
+            e = e[e[:, 0] != e[:, 1]]
+            e.sort(axis=1)
+            key = np.unique(e[:, 0] * np.int64(n) + e[:, 1])
+            u, v = (key // n).astype(np.int64), (key % n).astype(np.int64)
+        else:  # edge-free graph: every vertex becomes a seed
+            u = v = np.zeros(0, np.int64)
+        for seed in range(3):
+            prio = np.random.default_rng(seed).permutation(n).astype(np.int64)
+            a = mis_greedy_native(u, v, n, prio)
+            b = _luby_mis_numpy(u, v, n, prio)
+            np.testing.assert_array_equal(a, b)
+            # MIS sanity: independent and maximal.
+            s = a == 1
+            if len(u):
+                assert not np.any(s[u] & s[v])
+                blocked_ok = s | (
+                    np.bincount(np.concatenate([u[s[v]], v[s[u]]]), minlength=n) > 0
+                )
+                assert blocked_ok.all()
