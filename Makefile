@@ -3,8 +3,13 @@
 test:
 	python -m pytest tests/ -q
 
+# Two process shards: a jaxlib 0.9 bug segfaults in XLA:CPU
+# executable.serialize() (persistent-cache write) late in a single
+# long-running process — deterministic at the same test, absent when the
+# suite is split.  Sharding bounds process lifetime and the blast radius.
 test-slow:
-	python -m pytest tests/ -q --run-slow
+	python -m pytest $$(ls tests/test_*.py | head -14) -q --run-slow
+	python -m pytest $$(ls tests/test_*.py | tail -15) -q --run-slow
 
 bench:
 	python bench.py
