@@ -8,8 +8,8 @@ test:
 # long-running process — deterministic at the same test, absent when the
 # suite is split.  Sharding bounds process lifetime and the blast radius.
 test-slow:
-	python -m pytest $$(ls tests/test_*.py | head -14) -q --run-slow
-	python -m pytest $$(ls tests/test_*.py | tail -15) -q --run-slow
+	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 1') -q --run-slow
+	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 0') -q --run-slow
 
 bench:
 	python bench.py

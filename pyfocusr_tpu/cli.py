@@ -18,13 +18,19 @@ import time
 def _output_stems(paths):
     """Per-source output stems from basenames, disambiguated with a
     counter suffix: sources with equal basenames in different directories
-    (a/mesh.vtk, b/mesh.vtk) must not overwrite each other's outputs."""
-    stems, seen = [], {}
-    for p in paths:
-        base = os.path.splitext(os.path.basename(p))[0]
-        n = seen.get(base, 0)
-        seen[base] = n + 1
-        stems.append(base if n == 0 else f"{base}_{n}")
+    (a/mesh.vtk, b/mesh.vtk) must not overwrite each other's outputs.
+    The counter skips candidates that collide with ANY source's own stem
+    (a/mesh.vtk + b/mesh.vtk + c/mesh_1.vtk stays collision-free)."""
+    bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    all_bases = set(bases)
+    stems, used = [], set()
+    for base in bases:
+        stem, n = base, 0
+        while stem in used or (stem != base and stem in all_bases):
+            n += 1
+            stem = f"{base}_{n}"
+        used.add(stem)
+        stems.append(stem)
     return stems
 
 

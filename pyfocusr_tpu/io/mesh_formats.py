@@ -300,9 +300,18 @@ def read_stl(path: str):
             else:
                 i += 1
         if not coords and len(raw) >= 84:
-            # 'solid' prefix but no ascii vertices and not the binary size
-            # identity either: corrupt/truncated — never return an empty
-            # mesh silently.
+            # 'solid' prefix but no ascii vertices: retry as binary with
+            # trailing bytes tolerated (text-mode transfers / exporter
+            # padding break the exact size identity); only a file that is
+            # neither parses raises — never return an empty mesh silently.
+            (n_tri_hdr,) = struct.unpack("<I", raw[80:84])
+            if n_tri_hdr > 0 and len(raw) >= 84 + 50 * n_tri_hdr:
+                rec = np.dtype(
+                    [("n", "<f4", (3,)), ("v", "<f4", (3, 3)), ("attr", "<u2")]
+                )
+                arr = np.frombuffer(raw, rec, count=n_tri_hdr, offset=84)
+                points, triangles = _weld(arr["v"].astype(np.float64))
+                return points, triangles, {}
             raise ValueError(
                 f"{path}: not a valid STL (binary size identity fails "
                 "and no ascii 'vertex' records found)"

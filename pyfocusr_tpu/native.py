@@ -41,11 +41,14 @@ def _try_autobuild(path: str) -> None:
     ]
     if not all(os.path.exists(s) for s in sources):
         return
-    fd, tmp = tempfile.mkstemp(
-        suffix=".so", prefix="_native_", dir=os.path.dirname(path)
-    )
-    os.close(fd)
+    tmp = None
     try:
+        # mkstemp inside the try: an unwritable install dir (read-only
+        # site-packages) must fall back silently, like every other path.
+        fd, tmp = tempfile.mkstemp(
+            suffix=".so", prefix="_native_", dir=os.path.dirname(path)
+        )
+        os.close(fd)
         proc = subprocess.run(
             [cxx, "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp]
             + sources,
@@ -57,7 +60,7 @@ def _try_autobuild(path: str) -> None:
     except Exception:
         pass
     finally:
-        if os.path.exists(tmp):
+        if tmp is not None and os.path.exists(tmp):
             try:
                 os.remove(tmp)
             except OSError:
@@ -74,6 +77,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _try_autobuild(path)
     if not os.path.exists(path):
         return None
+    _LIB = _load(path)
+    if _LIB is None and os.path.exists(path):
+        # A STALE _native.so missing newer symbols (built before e.g.
+        # mis_greedy existed) must not permanently disable every native
+        # path: rebuild in place and retry once.
+        _try_autobuild(path)
+        _LIB = _load(path)
+    return _LIB
+
+
+def _load(path: str) -> Optional[ctypes.CDLL]:
     try:
         # AttributeError covers a STALE _native.so missing newer symbols
         # (e.g. built before fast_topology.cpp existed): fall back to the
@@ -132,10 +146,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int8),
         ]
-        _LIB = lib
+        return lib
     except (OSError, AttributeError):
-        _LIB = None
-    return _LIB
+        return None
 
 
 def lap_jv_native(cost: np.ndarray) -> Optional[np.ndarray]:

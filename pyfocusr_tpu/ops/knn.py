@@ -229,7 +229,8 @@ def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 81
 
 
 # Masked-out reference rows are pushed to this coordinate so they can never
-# win a nearest-neighbor query (matches pipeline.SENTINEL).
+# win a nearest-neighbor query.  Single source of truth — pipeline.py
+# re-exports it (`from .ops.knn import SENTINEL`).
 SENTINEL = 1e30
 
 

@@ -66,7 +66,9 @@ __all__ = [
 ]
 
 _PREC = jax.lax.Precision.HIGHEST
-SENTINEL = 1e30
+# Single source of truth for the masked-row sentinel coordinate: ops.knn
+# defines it (idw_pull_k3 and the query masking must agree on the value).
+from .ops.knn import SENTINEL  # noqa: E402
 
 
 @dataclasses.dataclass(frozen=True, eq=True)
@@ -813,12 +815,15 @@ def register_pair_prepared_source(
 
 
 def _graph_fingerprint(graph: GraphArrays) -> str:
-    """Content hash of a graph's geometry + topology (points, neighbors,
-    valid_mask) — identifies the mesh a prepared state was computed from."""
+    """Content hash of a graph's geometry + topology — identifies the mesh
+    a prepared state was computed from.  Includes the hub-overflow edge
+    list and neighbor mask: two graphs with identical ELL tables can still
+    differ in overflow edges, which change the Laplacian."""
     import hashlib
 
     h = hashlib.sha256()
-    for arr in (graph.points, graph.neighbors, graph.valid_mask):
+    for arr in (graph.points, graph.neighbors, graph.nbr_mask,
+                graph.valid_mask, graph.overflow):
         a = np.asarray(arr)
         h.update(str(a.shape).encode())
         h.update(a.tobytes())

@@ -64,6 +64,7 @@ def transfer_point_data(
     out: Dict[str, np.ndarray] = {}
     corr = np.asarray(result["correspondences"])
     n_t = np.asarray(target_mesh.points).shape[0]
+    all_vals = []
     for name in names:
         if name not in target_mesh.point_data:
             raise KeyError(
@@ -76,25 +77,35 @@ def transfer_point_data(
                 f"point_data {name!r} has {vals.shape[0]} rows for a "
                 f"{n_t}-vertex target"
             )
-        if method == "nearest":
-            out[name] = vals[corr]
-            continue
-        # IDW at the pipeline's own query/reference geometry.  The result
-        # arrays are padded to the GraphArrays shapes; slice references to
-        # the real target rows and queries to the real source rows.
-        ref = np.asarray(result["smoothed_target_coords"])[:n_t]
-        queries = np.asarray(result["source_projected_on_target"])
-        col = jnp.asarray(
-            vals.reshape(n_t, -1).astype(np.float32)
-        )
-        pulled = idw_pull_k3(
+        all_vals.append(vals)
+    if method == "nearest":
+        return {name: vals[corr] for name, vals in zip(names, all_vals)}
+    if not names:
+        return out
+    # IDW at the pipeline's own query/reference geometry, ONE KNN for all
+    # arrays (the neighbors/weights do not depend on the values): stack
+    # every value column into one matrix, pull, then split back.  The
+    # result arrays are padded to the GraphArrays shapes; slice references
+    # to the real target rows and queries to the real source rows.
+    ref = np.asarray(result["smoothed_target_coords"])[:n_t]
+    queries = np.asarray(result["source_projected_on_target"])
+    stacked = np.concatenate(
+        [v.reshape(n_t, -1).astype(np.float32) for v in all_vals], axis=1
+    )
+    pulled = np.asarray(
+        idw_pull_k3(
             jnp.asarray(ref, jnp.float32),
             jnp.ones((n_t,), jnp.float32),
-            col,
+            jnp.asarray(stacked),
             jnp.asarray(queries, jnp.float32),
         )
-        pulled = np.asarray(pulled)
-        out[name] = pulled[:, 0] if vals.ndim == 1 else pulled
+    )
+    col = 0
+    for name, vals in zip(names, all_vals):
+        width = vals.reshape(n_t, -1).shape[1]
+        block = pulled[:, col : col + width]
+        out[name] = block[:, 0] if vals.ndim == 1 else block
+        col += width
     return out
 
 

@@ -275,3 +275,11 @@ def test_output_stems_disambiguate_equal_basenames():
         "mesh", "mesh_1", "other",
     ]
     assert _output_stems(["x.vtk"]) == ["x"]
+
+
+def test_output_stems_counter_cannot_collide_with_real_basename():
+    from pyfocusr_tpu.cli import _output_stems
+
+    stems = _output_stems(["a/mesh.vtk", "b/mesh.vtk", "c/mesh_1.vtk"])
+    assert len(set(stems)) == 3, stems
+    assert stems[2] == "mesh_1"  # real basename keeps its own stem

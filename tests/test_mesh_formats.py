@@ -183,3 +183,25 @@ class TestStlDetection:
         open(p, "wb").write(b"solid junk".ljust(200, b"\x00"))
         with pytest.raises(ValueError, match="not a valid STL"):
             mf.read_stl(p)
+
+    def test_binary_stl_solid_header_trailing_bytes(self, tmp_path):
+        """Binary STL with a 'solid' header AND trailing padding (text-mode
+        transfer): the size identity fails, ascii finds no vertices, and
+        the reader must fall back to the binary parse, not error."""
+        import struct
+
+        pts = np.asarray(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64
+        )
+        tris = np.asarray([[0, 1, 2], [0, 1, 3]], np.int64)
+        p = str(tmp_path / "t.stl")
+        mf.write_stl(p, pts, tris, binary=True)
+        raw = bytearray(open(p, "rb").read())
+        raw[:80] = b"solid Part1 exported".ljust(80, b" ")
+        raw += b"\r\n"  # trailing bytes break the exact size identity
+        open(p, "wb").write(bytes(raw))
+        pts2, tris2, _ = mf.read_stl(p)
+        assert len(tris2) == 2
+        np.testing.assert_allclose(
+            np.sort(pts2.ravel()), np.sort(pts.ravel()), atol=1e-6
+        )

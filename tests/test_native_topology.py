@@ -136,3 +136,40 @@ def test_mis_greedy_matches_numpy_luby():
                     np.bincount(np.concatenate([u[s[v]], v[s[u]]]), minlength=n) > 0
                 )
                 assert blocked_ok.all()
+
+
+def test_stale_native_library_is_rebuilt(tmp_path):
+    """A stale/corrupt _native.so must not permanently disable the native
+    paths: get_lib rebuilds it in place and retries."""
+    import shutil
+
+    import pyfocusr_tpu.native as native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    path = native.os.path.join(
+        native.os.path.dirname(native.__file__), "_native.so"
+    )
+    backup = str(tmp_path / "backup.so")
+    shutil.copy(path, backup)
+    try:
+        # Swap in garbage via a NEW inode (os.replace): truncating the
+        # mapped .so in place would SIGBUS every process that dlopened it.
+        garbage = str(tmp_path / "garbage.so")
+        with open(garbage, "wb") as fh:
+            fh.write(b"not a shared library")
+        native.os.replace(garbage, path)
+        native._LIB = None
+        native._TRIED = False
+        lib = native.get_lib()
+        assert lib is not None  # rebuilt from native/*.cpp and loaded
+        out = native.mis_greedy_native(
+            np.asarray([0], np.int64), np.asarray([1], np.int64), 2,
+            np.asarray([0, 1], np.int64),
+        )
+        assert out is not None and out[0] == 1 and out[1] == -1
+    finally:
+        shutil.copy(backup, path)
+        native._LIB = None
+        native._TRIED = False
+        native.get_lib()
