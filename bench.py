@@ -387,6 +387,79 @@ def main():
             print(f"cohort diagnostic failed: {e}", file=sys.stderr)
             diag["cohort_8x5k_1chip"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # (c) 122k-vertex DIRECT registration (no multires): a hub-rich
+    # LAST diagnostic: a large first compile has tripped the remote
+    # worker before, and a dead worker poisons every later device call
+    # in this process, so nothing may run after this block.
+    # UV-sphere pair (poles touch a full 350-ring) — exercises the
+    # degree-capped ELL overflow AND the split-spectra path
+    # (pipeline._SPLIT_SPECTRA_N) in one number.
+    if os.environ.get("BENCH_SKIP_DIRECT122K") != "1":
+        try:
+            from pyfocusr_tpu.mesh import TriMesh
+
+            def _uv_sphere(n_theta, n_phi, warp=0.0):
+                pts = [(0.0, 0.0, 1.0)]
+                for ii in range(1, n_theta):
+                    th = np.pi * ii / n_theta
+                    for jj in range(n_phi):
+                        ph = 2 * np.pi * jj / n_phi
+                        pts.append((np.sin(th) * np.cos(ph),
+                                    np.sin(th) * np.sin(ph), np.cos(th)))
+                pts.append((0.0, 0.0, -1.0))
+                pts = np.asarray(pts, np.float64)
+                tris = []
+                ring = lambda k: 1 + (k - 1) * n_phi
+                for jj in range(n_phi):
+                    tris.append((0, ring(1) + jj, ring(1) + (jj + 1) % n_phi))
+                for ii in range(1, n_theta - 1):
+                    for jj in range(n_phi):
+                        a = ring(ii) + jj
+                        b = ring(ii) + (jj + 1) % n_phi
+                        c = ring(ii + 1) + jj
+                        d = ring(ii + 1) + (jj + 1) % n_phi
+                        tris.append((a, c, b))
+                        tris.append((b, c, d))
+                last = len(pts) - 1
+                for jj in range(n_phi):
+                    tris.append((last, ring(n_theta - 1) + (jj + 1) % n_phi,
+                                 ring(n_theta - 1) + jj))
+                if warp:
+                    pts = pts * (1.0 + warp * np.sin(3.0 * pts[:, [1]]))
+                return TriMesh(
+                    jnp.asarray(pts * 40, jnp.float32),
+                    jnp.asarray(np.asarray(tris, np.int32)),
+                )
+
+            th = _uv_sphere(350, 350)
+            sh = _uv_sphere(350, 350, warp=0.05)
+            tgh = mesh_to_graph_arrays(th)
+            sgh = mesh_to_graph_arrays(sh)
+            dcfg = PipelineConfig(
+                get_weighted_spectral_coords=False,
+                non_rigid_alpha=0.01,
+                non_rigid_beta=50.0,
+                non_rigid_max_iterations=300,
+                n_coords_spectral_ordering=10000,
+                n_coords_spectral_registration=1000,
+                graph_smoothing_iterations=600,
+                projection_smooth_iterations=1,
+            )
+            rh = register_pair(tgh, sgh, dcfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(rh)  # compile
+            t0 = time.perf_counter()
+            rh = register_pair(tgh, sgh, dcfg, jax.random.PRNGKey(1))
+            jax.block_until_ready(rh)
+            _ = np.asarray(rh["correspondences"])[:4]
+            diag["direct_122k_hub"] = {
+                "n_vertices": int(tgh.n_points),
+                "seconds": round(time.perf_counter() - t0, 3),
+            }
+        except Exception as e:
+            print(f"direct-122k diagnostic failed: {e}", file=sys.stderr)
+            diag["direct_122k_hub"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+
     print(json.dumps(diag), file=sys.stderr)
     print(
         json.dumps(
