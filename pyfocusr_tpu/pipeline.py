@@ -48,7 +48,9 @@ from .ops.eigen import (
     chebyshev_eigpairs_wide,
     smallest_nonzero_eigpairs,
 )
-from .ops.knn import idw_pull_k3, nn_query
+# SENTINEL: single source of truth for the masked-row sentinel coordinate
+# (idw_pull_k3 and the query masking must agree on the value).
+from .ops.knn import SENTINEL, idw_pull_k3, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
 from .utils.precision import f32_matmuls
 
@@ -66,9 +68,6 @@ __all__ = [
 ]
 
 _PREC = jax.lax.Precision.HIGHEST
-# Single source of truth for the masked-row sentinel coordinate: ops.knn
-# defines it (idw_pull_k3 and the query masking must agree on the value).
-from .ops.knn import SENTINEL  # noqa: E402
 
 
 @dataclasses.dataclass(frozen=True, eq=True)
