@@ -273,6 +273,16 @@ def _weld(tri_pts: np.ndarray):
     return points, triangles
 
 
+def _stl_binary_tri_pts(raw: bytes, n_tri: int) -> np.ndarray:
+    """Parse n_tri 50-byte binary STL records after the 84-byte header ->
+    [n_tri, 3, 3] f64 vertex triples (shared by both binary branches)."""
+    rec = np.dtype(
+        [("n", "<f4", (3,)), ("v", "<f4", (3, 3)), ("attr", "<u2")]
+    )
+    arr = np.frombuffer(raw, rec, count=n_tri, offset=84)
+    return arr["v"].astype(np.float64)
+
+
 def read_stl(path: str):
     """Read an STL (binary or ascii) -> welded (points, triangles, {})."""
     with open(path, "rb") as fh:
@@ -306,11 +316,7 @@ def read_stl(path: str):
             # neither parses raises — never return an empty mesh silently.
             (n_tri_hdr,) = struct.unpack("<I", raw[80:84])
             if n_tri_hdr > 0 and len(raw) >= 84 + 50 * n_tri_hdr:
-                rec = np.dtype(
-                    [("n", "<f4", (3,)), ("v", "<f4", (3, 3)), ("attr", "<u2")]
-                )
-                arr = np.frombuffer(raw, rec, count=n_tri_hdr, offset=84)
-                points, triangles = _weld(arr["v"].astype(np.float64))
+                points, triangles = _weld(_stl_binary_tri_pts(raw, n_tri_hdr))
                 return points, triangles, {}
             raise ValueError(
                 f"{path}: not a valid STL (binary size identity fails "
@@ -321,11 +327,7 @@ def read_stl(path: str):
         if len(raw) < 84:
             raise ValueError(f"{path}: truncated binary STL")
         (n_tri,) = struct.unpack("<I", raw[80:84])
-        rec = np.dtype(
-            [("n", "<f4", (3,)), ("v", "<f4", (3, 3)), ("attr", "<u2")]
-        )
-        arr = np.frombuffer(raw, rec, count=n_tri, offset=84)
-        tri_pts = arr["v"].astype(np.float64)
+        tri_pts = _stl_binary_tri_pts(raw, n_tri)
     points, triangles = _weld(tri_pts)
     return points, triangles, {}
 

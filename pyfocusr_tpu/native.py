@@ -81,10 +81,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is None and os.path.exists(path):
         # A STALE _native.so missing newer symbols (built before e.g.
         # mis_greedy existed) must not permanently disable every native
-        # path: rebuild in place and retry once.
+        # path: rebuild and retry.  The retry must load through a UNIQUE
+        # path — glibc dlopen dedupes by pathname and ctypes never
+        # dlcloses, so after the AttributeError the stale handle stays
+        # cached under the original path and reloading it would return
+        # the same old library (verified empirically).  The temp copy
+        # lives for the process lifetime (the mapping needs it).
         _try_autobuild(path)
-        _LIB = _load(path)
+        _LIB = _load_via_unique_copy(path)
     return _LIB
+
+
+def _load_via_unique_copy(path: str) -> Optional[ctypes.CDLL]:
+    import shutil
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", prefix="_native_run_")
+        os.close(fd)
+        shutil.copy(path, tmp)
+    except Exception:
+        return _load(path)
+    return _load(tmp)
 
 
 def _load(path: str) -> Optional[ctypes.CDLL]:

@@ -821,8 +821,10 @@ def _graph_fingerprint(graph: GraphArrays) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    # node_features are part of the Laplacian too (feature-augmented edge
+    # weights / feature G matrix in _spectrum) and are user-supplied.
     for arr in (graph.points, graph.neighbors, graph.nbr_mask,
-                graph.valid_mask, graph.overflow):
+                graph.valid_mask, graph.overflow, graph.node_features):
         a = np.asarray(arr)
         h.update(str(a.shape).encode())
         h.update(a.tobytes())
@@ -877,10 +879,10 @@ def load_prepared_target(
         stored = bytes(flat["['target_fingerprint']"]).decode()
         if stored != _graph_fingerprint(target):
             raise ValueError(
-                "prepared-target state was saved for a DIFFERENT target "
-                "mesh (geometry/topology hash mismatch); its spectrum and "
-                "smoothed coordinates do not describe this target. Re-run "
-                "prepare_target on the current mesh."
+                "prepared-target state does not match this target mesh "
+                "(geometry/topology/feature hash mismatch — a different "
+                "mesh, or a checkpoint saved under an older fingerprint "
+                "format). Re-run prepare_target on the current mesh."
             )
     w = []
     i = 0

@@ -61,6 +61,10 @@ def transfer_point_data(
         raise ValueError(f"method must be 'idw' or 'nearest', got {method!r}")
     if names is None:
         names = list(target_mesh.point_data.keys())
+    else:
+        # Materialize: a generator would be consumed by the validation
+        # loop and the later zip would silently yield nothing.
+        names = list(names)
     out: Dict[str, np.ndarray] = {}
     corr = np.asarray(result["correspondences"])
     n_t = np.asarray(target_mesh.points).shape[0]

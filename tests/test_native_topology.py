@@ -143,10 +143,25 @@ def test_stale_native_library_is_rebuilt(tmp_path):
     paths: get_lib rebuilds it in place and retries."""
     import shutil
 
+    import shutil as _sh
+
     import pyfocusr_tpu.native as native
 
     if native.get_lib() is None:
         pytest.skip("native library unavailable")
+    # The test needs a REBUILD to be possible, not just a loaded library.
+    src_dir = native.os.path.join(
+        native.os.path.dirname(native.os.path.dirname(native.__file__)),
+        "native",
+    )
+    if (
+        (_sh.which("g++") or _sh.which("c++")) is None
+        or native.os.environ.get("PYFOCUSR_TPU_NO_AUTOBUILD") == "1"
+        or not native.os.path.exists(
+            native.os.path.join(src_dir, "fast_topology.cpp")
+        )
+    ):
+        pytest.skip("native rebuild not possible in this environment")
     path = native.os.path.join(
         native.os.path.dirname(native.__file__), "_native.so"
     )
@@ -155,7 +170,8 @@ def test_stale_native_library_is_rebuilt(tmp_path):
     try:
         # Swap in garbage via a NEW inode (os.replace): truncating the
         # mapped .so in place would SIGBUS every process that dlopened it.
-        garbage = str(tmp_path / "garbage.so")
+        # The temp lives NEXT TO the target (os.replace needs one fs).
+        garbage = path + ".garbage"
         with open(garbage, "wb") as fh:
             fh.write(b"not a shared library")
         native.os.replace(garbage, path)
@@ -169,7 +185,11 @@ def test_stale_native_library_is_rebuilt(tmp_path):
         )
         assert out is not None and out[0] == 1 and out[1] == -1
     finally:
-        shutil.copy(backup, path)
+        # Restore via a new inode + os.replace, for the same SIGBUS reason
+        # as the swap-in: the just-rebuilt .so is mapped under this path.
+        restore = path + ".restore"
+        shutil.copy(backup, restore)
+        native.os.replace(restore, path)
         native._LIB = None
         native._TRIED = False
         native.get_lib()

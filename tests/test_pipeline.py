@@ -553,7 +553,7 @@ def test_prepared_target_mesh_fingerprint(tmp_path):
     save_prepared_target(p, prep, target=ga_a)
     load_prepared_target(p, target=ga_a)  # same mesh: ok
     load_prepared_target(p)  # no check requested: ok
-    with pytest.raises(ValueError, match="DIFFERENT target"):
+    with pytest.raises(ValueError, match="does not match this target"):
         load_prepared_target(p, target=ga_b)
 
 

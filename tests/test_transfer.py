@@ -163,3 +163,18 @@ def test_focusr_transfer_method():
     # The sphere pair is nearly isometric: transferred height must track
     # the source's own z closely.
     assert np.corrcoef(got, warped[:, 2])[0, 1] > 0.9
+
+
+def test_names_accepts_any_iterable(registered_5k):
+    """A generator for ``names`` must behave like a list (it is consumed
+    once by validation, so it has to be materialized up front)."""
+    target, source, res = registered_5k
+    name = "thickness_change_(mm)"
+    from_list = transfer_point_data(target, res, names=[name])
+    from_gen = transfer_point_data(target, res, names=(n for n in [name]))
+    assert set(from_gen) == {name}
+    np.testing.assert_array_equal(from_list[name], from_gen[name])
+    from_gen_n = transfer_point_data(
+        target, res, names=iter([name]), method="nearest"
+    )
+    assert set(from_gen_n) == {name}
