@@ -107,17 +107,45 @@ def _chunked_query(impl, ref, query, tile):
     )
 
 
+# The Pallas kernel's (q_blocks x r_blocks) grid faults above ~2^24 cells
+# on this toolchain: a 3.84M x 3.84M query (28.1M cells) reproducibly
+# kills the worker while 960k x 960k (1.8M cells) is fine.  Queries are
+# chunked so one pallas_call stays under this many grid cells.
+_PALLAS_MAX_GRID_CELLS = 8 * 1024 * 1024
+
+
+def _pallas_chunked(ref, query, k):
+    """knn_pallas with the query axis chunked to respect the grid-cell
+    bound (identity when one call suffices).  The chunk loop is UNROLLED
+    (static count), not lax.map-scanned: a pallas_call under lax.map
+    reproducibly faults the remote worker at the 3.84M x 3.84M scale,
+    while the identical per-chunk calls issued sequentially run fine
+    (single 1M x 3.84M chunk: 17.8 s, correct)."""
+    from .pallas_kernels import knn_pallas
+
+    nq, nr = query.shape[0], ref.shape[0]
+    cells = (-(-nq // 256)) * (-(-nr // 2048))
+    if cells <= _PALLAS_MAX_GRID_CELLS:
+        return knn_pallas(ref, query, k)
+    n_chunks = -(-cells // _PALLAS_MAX_GRID_CELLS)
+    per = _round_up(max(-(-nq // n_chunks), 256), 256)
+    outs = []
+    for s in range(0, nq, per):
+        outs.append(knn_pallas(ref, query[s : s + per], k))
+    d = jnp.concatenate([o[0] for o in outs], axis=0)
+    i = jnp.concatenate([o[1] for o in outs], axis=0)
+    return d, i
+
+
 def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
              precision=None, use_pallas: bool | None = None):
     """Nearest neighbor of each query point among ref points (see
     _nn_query_impl); very large query sets are processed in row chunks so
     one [Nq, tile] distance block never exceeds ~1 GB.  On TPU with D <= 16
-    this routes to the exact-f32 Pallas kernel (no chunking needed: it
-    never materializes a distance block)."""
+    this routes to the exact-f32 Pallas kernel (chunked only by the
+    grid-cell bound: it never materializes a distance block)."""
     if _use_pallas(query.shape[1], ref.shape[0], 1, use_pallas):
-        from .pallas_kernels import knn_pallas
-
-        d, i = knn_pallas(ref, query, 1)
+        d, i = _pallas_chunked(ref, query, 1)
         return d[:, 0], i[:, 0]
     return _chunked_query(
         lambda r, q: _nn_query_impl(r, q, tile=tile, precision=precision),
@@ -174,9 +202,7 @@ def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192,
     """k nearest neighbors of each query among ref (see _knn_query_impl);
     large query sets chunked like nn_query; Pallas kernel on TPU."""
     if _use_pallas(query.shape[1], ref.shape[0], k, use_pallas):
-        from .pallas_kernels import knn_pallas
-
-        return knn_pallas(ref, query, k)
+        return _pallas_chunked(ref, query, k)
     return _chunked_query(
         lambda r, q: _knn_query_impl(r, q, k, tile=tile), ref, query, tile
     )

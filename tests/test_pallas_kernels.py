@@ -238,3 +238,27 @@ class TestKnnPallas:
         r3 = jnp.zeros((2, 3), jnp.float32)
         with pytest.raises(ValueError, match="reference points"):
             knn_pallas(r3, r3, 3)
+
+
+def test_pallas_chunked_query_plumbing(monkeypatch):
+    """_pallas_chunked splits the query axis (unrolled, NOT lax.map — a
+    pallas_call under lax.map faults the remote worker at multi-million
+    scale) and reassembles exact results; forced small grid bound +
+    interpret-mode kernel so it runs on CPU."""
+    import pyfocusr_tpu.ops.knn as knn
+    import pyfocusr_tpu.ops.pallas_kernels as pk
+
+    orig = pk.knn_pallas
+    monkeypatch.setattr(
+        pk, "knn_pallas", lambda r, q, k: orig(r, q, k, interpret=True)
+    )
+    monkeypatch.setattr(knn, "_PALLAS_MAX_GRID_CELLS", 8)
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.normal(size=(3000, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(2900, 3)).astype(np.float32))
+    d, i = knn._pallas_chunked(ref, q, 3)
+    assert d.shape == (2900, 3) and i.shape == (2900, 3)
+    d2, i2 = knn._knn_query_impl(ref, q, 3)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+    # direct-difference vs matmul-identity distance rounding
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-4)
