@@ -30,6 +30,7 @@ meshes from the bundled ones.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -300,6 +301,70 @@ def _refine_fine_level(
     }
 
 
+# Above this fine vertex count the refine runs host-staged: several Pallas
+# KNN invocations compiled into ONE executable reproducibly fault the
+# remote worker at 3.84M vertices (the same stages issued as separate
+# dispatches run fine — see ops/knn._pallas_chunked for the companion
+# grid-cell bound).  Override via PYFOCUSR_TPU_STAGED_REFINE_N (0 = off).
+_STAGED_REFINE_N = int(os.environ.get("PYFOCUSR_TPU_STAGED_REFINE_N", "2000000"))
+
+
+@partial(jax.jit, static_argnames=("iterations", "method"))
+@f32_matmuls
+def _smooth_graph_jit(graph: GraphArrays, values, iterations: int, method: str):
+    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
+    ovw = graph_ops.overflow_weights(graph.points, graph.overflow)
+    fn = (
+        graph_ops.mean_filter_chebyshev
+        if method == "chebyshev"
+        else graph_ops.mean_filter
+    )
+    return fn(graph.neighbors, w, values, iterations, graph.overflow, ovw)
+
+
+def _refine_fine_level_staged(
+    target: GraphArrays, source: GraphArrays, init_corr, cfg: PipelineConfig
+):
+    """The same math as :func:`_refine_fine_level` with each heavy stage
+    dispatched as its own compiled program (smoothings jitted per graph;
+    the KNN stages run through the unrolled chunked Pallas path outside
+    any enclosing jit) — the multi-million-vertex execution shape the
+    remote worker tolerates.  Gated equal to the fused refine by
+    tests/test_multires.py."""
+    from .ops.knn import idw_pull_k3
+
+    tmask = target.valid_mask[:, None]
+    corr = init_corr
+    smoothed_tgt = target.points
+    projected = source.points
+    if cfg.smooth_correspondences:
+        smoothed_tgt = _smooth_graph_jit(
+            target, target.points, cfg.graph_smoothing_iterations,
+            cfg.smoothing_method,
+        )
+        gathered = smoothed_tgt[init_corr]
+        projected = _smooth_graph_jit(
+            source, gathered, cfg.projection_smooth_iterations,
+            cfg.smoothing_method,
+        )
+        smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
+        _, corr = nn_query(smoothed_q, projected)
+    weighted = idw_pull_k3(
+        smoothed_tgt, target.valid_mask, target.points, projected
+    )
+    smask = source.valid_mask[:, None]
+    return {
+        "correspondences": corr * source.valid_mask.astype(corr.dtype),
+        "initial_correspondences": init_corr
+        * source.valid_mask.astype(init_corr.dtype),
+        "nearest_points": target.points[corr] * smask,
+        "weighted_points": weighted * smask,
+        "average_points": (source.points + weighted) / 2.0 * smask,
+        "smoothed_target_coords": smoothed_tgt * tmask,
+        "source_projected_on_target": projected * smask,
+    }
+
+
 def register_pair_multires(
     target_mesh: TriMesh,
     source_mesh: TriMesh,
@@ -365,7 +430,11 @@ def register_pair_multires(
 
     tg = mesh_to_graph_arrays(target_mesh)
     sg = mesh_to_graph_arrays(source_mesh)
-    fine_res = _refine_fine_level(
-        tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg
+    refine = (
+        _refine_fine_level_staged
+        if _STAGED_REFINE_N > 0
+        and max(tg.n_points, sg.n_points) >= _STAGED_REFINE_N
+        else _refine_fine_level
     )
+    fine_res = refine(tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg)
     return fine_res, coarse_res

@@ -171,3 +171,34 @@ def test_aggregation_mis_independence_with_isolated_vertices():
                 assert not (
                     counts[label[a]] == 1 and counts[label[b]] == 1
                 ), (a, b, label)
+
+
+def test_staged_refine_matches_fused():
+    """_refine_fine_level_staged (host-orchestrated stages, the
+    multi-million-vertex execution shape) must reproduce the fused jitted
+    refine exactly — same math, different program boundaries."""
+    import jax
+
+    from pyfocusr_tpu.multires import (
+        _refine_fine_level,
+        _refine_fine_level_staged,
+    )
+    from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+
+    tg = mesh_to_graph_arrays(_sphere(10, 20))
+    sg = mesh_to_graph_arrays(_sphere(10, 20, warp=0.05))
+    init = jnp.arange(sg.n_points, dtype=jnp.int32) % tg.n_points
+    cfg = PipelineConfig(
+        graph_smoothing_iterations=20, projection_smooth_iterations=4
+    )
+    fused = jax.tree.map(np.asarray, _refine_fine_level(tg, sg, init, cfg))
+    staged = jax.tree.map(
+        np.asarray, _refine_fine_level_staged(tg, sg, init, cfg)
+    )
+    assert set(fused) == set(staged)
+    np.testing.assert_array_equal(
+        fused["correspondences"], staged["correspondences"]
+    )
+    for k in ("weighted_points", "smoothed_target_coords",
+              "source_projected_on_target"):
+        np.testing.assert_allclose(fused[k], staged[k], atol=1e-5)
