@@ -418,11 +418,16 @@ def register_pair_multires(
     # unique fraction at 0.74 (below the direct-registration 0.87), ~5x
     # ratio reaches 0.85 at equal surface distance, and beyond ~70 the
     # extra smoothing starts degrading surface distance — hence the cap.
+    # The cap itself scales with EXTREME contraction ratios: at 3.84M
+    # (ratio 320) the fixed 100 left uniqueness at 0.773, while 300
+    # iterations reached 0.804 at unchanged surface distance (0.033 vs
+    # 0.035 mm) — so the ceiling is max(100, ratio).
     ratio = source_mesh.n_points / max(cs_mesh.n_points, 1)
     # Cap only the AUTO-derived term: an explicitly configured larger
     # projection_smooth_iterations is the user's call and is honored.
     proj_iters = max(
-        cfg.projection_smooth_iterations, min(int(round(5.0 * ratio)), 100)
+        cfg.projection_smooth_iterations,
+        min(int(round(5.0 * ratio)), max(100, int(round(ratio)))),
     )
     fine_cfg = dataclasses.replace(
         cfg, projection_smooth_iterations=proj_iters
