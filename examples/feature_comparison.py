@@ -69,12 +69,20 @@ def quality(reg, target, source):
     d_f, _ = nn_query(jnp.asarray(tgt_pts, jnp.float32), jnp.asarray(moved, jnp.float32))
     d_r, _ = nn_query(jnp.asarray(moved, jnp.float32), jnp.asarray(tgt_pts, jnp.float32))
     surf = (float(np.asarray(d_f).mean()) + float(np.asarray(d_r).mean())) / 2.0
-    # Thickness transfer: source's thickness vs the thickness at its matched
-    # target vertex.  Lower = more anatomically consistent correspondences.
+    # Thickness transfer: source's thickness vs the thickness pulled across
+    # the correspondence (the library's transfer API).  Lower MAE = more
+    # anatomically consistent correspondences.
+    from pyfocusr_tpu import transfer_point_data
+
     th_s = np.asarray(source.point_data["thickness_change_(mm)"], np.float64)
-    th_t = np.asarray(target.point_data["thickness_change_(mm)"], np.float64)
-    transfer_err = float(np.abs(th_s - th_t[corr]).mean())
-    transfer_corr = float(np.corrcoef(th_s, th_t[corr])[0, 1])
+    pulled = transfer_point_data(
+        target,
+        {"correspondences": corr},
+        names=["thickness_change_(mm)"],
+        method="nearest",
+    )["thickness_change_(mm)"].astype(np.float64)
+    transfer_err = float(np.abs(th_s - pulled).mean())
+    transfer_corr = float(np.corrcoef(th_s, pulled)[0, 1])
     return {
         "unique_fraction": round(uniq, 4),
         "symmetric_surface_dist_mm": round(surf, 4),
