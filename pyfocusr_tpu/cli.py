@@ -239,6 +239,13 @@ def main(argv=None):
         if args.multires and (args.prepared or args.save_prepared):
             print("--multires cannot use prepared target state", file=sys.stderr)
             return 2
+        if not args.multires and target.n_points > 150_000:
+            print(
+                f"note: target has {target.n_points} vertices; direct "
+                "registration above ~100k degrades correspondence "
+                "uniqueness (docs/tuning.md) — consider --multires 12000",
+                file=sys.stderr,
+            )
         tg = None if args.multires else mesh_to_graph_arrays(target)
         prep = None
         if args.prepared:
