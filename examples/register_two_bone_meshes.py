@@ -67,6 +67,10 @@ def main(out_dir="example_output"):
               reg.nearest_neighbour_transformed_mesh)
     save_mesh(os.path.join(out_dir, "average_mesh.vtk"), reg.average_mesh)
     np.save(os.path.join(out_dir, "correspondences.npy"), np.asarray(corr))
+
+    # Standalone WebGL viewer (no dependencies, no network): open in any
+    # browser to inspect the correspondence coloring interactively.
+    reg.export_viewer_html(os.path.join(out_dir, "viewer.html"))
     print("wrote results to", out_dir)
 
     reg.timer.report()

@@ -82,6 +82,13 @@ def main(argv=None):
         "projected locations; 'all' transfers every array)",
     )
     p_reg.add_argument(
+        "--html",
+        action="store_true",
+        help="also write <stem>viewer.html per pair: a self-contained "
+        "WebGL viewer (no dependencies, no network) showing target and "
+        "transformed source colored by correspondence index",
+    )
+    p_reg.add_argument(
         "--multires",
         type=int,
         metavar="COARSE_N",
@@ -316,6 +323,24 @@ def main(argv=None):
             avg = source.with_points(res["average_points"])
             save_mesh(os.path.join(args.out_dir, names[1]), avg)
             np.save(os.path.join(args.out_dir, names[2]), corr)
+            if args.html:
+                from .utils.html_viewer import export_html
+
+                html_name = f"{stem}viewer.html"
+                export_html(
+                    os.path.join(args.out_dir, html_name),
+                    meshes=[
+                        target.with_point_data(
+                            "corresp_idx",
+                            np.arange(target.n_points, dtype=np.float32),
+                        ),
+                        out_t,
+                    ],
+                    mesh_names=["target", "source transformed"],
+                    title=f"FOCUSR: {os.path.basename(src_path)} "
+                    f"-> {os.path.basename(args.target)}",
+                )
+                names.append(html_name)
             summaries.append(
                 {
                     "source": src_path,

@@ -842,6 +842,98 @@ class Focusr(object):
             geometries.append(self.average_mesh)
         return view_meshes(geometries, shadow=shadow)
 
+    def export_viewer_html(
+        self,
+        file_path,
+        include_target=True,
+        include_source=True,
+        include_transformed=True,
+        include_average=False,
+        include_spectral_coords=False,
+        color_by_correspondences=True,
+        x_translation=0.0,
+    ):
+        """Write a standalone HTML/WebGL viewer of the registration result.
+
+        The dependency-free analogue of the itkwidgets viewers
+        (``view_meshes`` / ``view_meshes_colored_by_spectral_correspondences``,
+        reference ``focusr.py:646-795``): one self-contained file renders the
+        target, source, transformed-source (weighted-average when available,
+        else nearest-neighbour) and optionally the average mesh and the
+        aligned spectral point clouds — meshes colored by correspondence
+        index so matched regions share colors across meshes.  Runs in any
+        WebGL browser with no network access.  Returns the path written.
+        """
+        import jax.numpy as jnp
+
+        from .utils.html_viewer import export_html
+
+        meshes, names = [], []
+        shift = jnp.asarray([x_translation, 0.0, 0.0], jnp.float32)
+
+        def _colored(mesh, idx_values):
+            if not color_by_correspondences or idx_values is None:
+                return mesh
+            return mesh.with_point_data(
+                "corresp_idx", jnp.asarray(idx_values, jnp.float32)
+            )
+
+        corr = self.corresponding_target_idx_for_each_source_pt
+        if include_target:
+            target = _colored(
+                self.graph_target.mesh,
+                jnp.arange(self.graph_target.n_points, dtype=jnp.float32),
+            )
+            if x_translation:
+                target = target.with_points(target.points + shift)
+            meshes.append(target)
+            names.append("target")
+        if include_source:
+            meshes.append(_colored(self.graph_source.mesh, corr))
+            names.append("source")
+        if include_transformed:
+            transformed = None
+            if self.weighted_avg_transformed_mesh is not None:
+                transformed = self.weighted_avg_transformed_mesh
+            elif self.nearest_neighbour_transformed_mesh is not None:
+                transformed = self.nearest_neighbour_transformed_mesh
+            elif self.weighted_avg_transformed_points is not None:
+                self.get_source_mesh_transformed_weighted_avg()
+                transformed = self.weighted_avg_transformed_mesh
+            elif self.nearest_neighbor_transformed_points is not None:
+                self.get_source_mesh_transformed_nearest_neighbour()
+                transformed = self.nearest_neighbour_transformed_mesh
+            if transformed is not None:
+                meshes.append(_colored(transformed, corr))
+                names.append("source transformed")
+        if include_average:
+            if self.average_mesh is None and (
+                self.weighted_avg_transformed_points is not None
+            ):
+                self.get_average_shape()
+            if self.average_mesh is not None:
+                meshes.append(self.average_mesh)
+                names.append("average")
+
+        point_sets, ps_names = [], []
+        if include_spectral_coords:
+            for label, coords in (
+                ("target spectral", self.target_spectral_coords),
+                ("source spectral (aligned)", self.source_spectral_coords),
+            ):
+                if coords is not None:
+                    point_sets.append(10.0 * np.asarray(coords)[:, :3])
+                    ps_names.append(label)
+
+        return export_html(
+            file_path,
+            meshes=meshes,
+            mesh_names=names,
+            point_sets=point_sets,
+            point_set_names=ps_names,
+            title="FOCUSR registration",
+        )
+
     @property
     def icp_transform(self):
         """The fitted ICP transform (s, R, t).  Unlike the reference

@@ -2,8 +2,10 @@
 ``graph.py:296-314``, built on itkwidgets).
 
 Core policy (SURVEY §2.3, last row): viewers are *optional* — the framework's
-first-class visualization path is exporting meshes + scalars to ``.vtk`` files
-any viewer can open (``save_mesh``).  If itkwidgets happens to be installed,
+first-class visualization paths are exporting meshes + scalars to ``.vtk``
+files any viewer can open (``save_mesh``) and the dependency-free standalone
+HTML/WebGL viewer (``utils.html_viewer.export_html`` /
+``Focusr.export_viewer_html``).  If itkwidgets happens to be installed,
 the ``view_*`` entry points return a live Viewer like the reference; otherwise
 they raise the same ImportError shape the reference raises when its guarded
 import failed (``focusr.py:6-10,658``).
