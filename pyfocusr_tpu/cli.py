@@ -115,6 +115,10 @@ def main(argv=None):
     p_ssm.add_argument("--template-index", type=int, default=0)
     p_ssm.add_argument("--n-modes", type=int, default=0,
                        help="0 = all (capped at n_subjects - 1)")
+    p_ssm.add_argument("--sample", type=int, default=0, metavar="N",
+                       help="also synthesize N random shapes from the "
+                       "fitted model (coefficients ~ N(0,1) per mode, "
+                       "clipped to +-3 sigma) as ssm_sample_<i>.vtk")
     p_ssm.add_argument("--project", nargs="+", default=[], metavar="MESH",
                        help="held-out meshes to fit to the built model: "
                        "register the template to each, project onto the "
@@ -392,6 +396,22 @@ def main(argv=None):
             variances=np.asarray(variances),
             motions=np.asarray(motions),
         )
+        samples = []
+        if args.sample:
+            from .parallel.cohort import ssm_sample
+
+            shapes = ssm_sample(
+                mean, modes, variances,
+                key=jax.random.PRNGKey(args.seed + 500),
+                n_samples=args.sample,
+            )
+            for si in range(args.sample):
+                out_name = f"ssm_sample_{si}.vtk"
+                save_mesh(
+                    os.path.join(args.out_dir, out_name),
+                    template_mesh.with_points(shapes[si]),
+                )
+                samples.append(out_name)
         projections = {}
         if args.project:
             from .parallel.cohort import fit_subject_to_ssm
@@ -425,7 +445,7 @@ def main(argv=None):
                     "mode_variances": [
                         round(float(v), 6) for v in np.asarray(variances)
                     ],
-                    "outputs": ["ssm_template.vtk", "ssm_modes.npz"],
+                    "outputs": ["ssm_template.vtk", "ssm_modes.npz"] + samples,
                     **({"projections": projections} if projections else {}),
                 }
             )

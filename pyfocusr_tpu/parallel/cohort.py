@@ -51,6 +51,9 @@ __all__ = [
     "iterate_template",
     "build_ssm_template",
     "cohort_shape_modes",
+    "ssm_project",
+    "ssm_sample",
+    "fit_subject_to_ssm",
     "cohort_mean_shape",
     "all_pairs_surface_errors",
 ]
@@ -434,6 +437,52 @@ def ssm_project(points, mean, modes, variances=None, n_modes: int | None = None)
         jnp.mean(jnp.sum((P - recon) ** 2, axis=1))
     )
     return coeffs, recon, residual_rms
+
+
+def ssm_sample(
+    mean,
+    modes,
+    variances,
+    b=None,
+    key=None,
+    n_samples: int = 1,
+    clip_std: float = 3.0,
+):
+    """Synthesize shapes from the SSM — the generative direction that
+    completes the workflow (fit ``cohort_shape_modes`` -> project
+    ``ssm_project`` -> sample here).
+
+    A shape is ``mean + sum_i b_i * sqrt(variances[i]) * modes[i]`` with
+    ``b`` in standard-deviation units (the convention stated in
+    ``cohort_shape_modes``'s docstring).  Either pass explicit coefficients
+    ``b`` ([m] for one shape, [S, m] for a batch) — e.g. ``b=[2, 0, ...]``
+    to visualize mode 1 at +2 sigma — or a PRNG ``key`` to draw
+    ``n_samples`` standard-normal coefficient vectors, clipped to
+    ``+-clip_std`` so samples stay in the plausible shape space.
+
+    Returns f32 [N, 3] when ``b`` is 1-D, else [S, N, 3].
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    modes = jnp.asarray(modes, jnp.float32)
+    sig = jnp.sqrt(jnp.maximum(jnp.asarray(variances, jnp.float32), 0.0))
+    m = modes.shape[0]
+    if (b is None) == (key is None):
+        raise ValueError("pass exactly one of b= (coefficients) or key=")
+    if b is None:
+        b = jnp.clip(
+            jax.random.normal(key, (n_samples, m), dtype=jnp.float32),
+            -clip_std,
+            clip_std,
+        )
+    b = jnp.asarray(b, jnp.float32)
+    squeeze = b.ndim == 1
+    b2 = b[None, :] if squeeze else b
+    if b2.shape[1] != m:
+        raise ValueError(
+            f"coefficient length {b2.shape[1]} != number of modes {m}"
+        )
+    shapes = mean[None] + jnp.tensordot(b2 * sig[None, :], modes, axes=1)
+    return shapes[0] if squeeze else shapes
 
 
 def fit_subject_to_ssm(

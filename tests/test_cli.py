@@ -110,6 +110,7 @@ def test_ssm_command(tmp_path):
         [
             "ssm", *paths, "-o", str(tmp_path),
             "--iterations", "2",
+            "--sample", "2",
             "--non-rigid-max-iterations", "10",
             "--graph-smoothing-iterations", "10",
             "--n-coords-spectral-registration", "100",
@@ -120,6 +121,13 @@ def test_ssm_command(tmp_path):
     z = np.load(tmp_path / "ssm_modes.npz")
     assert z["modes"].shape[1] == pts.shape[0]
     assert np.all(np.isfinite(z["variances"]))
+    # --sample: synthesized shapes on the template topology.
+    from pyfocusr_tpu.mesh import load_mesh
+
+    for si in range(2):
+        samp = load_mesh(str(tmp_path / f"ssm_sample_{si}.vtk"))
+        assert samp.n_points == pts.shape[0]
+        assert np.all(np.isfinite(np.asarray(samp.points)))
 
 
 def test_ssm_project_flag(tmp_path):

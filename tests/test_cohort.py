@@ -551,3 +551,59 @@ def test_register_cohort_prepared_template_guard():
         template, subjects, sim, jax.random.PRNGKey(0)
     )
     assert np.all(np.isfinite(np.asarray(mean_shape)))
+
+
+class TestSSMSample:
+    """Generative SSM sampling (ssm_sample): the third leg of the workflow
+    (fit -> project -> sample)."""
+
+    def _basis(self, n=200, m=3, seed=0):
+        rng = np.random.default_rng(seed)
+        mean = rng.normal(size=(n, 3)).astype(np.float32)
+        raw = rng.normal(size=(m, n * 3))
+        q, _ = np.linalg.qr(raw.T)
+        modes = q.T.reshape(m, n, 3).astype(np.float32)
+        variances = np.array([4.0, 1.0, 0.25], np.float32)
+        return mean, modes, variances
+
+    def test_explicit_coefficients_roundtrip(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_project, ssm_sample
+
+        mean, modes, variances = self._basis()
+        b = np.array([2.0, -1.0, 0.5], np.float32)  # sd units
+        shape = ssm_sample(mean, modes, variances, b=b)
+        assert shape.shape == mean.shape
+        coeffs, _, resid = ssm_project(shape, mean, modes)
+        np.testing.assert_allclose(
+            np.asarray(coeffs), b * np.sqrt(variances), atol=1e-4
+        )
+        assert float(resid) < 1e-4
+
+    def test_random_batch_clipped(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_project, ssm_sample
+
+        mean, modes, variances = self._basis()
+        shapes = ssm_sample(
+            mean, modes, variances, key=jax.random.PRNGKey(0),
+            n_samples=16, clip_std=2.0,
+        )
+        assert shapes.shape == (16, *mean.shape)
+        assert np.all(np.isfinite(np.asarray(shapes)))
+        sd = np.sqrt(variances)
+        for s in np.asarray(shapes):
+            coeffs, _, _ = ssm_project(s, mean, modes)
+            assert np.all(np.abs(np.asarray(coeffs)) <= 2.0 * sd + 1e-4)
+
+    def test_argument_validation(self):
+        from pyfocusr_tpu.parallel.cohort import ssm_sample
+
+        mean, modes, variances = self._basis()
+        with pytest.raises(ValueError, match="exactly one"):
+            ssm_sample(mean, modes, variances)
+        with pytest.raises(ValueError, match="exactly one"):
+            ssm_sample(
+                mean, modes, variances, b=[1.0, 0.0, 0.0],
+                key=jax.random.PRNGKey(0),
+            )
+        with pytest.raises(ValueError, match="coefficient length"):
+            ssm_sample(mean, modes, variances, b=[1.0, 0.0])
