@@ -864,8 +864,6 @@ class Focusr(object):
         index so matched regions share colors across meshes.  Runs in any
         WebGL browser with no network access.  Returns the path written.
         """
-        import jax.numpy as jnp
-
         from .utils.html_viewer import export_html
 
         meshes, names = [], []

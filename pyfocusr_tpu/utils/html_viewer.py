@@ -144,8 +144,15 @@ def export_html(
     }
     # </script> inside a JSON string would terminate the script block early.
     payload = json.dumps(data).replace("</", "<\\/")
-    html = _TEMPLATE.replace("__TITLE__", _escape(title)).replace(
-        "__DATA__", payload
+    # Substitute by splitting, not sequential .replace: a title containing
+    # the literal '__DATA__' (or a scalar named '__TITLE__' in the payload)
+    # must never be re-scanned by the other substitution.
+    head, tail = _TEMPLATE.split("__DATA__")
+    esc_title = _escape(title)
+    html = (
+        head.replace("__TITLE__", esc_title)
+        + payload
+        + tail.replace("__TITLE__", esc_title)
     )
     file_path = os.path.abspath(file_path)
     with open(file_path, "w", encoding="utf-8") as fh:
@@ -154,9 +161,9 @@ def export_html(
 
 
 def _escape(text: str) -> str:
-    return (
-        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    )
+    import html
+
+    return html.escape(text, quote=False)
 
 
 # The entire runtime: one HTML page, zero external references.  WebGL1 +
@@ -332,9 +339,9 @@ for (const m of DATA.meshes) {
     ib: buf(gl.ELEMENT_ARRAY_BUFFER, idx),
     colorArr: colors,
   };
+  geos.push(g);  // before setMeshColor: updateColorbar scans geos
   const names = Object.keys(m.scalars);
   setMeshColor(g, names.length ? names[0] : null);
-  geos.push(g);
 }
 for (const p of DATA.pointSets) {
   const pos = decode(p.pos, Float32Array);
@@ -351,10 +358,12 @@ function setMeshColor(g, scalarName) {
     if (!s.values) s.values = decode(s.b64, Float32Array);
     const span = (s.max - s.min) || 1;
     for (let i = 0; i < g.n; i++) {
-      const rgb = viridis((s.values[i] - s.min) / span);
+      const t = (s.values[i] - s.min) / span;
+      // Non-finite samples (NaN thickness etc.) render neutral gray
+      // instead of crashing the indexed colormap lookup.
+      const rgb = isFinite(t) ? viridis(t) : [0.55, 0.55, 0.55];
       c[i*3] = rgb[0]; c[i*3+1] = rgb[1]; c[i*3+2] = rgb[2];
     }
-    showColorbar(g.name + " · " + scalarName, s.min, s.max);
   } else {
     for (let i = 0; i < g.n; i++) {
       c[i*3] = g.color[0]; c[i*3+1] = g.color[1]; c[i*3+2] = g.color[2];
@@ -362,14 +371,22 @@ function setMeshColor(g, scalarName) {
   }
   gl.bindBuffer(gl.ARRAY_BUFFER, g.vbCol);
   gl.bufferData(gl.ARRAY_BUFFER, c, gl.STATIC_DRAW);
+  updateColorbar();
 }
 
-function showColorbar(label, mn, mx) {
+function updateColorbar() {
+  // Single source of truth: show the FIRST visible mesh that is colored by
+  // a scalar; hide the bar when no rendered coloring uses one.
   const cb = document.getElementById("colorbar");
+  const g = geos.find(
+    g => g.kind === "mesh" && g.visible && g.scalarName
+  );
+  if (!g) { cb.style.display = "none"; return; }
+  const s = g.scalars[g.scalarName];
   cb.style.display = "block";
-  document.getElementById("cbname").textContent = label;
-  document.getElementById("cbmin").textContent = mn.toPrecision(4);
-  document.getElementById("cbmax").textContent = mx.toPrecision(4);
+  document.getElementById("cbname").textContent = g.name + " · " + g.scalarName;
+  document.getElementById("cbmin").textContent = s.min.toPrecision(4);
+  document.getElementById("cbmax").textContent = s.max.toPrecision(4);
   const cv = cb.querySelector("canvas"), ctx = cv.getContext("2d");
   for (let y = 0; y < cv.height; y++) {
     const rgb = viridis(1 - y / (cv.height - 1));
@@ -383,7 +400,7 @@ const panel = document.getElementById("geos");
 for (const g of geos) {
   const row = document.createElement("div"); row.className = "geo";
   const cb = document.createElement("input"); cb.type = "checkbox"; cb.checked = true;
-  cb.onchange = () => { g.visible = cb.checked; draw(); };
+  cb.onchange = () => { g.visible = cb.checked; updateColorbar(); draw(); };
   const sw = document.createElement("span"); sw.className = "swatch";
   sw.style.background = `rgb(${g.color.map(v => Math.round(v*255)).join(",")})`;
   const lab = document.createElement("span");

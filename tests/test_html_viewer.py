@@ -113,6 +113,30 @@ def test_script_terminator_escaped(tmp_path):
     assert "</script>" not in body
 
 
+def test_nan_scalars_and_adversarial_title(tmp_path):
+    """NaN point_data must export with finite min/max (JS renders those
+    vertices gray), and a title containing the literal '__DATA__' must not
+    have the payload spliced into it (substitution is split-based)."""
+    mesh = _sphere_mesh()
+    vals = np.asarray(mesh.point_data["height"]).copy()
+    vals[::7] = np.nan
+    mesh = mesh.with_point_data("height", vals)
+    out = export_html(
+        tmp_path / "nan.html", meshes=[mesh], title="run __DATA__ v2"
+    )
+    text, data = _scene_json(out)
+    s = data["meshes"][0]["scalars"]["height"]
+    assert np.isfinite(s["min"]) and np.isfinite(s["max"])
+    finite = vals[np.isfinite(vals)]
+    assert s["min"] == pytest.approx(float(finite.min()))
+    # Title substituted verbatim (escaped), payload NOT spliced into it.
+    assert "run __DATA__ v2" in text
+    assert text.count('"meshes"') == 1
+    # The embedded JSON itself still parses and round-trips the NaNs.
+    emb = _f32(s["b64"])
+    assert np.isnan(emb[::7]).all()
+
+
 def test_focusr_export_viewer_html(tmp_path):
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_curvature_icp import make_sphere
