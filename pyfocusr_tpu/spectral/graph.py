@@ -392,3 +392,23 @@ class Graph:
         return view_mesh(
             self.mesh.with_point_data("feature", self.node_features[feature_idx])
         )
+
+    def export_viewer_html(self, file_path, eig_vec=None, feature_idx=None):
+        """Standalone HTML/WebGL export of the graph's mesh — the
+        dependency-free analogue of the three ``view_mesh_*`` viewers
+        (reference ``graph.py:296-314``): existing point-data scalars by
+        default, plus an ``eig_vec`` column and/or a node ``feature`` as
+        additional selectable colorings.  Returns the path written."""
+        from ..utils.html_viewer import export_html
+
+        mesh = self.mesh
+        if eig_vec is not None:
+            mesh = mesh.with_point_data(
+                f"eig_vec_{eig_vec}", self.eig_vecs[:, eig_vec]
+            )
+        if feature_idx is not None:
+            mesh = mesh.with_point_data(
+                f"feature_{feature_idx}", self.node_features[feature_idx]
+            )
+        return export_html(file_path, meshes=[mesh], mesh_names=["mesh"],
+                           title="Graph mesh")

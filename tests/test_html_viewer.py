@@ -137,6 +137,30 @@ def test_nan_scalars_and_adversarial_title(tmp_path):
     assert np.isnan(emb[::7]).all()
 
 
+def test_graph_export_viewer_html(tmp_path):
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.spectral.graph import Graph
+
+    pts, tris = make_sphere(n_theta=8, n_phi=16)
+    g = Graph(
+        TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)),
+        n_spectral_features=3,
+        list_features_to_calc=["max_curvature"],
+        seed=0,
+    )
+    g.get_graph_spectrum()
+    out = g.export_viewer_html(tmp_path / "g.html", eig_vec=1, feature_idx=0)
+    _, data = _scene_json(out)
+    scal = data["meshes"][0]["scalars"]
+    assert "eig_vec_1" in scal and "feature_0" in scal
+    np.testing.assert_array_equal(
+        _f32(scal["eig_vec_1"]["b64"]),
+        np.asarray(g.eig_vecs[:, 1], np.float32),
+    )
+
+
 def test_focusr_export_viewer_html(tmp_path):
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
     from test_curvature_icp import make_sphere
