@@ -39,7 +39,7 @@ import numpy as np
 
 from .mesh import TriMesh
 from .ops import graph_ops
-from .ops.knn import knn_query, nn_query
+from .ops.knn import idw_pull_k3, nn_query
 from .pipeline import (
     SENTINEL,
     GraphArrays,
@@ -54,6 +54,11 @@ __all__ = [
     "decimate",
     "register_pair_multires",
 ]
+
+# Largest coarse vertex count for which the packed triangle-dedup key
+# (i*nc + j)*nc + k fits int64 (nc^3 < 2^63 needs nc <= ~2.09e6); above it
+# decimate() switches to exact lexicographic row-unique.
+_PACKED_KEY_MAX_NC = 2_000_000
 
 
 def subdivide(mesh: TriMesh) -> TriMesh:
@@ -198,10 +203,18 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
         (ct[:, 0] != ct[:, 1]) & (ct[:, 1] != ct[:, 2]) & (ct[:, 0] != ct[:, 2])
     )
     cts = np.sort(ct[keep], axis=1)
-    tkey = np.unique(
-        (cts[:, 0] * np.int64(nc) + cts[:, 1]) * nc + cts[:, 2]
-    )
-    ct = np.stack([tkey // (nc * nc), (tkey // nc) % nc, tkey % nc], axis=1)
+    if nc <= _PACKED_KEY_MAX_NC:  # nc^3 < 2^63: packed-key dedup is safe
+        tkey = np.unique(
+            (cts[:, 0] * np.int64(nc) + cts[:, 1]) * nc + cts[:, 2]
+        )
+        ct = np.stack(
+            [tkey // (nc * nc), (tkey // nc) % nc, tkey % nc], axis=1
+        )
+    else:
+        # Beyond ~2.09M coarse vertices the packed key wraps int64 and
+        # silently corrupts the dedup; lexicographic row-unique is exact
+        # at any size (same O(F log F), larger constant).
+        ct = np.unique(cts, axis=0)
     return coarse_pts, ct, label
 
 
@@ -271,23 +284,10 @@ def _refine_fine_level(
         )
         smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
         _, corr = nn_query(smoothed_q, projected)
-        final_ref = smoothed_q
-    else:
-        final_ref = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
 
-    dists, idxs = knn_query(final_ref, projected, k=3)
-    tgt_xyz = target.points[idxs]
-    exact = dists <= 0.0
-    any_exact = jnp.any(exact, axis=1)
-    first_exact = jnp.argmax(exact, axis=1)
-    exact_xyz = jnp.take_along_axis(
-        tgt_xyz, first_exact[:, None, None], axis=1
-    )[:, 0]
-    wts = 1.0 / jnp.maximum(dists, 1e-30)
-    weighted = jnp.sum(tgt_xyz * wts[:, :, None], axis=1) / jnp.sum(
-        wts, axis=1, keepdims=True
+    weighted = idw_pull_k3(
+        smoothed_tgt, target.valid_mask, target.points, projected
     )
-    weighted = jnp.where(any_exact[:, None], exact_xyz, weighted)
     smask = source.valid_mask[:, None]
     return {
         "correspondences": corr * source.valid_mask.astype(corr.dtype),
@@ -331,8 +331,6 @@ def _refine_fine_level_staged(
     any enclosing jit) — the multi-million-vertex execution shape the
     remote worker tolerates.  Gated equal to the fused refine by
     tests/test_multires.py."""
-    from .ops.knn import idw_pull_k3
-
     tmask = target.valid_mask[:, None]
     corr = init_corr
     smoothed_tgt = target.points

@@ -248,6 +248,14 @@ def cycle_consistency_error(
     perfectly transitive map sets; the groupwise acceptance metric.
     """
     B = corr.shape[0]
+    if B < 3:
+        # No 3-permutations exist; returning 0.0 would read as "perfectly
+        # transitive" for a case the metric never measured.
+        raise ValueError(
+            f"cycle consistency needs >= 3 meshes, got B={B}; use the "
+            "forward/backward-consistency diagnostics of "
+            "register_pair_symmetric for pairs"
+        )
     total, count = 0.0, 0
     for j, k, i in itertools.permutations(range(B), 3):
         v = np.arange(n_real[j])
@@ -403,7 +411,12 @@ def synchronize_spectral(
         raise ValueError(f"unknown repair mode {repair!r}")
     masks = [np.asarray(g.valid_mask) > 0 for g in graphs]
     n_real = [int(m.sum()) for m in masks]
-    # Padded index <-> real-row index maps (padding need not be trailing).
+    # Padded index <-> real-row index maps.  NOTE: every producer
+    # (mesh_to_graph_arrays / pad_cohort) pads TRAILING rows only, and the
+    # [: n_real[j]] slices below assume exactly that — with trailing
+    # padding both maps reduce to identities on the real prefix; they are
+    # kept to make the padded-vs-real index spaces explicit at each
+    # conversion site, not to support non-trailing padding.
     pad_of_real = [np.flatnonzero(m) for m in masks]
     real_of_pad = []
     for m in masks:

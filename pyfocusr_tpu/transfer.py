@@ -39,6 +39,7 @@ def transfer_point_data(
     result: dict,
     names: Optional[Iterable[str]] = None,
     method: str = "idw",
+    n_source: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Pull named ``target_mesh.point_data`` arrays onto source vertices
     through a registration result (``pipeline.register_pair`` output or the
@@ -54,8 +55,13 @@ def transfer_point_data(
         ``focusr.py:401-426``), so a transferred coordinate function
         reproduces ``weighted_points`` exactly.
 
-    Returns ``{name: [Ns] (or [Ns, C]) np.ndarray}``.  Unknown names raise
-    KeyError (a typo must not silently drop a measurement).
+    Returns ``{name: [Ns] (or [Ns, C]) np.ndarray}`` with ``Ns`` the REAL
+    source vertex count when ``n_source`` is given, else the result's row
+    count.  Pass ``n_source`` whenever the result came from PADDED graphs
+    (``pad_n_points`` / ``pad_cohort``): padding is trailing, and without
+    the slice the tail rows would interpolate at the padded origin points.
+    Unknown names raise KeyError (a typo must not silently drop a
+    measurement).
     """
     if method not in ("idw", "nearest"):
         raise ValueError(f"method must be 'idw' or 'nearest', got {method!r}")
@@ -67,6 +73,8 @@ def transfer_point_data(
         names = list(names)
     out: Dict[str, np.ndarray] = {}
     corr = np.asarray(result["correspondences"])
+    if n_source is not None:
+        corr = corr[:n_source]
     n_t = np.asarray(target_mesh.points).shape[0]
     all_vals = []
     for name in names:
@@ -90,9 +98,10 @@ def transfer_point_data(
     # arrays (the neighbors/weights do not depend on the values): stack
     # every value column into one matrix, pull, then split back.  The
     # result arrays are padded to the GraphArrays shapes; slice references
-    # to the real target rows and queries to the real source rows.
+    # to the real target rows and queries to the real source rows
+    # (``corr`` already carries the n_source slice).
     ref = np.asarray(result["smoothed_target_coords"])[:n_t]
-    queries = np.asarray(result["source_projected_on_target"])
+    queries = np.asarray(result["source_projected_on_target"])[: corr.shape[0]]
     stacked = np.concatenate(
         [v.reshape(n_t, -1).astype(np.float32) for v in all_vals], axis=1
     )
@@ -161,8 +170,16 @@ def cohort_point_data_matrix(
                 f"subject {b} point_data {name!r} has {vals.shape[0]} rows "
                 f"for a {n_b}-vertex mesh"
             )
-        # Padded template rows gather index 0; they are sliced away by the
-        # caller when the template is padded (corr rows beyond the real
-        # template length are 0 by the pipeline's masking).
-        rows.append(vals[np.clip(corr[b], 0, n_b - 1)])
+        # Padded template rows gather index 0 (the pipeline masks them to
+        # 0), which is always in range; any index >= n_b means the subject
+        # order or registration direction does not match the results —
+        # raise rather than silently clamp to the last vertex.
+        idx = corr[b]
+        if idx.size and int(idx.max()) >= n_b:
+            raise ValueError(
+                f"correspondence indices for subject {b} reach "
+                f"{int(idx.max())} but the mesh has {n_b} vertices — "
+                "subject_meshes order must match the registered cohort"
+            )
+        rows.append(vals[idx])
     return np.stack(rows)

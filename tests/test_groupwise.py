@@ -278,3 +278,11 @@ def test_all_pairs_sharded_matches_unsharded():
     )
     agree = (corr0 == corr1).mean()
     assert agree > 0.95  # identical program, device-order reductions only
+
+
+def test_cycle_consistency_rejects_pairs():
+    """B=2 has no 3-cycles; 0.0 would read as perfect transitivity."""
+    corr = np.zeros((2, 2, 4), np.int32)
+    pts = [np.zeros((4, 3), np.float32)] * 2
+    with pytest.raises(ValueError, match=">= 3 meshes"):
+        cycle_consistency_error(corr, pts, [4, 4])

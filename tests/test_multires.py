@@ -202,3 +202,23 @@ def test_staged_refine_matches_fused():
     for k in ("weighted_points", "smoothed_target_coords",
               "source_projected_on_target"):
         np.testing.assert_allclose(fused[k], staged[k], atol=1e-5)
+
+
+def test_decimate_row_unique_fallback_matches_packed_key(monkeypatch):
+    """Above _PACKED_KEY_MAX_NC coarse vertices decimate switches from the
+    packed int64 dedup key (which would overflow at nc > ~2.09M) to exact
+    row-unique; forcing the fallback on a small mesh must reproduce the
+    packed-key result bit-for-bit."""
+    import pyfocusr_tpu.multires as mr
+
+    mesh = _sphere(24, 48)
+    coarse_a, f2c_a, rep_a = mr.decimate(mesh, 300, seed=0)
+    monkeypatch.setattr(mr, "_PACKED_KEY_MAX_NC", 0)
+    coarse_b, f2c_b, rep_b = mr.decimate(mesh, 300, seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(coarse_a.triangles), np.asarray(coarse_b.triangles)
+    )
+    np.testing.assert_array_equal(np.asarray(f2c_a), np.asarray(f2c_b))
+    np.testing.assert_array_equal(
+        np.asarray(coarse_a.points), np.asarray(coarse_b.points)
+    )

@@ -178,3 +178,42 @@ def test_names_accepts_any_iterable(registered_5k):
         target, res, names=iter([name]), method="nearest"
     )
     assert set(from_gen_n) == {name}
+
+
+def test_padded_result_n_source_slices(registered_5k):
+    """A result from PADDED graphs: n_source= slices both correspondence
+    gather ('nearest') and the IDW queries to the real source rows, and the
+    sliced output matches the unpadded transfer exactly."""
+    target, source, res = registered_5k
+    ns = np.asarray(res["correspondences"]).shape[0]
+    pad = 37
+    padded = dict(res)
+    padded["correspondences"] = np.concatenate(
+        [res["correspondences"], np.zeros(pad, res["correspondences"].dtype)]
+    )
+    padded["source_projected_on_target"] = np.concatenate(
+        [res["source_projected_on_target"],
+         np.zeros((pad, 3), np.float32)]
+    )
+    vals = np.arange(np.asarray(target.points).shape[0], dtype=np.float32)
+    t2 = target.with_point_data("vid", vals)
+    for method in ("nearest", "idw"):
+        want = transfer_point_data(t2, res, names=["vid"], method=method)
+        got = transfer_point_data(
+            t2, padded, names=["vid"], method=method, n_source=ns
+        )
+        assert got["vid"].shape == (ns,)
+        np.testing.assert_array_equal(got["vid"], want["vid"])
+
+
+def test_cohort_matrix_rejects_out_of_range_indices():
+    from pyfocusr_tpu.mesh import TriMesh
+
+    pts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tris = np.asarray([[0, 1, 2]], np.int32)
+    subj = TriMesh(jnp.asarray(pts), jnp.asarray(tris)).with_point_data(
+        "f", np.asarray([1.0, 2.0, 3.0], np.float32)
+    )
+    results = {"correspondences": np.asarray([[0, 5, 1]], np.int32)}
+    with pytest.raises(ValueError, match="reach 5"):
+        cohort_point_data_matrix([subj], results, "f")
