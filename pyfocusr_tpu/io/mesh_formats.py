@@ -182,6 +182,21 @@ def write_ply(path: str, points, triangles, point_data=None, binary=True):
         k: np.asarray(v, np.float64) for k, v in (point_data or {}).items()
     }
     n, f = len(points), len(triangles)
+    # PLY vertex properties are scalars: expand [N, C] point_data into one
+    # property per component ('name' -> name_0..name_{C-1}); a reader gets
+    # them back as separate scalar arrays.
+    expanded = {}
+    for k, v in point_data.items():
+        if v.shape[0] != n:
+            raise ValueError(
+                f"point_data {k!r} has {v.shape[0]} rows for {n} vertices"
+            )
+        v2 = v.reshape(n, -1)
+        if v2.shape[1] == 1:
+            expanded[k] = v2
+        else:
+            for c in range(v2.shape[1]):
+                expanded[f"{k}_{c}"] = v2[:, c : c + 1]
     head = ["ply"]
     head.append(
         "format binary_little_endian 1.0" if binary else "format ascii 1.0"
@@ -189,7 +204,7 @@ def write_ply(path: str, points, triangles, point_data=None, binary=True):
     head.append("comment written by pyfocusr_tpu")
     head.append(f"element vertex {n}")
     head += ["property float x", "property float y", "property float z"]
-    for k in point_data:
+    for k in expanded:
         head.append(f"property float {k}")
     head.append(f"element face {f}")
     head.append("property list uchar int vertex_indices")
@@ -197,7 +212,7 @@ def write_ply(path: str, points, triangles, point_data=None, binary=True):
     header = "\n".join(head).encode("ascii")
 
     cols = [points.astype(np.float32)] + [
-        point_data[k].astype(np.float32).reshape(n, 1) for k in point_data
+        expanded[k].astype(np.float32) for k in expanded
     ]
     vert = np.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
     with open(path, "wb") as fh:

@@ -96,7 +96,9 @@ def _triangulate_polys(data: np.ndarray) -> np.ndarray:
         for t in range(1, n - 1):
             tris.append((verts[0], verts[t], verts[t + 1]))
         pos += 1 + n
-    return np.asarray(tris, dtype=np.int32)
+    # reshape keeps the (F, 3) contract even when nothing survived (all
+    # polys degenerate): np.asarray([]) alone would be shape (0,).
+    return np.asarray(tris, dtype=np.int32).reshape(-1, 3)
 
 
 def read_vtk_polydata(path: str):
@@ -158,11 +160,18 @@ def _read_ascii_native(raw: bytes):
         return None
     import ctypes
 
+    # Pass (base address + pos) instead of slicing raw[pos:]: the slice
+    # would copy the whole remaining file for EVERY payload section, which
+    # on large multi-array files costs more than the native parse saves.
+    # The address borrows the bytes object's buffer; ``raw`` outlives every
+    # call in this function.
+    _base_addr = ctypes.cast(ctypes.c_char_p(raw), ctypes.c_void_p).value
+
     def parse_f64(pos: int, count: int):
         out = np.empty(count, np.float64)
         consumed = ctypes.c_int64(0)
         got = lib.parse_doubles(
-            raw[pos:],
+            ctypes.c_char_p(_base_addr + pos),
             len(raw) - pos,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             count,
@@ -176,7 +185,7 @@ def _read_ascii_native(raw: bytes):
         out = np.empty(count, np.int64)
         consumed = ctypes.c_int64(0)
         got = lib.parse_longs(
-            raw[pos:],
+            ctypes.c_char_p(_base_addr + pos),
             len(raw) - pos,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             count,
@@ -195,6 +204,7 @@ def _read_ascii_native(raw: bytes):
     triangles = np.zeros((0, 3), dtype=np.int32)
     point_data: dict[str, np.ndarray] = {}
     n_points = 0
+    n_attr = 0  # tuple count of the current POINT_DATA/CELL_DATA section
     in_point_data = False
 
     while True:
@@ -226,8 +236,11 @@ def _read_ascii_native(raw: bytes):
             if int(toks.next()) != n_points:
                 raise ValueError("POINT_DATA mismatch")
             in_point_data = True
+            n_attr = n_points
         elif k == "CELL_DATA":
-            toks.next()
+            # Size following attribute payloads by the CELL count (parsed
+            # to stay stream-aligned, then discarded).
+            n_attr = int(toks.next())
             in_point_data = False
         elif k == "SCALARS":
             name = toks.next()
@@ -236,20 +249,26 @@ def _read_ascii_native(raw: bytes):
             maybe = toks.next()
             n_comp = 1
             if maybe and maybe.upper() != "LOOKUP_TABLE":
+                # Optional numComp is spec-restricted to 1..4 — anything
+                # else is the first data value (see the pure-python reader
+                # for the ambiguity discussion).
                 try:
-                    n_comp = int(maybe)
+                    maybe_comp = int(maybe)
+                except ValueError:
+                    maybe_comp = None
+                if maybe_comp is not None and 1 <= maybe_comp <= 4:
+                    n_comp = maybe_comp
                     save = toks.pos
                     maybe = toks.next()
-                except ValueError:
-                    pass
             if maybe and maybe.upper() == "LOOKUP_TABLE":
                 toks.next()  # table name
             else:
                 toks.pos = save
-            vals, toks.pos = parse_f64(toks.pos, n_points * n_comp)
-            if in_point_data:
+            cnt = n_attr or n_points  # tolerate SCALARS before a section
+            vals, toks.pos = parse_f64(toks.pos, cnt * n_comp)
+            if in_point_data or not n_attr:
                 point_data[name] = (
-                    vals if n_comp == 1 else vals.reshape(n_points, n_comp)
+                    vals if n_comp == 1 else vals.reshape(cnt, n_comp)
                 )
         elif k == "FIELD":
             toks.next()
@@ -282,6 +301,7 @@ def _read_ascii(text: str):
     triangles = np.zeros((0, 3), dtype=np.int32)
     point_data: dict[str, np.ndarray] = {}
     n_points = 0
+    n_attr = 0  # tuple count of the current POINT_DATA/CELL_DATA section
     in_point_data = False
 
     while not toks.done():
@@ -307,7 +327,11 @@ def _read_ascii(text: str):
                 toks.next()  # OFFSETS
                 toks.next()  # dtype
                 offsets = toks.take_array(n_polys, np.int64)
-                assert toks.next().upper() == "CONNECTIVITY"
+                conn_kw = toks.next()
+                if conn_kw is None or conn_kw.upper() != "CONNECTIVITY":
+                    raise ValueError(
+                        f"expected CONNECTIVITY after OFFSETS, got {conn_kw!r}"
+                    )
                 toks.next()  # dtype
                 conn = toks.take_array(n_vals, np.int64)
                 counts = np.diff(offsets)
@@ -330,9 +354,13 @@ def _read_ascii(text: str):
             if n != n_points:
                 raise ValueError("POINT_DATA count does not match POINTS")
             in_point_data = True
+            n_attr = n
         elif key == "CELL_DATA":
             in_point_data = False
-            _ = int(toks.next())
+            # Attribute payloads inside CELL_DATA are sized by the CELL
+            # count, not n_points — they are parsed (to keep the token
+            # stream aligned) and discarded (TriMesh carries point data).
+            n_attr = int(toks.next())
         elif key == "SCALARS":
             name = toks.next()
             dtype = _VTK_DTYPES[toks.next().lower()]
@@ -340,18 +368,28 @@ def _read_ascii(text: str):
             if toks.peek() is not None and toks.peek().upper() not in (
                 "LOOKUP_TABLE",
             ):
+                # Optional numComp: the spec restricts it to 1..4, which
+                # disambiguates it from a first data value >= 5 (the line
+                # boundary that formally separates header from data was
+                # lost in whole-file tokenization).  1..4 without a
+                # LOOKUP_TABLE line stays ambiguous; numComp wins, as a
+                # wrong guess fails loudly in take_array rather than
+                # silently misaligning.
                 try:
-                    n_comp = int(toks.peek())
-                    toks.next()
+                    maybe_comp = int(toks.peek())
                 except ValueError:
-                    pass
+                    maybe_comp = None
+                if maybe_comp is not None and 1 <= maybe_comp <= 4:
+                    n_comp = maybe_comp
+                    toks.next()
             if toks.peek() is not None and toks.peek().upper() == "LOOKUP_TABLE":
                 toks.next()
                 toks.next()  # table name
-            vals = toks.take_array(n_points * n_comp, dtype).astype(np.float64)
-            if in_point_data:
+            cnt = n_attr or n_points  # tolerate SCALARS before a section
+            vals = toks.take_array(cnt * n_comp, dtype).astype(np.float64)
+            if in_point_data or not n_attr:
                 point_data[name] = (
-                    vals if n_comp == 1 else vals.reshape(n_points, n_comp)
+                    vals if n_comp == 1 else vals.reshape(cnt, n_comp)
                 )
         elif key == "FIELD":
             toks.next()  # field name
@@ -369,7 +407,7 @@ def _read_ascii(text: str):
         elif key in ("NORMALS", "VECTORS"):
             toks.next()  # name
             dtype = _VTK_DTYPES[toks.next().lower()]
-            toks.take_array(n_points * 3, dtype)
+            toks.take_array((n_attr or n_points) * 3, dtype)
         elif key == "LOOKUP_TABLE":
             name = toks.next()
             n = int(toks.next())
@@ -412,11 +450,14 @@ def _read_binary(raw: bytes):
 
     next_line()  # version
     next_line()  # title
-    assert next_line().upper() == "BINARY"
+    marker = next_line()
+    if marker.upper() != "BINARY":
+        raise ValueError(f"expected BINARY marker, got {marker!r}")
     points = None
     triangles = np.zeros((0, 3), dtype=np.int32)
     point_data: dict[str, np.ndarray] = {}
     n_points = 0
+    n_attr = 0  # tuple count of the current POINT_DATA/CELL_DATA section
     in_point_data = False
 
     def read_array(count, np_dtype):
@@ -456,7 +497,10 @@ def _read_binary(raw: bytes):
                     n_head, _VTK_DTYPES[sub[1].lower()]
                 ).astype(np.int64)
                 sub2 = next_line().split()
-                assert sub2[0].upper() == "CONNECTIVITY"
+                if not sub2 or sub2[0].upper() != "CONNECTIVITY":
+                    raise ValueError(
+                        f"expected CONNECTIVITY after OFFSETS, got {sub2!r}"
+                    )
                 conn = read_array(
                     n_vals, _VTK_DTYPES[sub2[1].lower()]
                 ).astype(np.int64)
@@ -475,8 +519,11 @@ def _read_binary(raw: bytes):
                 triangles = _triangulate_polys(data)
         elif key == "POINT_DATA":
             in_point_data = True
+            n_attr = int(parts[1]) if len(parts) > 1 else n_points
         elif key == "CELL_DATA":
             in_point_data = False
+            # Attribute payloads that follow are sized by the CELL count.
+            n_attr = int(parts[1]) if len(parts) > 1 else 0
         elif key == "FIELD":
             # FIELD <name> <num_arrays>; each array:
             #   <name> <numComponents> <numTuples> <dataType>\n<binary payload>
@@ -496,12 +543,21 @@ def _read_binary(raw: bytes):
             name = parts[1]
             dtype = _VTK_DTYPES[parts[2].lower()]
             n_comp = int(parts[3]) if len(parts) > 3 else 1
-            lt = next_line()
-            assert lt.upper().startswith("LOOKUP_TABLE")
-            vals = read_array(n_points * n_comp, dtype).astype(np.float64)
-            if in_point_data:
+            # The LOOKUP_TABLE line is required by the spec but omitted by
+            # some writers; in binary it is a full text line, so rewind if
+            # absent instead of consuming payload bytes as text.
+            save_lt = pos
+            try:
+                lt = next_line()
+            except ValueError:  # payload with no further newline
+                lt = ""
+            if not lt.upper().startswith("LOOKUP_TABLE"):
+                pos = save_lt
+            cnt = n_attr or n_points
+            vals = read_array(cnt * n_comp, dtype).astype(np.float64)
+            if in_point_data or not n_attr:
                 point_data[name] = (
-                    vals if n_comp == 1 else vals.reshape(n_points, n_comp)
+                    vals if n_comp == 1 else vals.reshape(cnt, n_comp)
                 )
     if points is None:
         raise ValueError("VTK file contains no POINTS section")

@@ -122,6 +122,16 @@ def build_topology(
     behavior is identical on them).
     """
     tris = np.asarray(triangles, dtype=np.int64)
+    if tris.size and (tris.min() < 0 or tris.max() >= n_points):
+        # Validate up front: the packed-key edge dedup below would DECODE
+        # out-of-range indices into different in-range edges (e.g. pair
+        # (5, 12) with n_points=10 packs to 62 -> edge (6, 2)) — silent
+        # corruption instead of an error.  The native path returns None for
+        # the same inputs expecting python to raise; do so for both.
+        raise ValueError(
+            f"triangle indices span [{tris.min()}, {tris.max()}] but the "
+            f"mesh has {n_points} points"
+        )
 
     # Native C++ fast path (native/fast_topology.cpp): identical outputs
     # (byte-for-byte — gated by tests/test_native_topology.py), one pass
@@ -176,7 +186,6 @@ def build_topology(
         # Edge -> incident faces map (each raw row f*3 block belongs to face f).
         face_of_raw = np.tile(np.arange(tris.shape[0], dtype=np.int32), 3)
         edge_faces = np.full((edges.shape[0], 2), -1, dtype=np.int32)
-        slot_taken = np.zeros(edges.shape[0], dtype=np.int64)
         order = np.argsort(inverse, kind="stable")
         eid_sorted = inverse[order]
         face_sorted = face_of_raw[order]
@@ -186,7 +195,6 @@ def build_topology(
         )
         keep = slot < 2  # non-manifold extra incidences are dropped
         edge_faces[eid_sorted[keep], slot[keep]] = face_sorted[keep]
-        del slot_taken
 
     # Degree per vertex over the symmetric edge set.
     directed = np.concatenate([edges, edges[:, ::-1]], axis=0)

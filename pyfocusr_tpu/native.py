@@ -85,8 +85,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # path — glibc dlopen dedupes by pathname and ctypes never
         # dlcloses, so after the AttributeError the stale handle stays
         # cached under the original path and reloading it would return
-        # the same old library (verified empirically).  The temp copy
-        # lives for the process lifetime (the mapping needs it).
+        # the same old library (verified empirically).  The temp copy is
+        # unlinked right after dlopen (the mapping survives on POSIX).
         _try_autobuild(path)
         _LIB = _load_via_unique_copy(path)
     return _LIB
@@ -102,7 +102,15 @@ def _load_via_unique_copy(path: str) -> Optional[ctypes.CDLL]:
         shutil.copy(path, tmp)
     except Exception:
         return _load(path)
-    return _load(tmp)
+    lib = _load(tmp)
+    # On POSIX the mapping survives the unlink (dlopen holds the inode), so
+    # the temp copy need not outlive this call — without the unlink every
+    # process hitting the stale-library path would leak one .so into /tmp.
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
+    return lib
 
 
 def _load(path: str) -> Optional[ctypes.CDLL]:
@@ -187,22 +195,6 @@ def lap_jv_native(cost: np.ndarray) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out
-
-
-def parse_doubles_native(data: bytes, max_out: int) -> Optional[np.ndarray]:
-    lib = get_lib()
-    if lib is None:
-        return None
-    out = np.empty(max_out, dtype=np.float64)
-    consumed = ctypes.c_int64(0)
-    n = lib.parse_doubles(
-        data,
-        len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        max_out,
-        ctypes.byref(consumed),
-    )
-    return out[:n]
 
 
 def topology_native(tris: np.ndarray, n_points: int, max_deg: int):

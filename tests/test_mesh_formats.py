@@ -205,3 +205,30 @@ class TestStlDetection:
         np.testing.assert_allclose(
             np.sort(pts2.ravel()), np.sort(pts.ravel()), atol=1e-6
         )
+
+
+def test_ply_multicomponent_point_data(tmp_path):
+    """[N, C] point_data expands into one scalar property per component
+    (name_0..name_{C-1}) instead of crashing; values round-trip."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.mesh import TriMesh, load_mesh, save_mesh
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    vec = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32)
+    mesh = TriMesh(jnp.asarray(pts), jnp.asarray(tris), {"grad": jnp.asarray(vec)})
+    for binary in (True, False):
+        p = tmp_path / f"vec_{binary}.ply"
+        from pyfocusr_tpu.io.mesh_formats import write_ply
+
+        write_ply(str(p), pts, tris, {"grad": vec}, binary=binary)
+        back = load_mesh(str(p))
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(back.point_data[f"grad_{c}"]), vec[:, c]
+            )
+    # save_mesh dispatch path (the .vtk -> .ply conversion flow).
+    save_mesh(str(tmp_path / "vec2.ply"), mesh)
+    back = load_mesh(str(tmp_path / "vec2.ply"))
+    assert {f"grad_{c}" for c in range(3)} <= set(back.point_data)

@@ -173,3 +173,92 @@ def test_binary_field_arrays(tmp_path):
     p2, t2, pd = read_vtk_polydata(str(path))
     np.testing.assert_allclose(pd["thickness"], thick)
     np.testing.assert_allclose(pd["curv2"], curv)
+
+
+def test_cell_data_sections_sized_by_cell_count(tmp_path):
+    """SCALARS inside CELL_DATA are sized by the CELL count (here 2, not
+    n_points=4); a following POINT_DATA array must still parse correctly
+    through BOTH ascii paths and the binary reader."""
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64)
+    tris = np.array([[0, 1, 2], [0, 1, 3]], np.int32)
+    cell_vals = np.array([7.0, 8.0])
+    pt_vals = np.array([0.5, 1.5, 2.5, 3.5])
+
+    ascii_body = (
+        "# vtk DataFile Version 4.2\ncells test\nASCII\nDATASET POLYDATA\n"
+        "POINTS 4 double\n"
+        + "\n".join(" ".join(f"{v:g}" for v in row) for row in pts)
+        + "\nPOLYGONS 2 8\n3 0 1 2\n3 0 1 3\n"
+        "CELL_DATA 2\nSCALARS area double\nLOOKUP_TABLE default\n7 8\n"
+        "POINT_DATA 4\nSCALARS thickness double\nLOOKUP_TABLE default\n"
+        "0.5 1.5 2.5 3.5\n"
+    )
+    path = tmp_path / "cells.vtk"
+    path.write_text(ascii_body)
+    p2, t2, pd2 = read_vtk_polydata(str(path))
+    np.testing.assert_allclose(p2, pts)
+    np.testing.assert_array_equal(t2, tris)
+    assert "area" not in pd2  # cell data parsed for alignment, not kept
+    np.testing.assert_allclose(pd2["thickness"], pt_vals)
+
+    # Pure-python path explicitly (native may or may not be built).
+    from pyfocusr_tpu.io.vtk_io import _read_ascii
+
+    p3, t3, pd3 = _read_ascii(ascii_body)
+    np.testing.assert_allclose(p3, pts)
+    assert "area" not in pd3
+    np.testing.assert_allclose(pd3["thickness"], pt_vals)
+
+    # Binary layout with CELL_DATA before POINT_DATA.
+    bpath = tmp_path / "cells_bin.vtk"
+    with open(bpath, "wb") as f:
+        f.write(b"# vtk DataFile Version 4.2\nbin cells\nBINARY\n")
+        f.write(b"DATASET POLYDATA\nPOINTS 4 double\n")
+        f.write(pts.astype(">f8").tobytes() + b"\n")
+        conn = np.column_stack([np.full(2, 3, np.int32), tris]).ravel()
+        f.write(b"POLYGONS 2 8\n" + conn.astype(">i4").tobytes() + b"\n")
+        f.write(b"CELL_DATA 2\nSCALARS area double\nLOOKUP_TABLE default\n")
+        f.write(cell_vals.astype(">f8").tobytes() + b"\n")
+        f.write(b"POINT_DATA 4\nSCALARS thickness double\nLOOKUP_TABLE default\n")
+        f.write(pt_vals.astype(">f8").tobytes() + b"\n")
+    p4, t4, pd4 = read_vtk_polydata(str(bpath))
+    np.testing.assert_allclose(p4, pts)
+    assert "area" not in pd4
+    np.testing.assert_allclose(pd4["thickness"], pt_vals)
+
+
+def test_scalars_int_data_without_lookup_table(tmp_path):
+    """Integer SCALARS whose first value is >= 5, with no numComp and no
+    LOOKUP_TABLE line: the first value must parse as DATA (the optional
+    numComp is spec-limited to 1..4), not as a component count."""
+    body = (
+        "# vtk DataFile Version 4.2\nint scalars\nASCII\nDATASET POLYDATA\n"
+        "POINTS 3 double\n0 0 0\n1 0 0\n0 1 0\n"
+        "POLYGONS 1 4\n3 0 1 2\n"
+        "POINT_DATA 3\nSCALARS labels int\n5 3 2\n"
+    )
+    path = tmp_path / "ints.vtk"
+    path.write_text(body)
+    _, _, pd = read_vtk_polydata(str(path))
+    np.testing.assert_array_equal(pd["labels"], [5, 3, 2])
+
+    from pyfocusr_tpu.io.vtk_io import _read_ascii
+
+    _, _, pd2 = _read_ascii(body)
+    np.testing.assert_array_equal(pd2["labels"], [5, 3, 2])
+
+
+def test_degenerate_polys_keep_triangle_shape():
+    from pyfocusr_tpu.io.vtk_io import _triangulate_polys
+
+    out = _triangulate_polys(np.array([2, 0, 1, 2, 1, 2], np.int64))
+    assert out.shape == (0, 3)
+
+
+def test_build_topology_rejects_out_of_range_indices():
+    from pyfocusr_tpu.mesh import build_topology
+
+    with pytest.raises(ValueError, match="triangle indices"):
+        build_topology(np.array([[0, 5, 12]], np.int32), 10)
+    with pytest.raises(ValueError, match="triangle indices"):
+        build_topology(np.array([[0, -1, 2]], np.int32), 10)
