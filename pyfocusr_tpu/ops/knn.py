@@ -39,6 +39,12 @@ _PREC = jax.lax.Precision.HIGHEST
 
 from ..utils.precision import f32_matmuls  # noqa: E402
 
+# Masked-out reference rows are pushed to this coordinate so they can never
+# win a nearest-neighbor query.  Single source of truth — pipeline.py
+# re-exports it (`from .ops.knn import SENTINEL`), and the padding below
+# uses it too (1e30^2 overflows f32 to inf, so padded rows never win).
+SENTINEL = 1e30
+
 __all__ = ["nn_query", "knn_query", "pairwise_sq_dists", "idw_pull_k3"]
 
 
@@ -167,10 +173,10 @@ def _nn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, preci
     nq, d = query.shape
     nr = ref.shape[0]
     nr_pad = _round_up(max(nr, 1), tile)
-    ref_p = jnp.pad(ref, ((0, nr_pad - nr), (0, 0)), constant_values=jnp.inf)
-    # inf padding would poison the matmul; pad with a huge-but-finite sentinel
-    # coordinate instead and mask by index below.
-    ref_p = jnp.where(jnp.isfinite(ref_p), ref_p, 1e30)
+    ref_p = jnp.pad(ref, ((0, nr_pad - nr), (0, 0)), constant_values=SENTINEL)
+    # inf coordinates (padding or caller data) would poison the matmul;
+    # push them to the huge-but-finite SENTINEL instead.
+    ref_p = jnp.where(jnp.isfinite(ref_p), ref_p, SENTINEL)
     qn = jnp.sum(query * query, axis=1)
 
     n_tiles = nr_pad // tile
@@ -221,7 +227,7 @@ def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 81
     nq, d = query.shape
     nr = ref.shape[0]
     nr_pad = _round_up(max(nr, k), tile)
-    ref_p = jnp.pad(ref, ((0, nr_pad - nr), (0, 0)), constant_values=1e30)
+    ref_p = jnp.pad(ref, ((0, nr_pad - nr), (0, 0)), constant_values=SENTINEL)
     qn = jnp.sum(query * query, axis=1)
 
     n_tiles = nr_pad // tile
@@ -251,13 +257,15 @@ def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 81
     (best_d2, best_idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_tiles, dtype=jnp.int32), ref_tiles)
     )
+    # nr < k: the missing neighbors carry inf distance (and an arbitrary
+    # padded/initial index); remap those to index nr — cKDTree's
+    # missing-neighbor sentinel (index == n, distance == inf) — so callers
+    # can detect them.  SENTINEL-coordinate reference rows also report inf
+    # and are equally non-neighbors, so the same sentinel applies.
+    best_idx = jnp.where(jnp.isinf(best_d2), nr, best_idx)
     return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_idx
 
 
-# Masked-out reference rows are pushed to this coordinate so they can never
-# win a nearest-neighbor query.  Single source of truth — pipeline.py
-# re-exports it (`from .ops.knn import SENTINEL`).
-SENTINEL = 1e30
 
 
 def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
@@ -266,7 +274,11 @@ def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
     (``focusr.py:401-426``) including the exact-hit shortcut (distance-0
     neighbor wins outright).  Padded reference rows (``ref_mask == 0``)
     are pushed to ``SENTINEL`` so they can never be selected.  Shared by
-    the pipeline's final locations and groupwise map inversion."""
+    the pipeline's final locations and groupwise map inversion.
+
+    Degenerate input (``ref_mask`` all zero — no valid reference rows at
+    all) yields NaN outputs (0/0 total weight) rather than a silent
+    fabricated value; callers must pass at least one valid row."""
     ref_q = jnp.where(ref_mask[:, None] > 0, ref_positions, SENTINEL)
     dists, idxs = knn_query(ref_q, query_points, k=3)
     vals = ref_values[idxs]  # [Nq, 3, D]

@@ -48,6 +48,19 @@ def sort_eigenmaps_jit(
     for the cost definitions and file:line citations).
     """
     k = eig_vals_target.shape[0]
+    # DELIBERATE deviation from the host path's clamp epsilon
+    # (eigsort._EPS = f64 eps, matching the reference's f64 arithmetic):
+    # this path computes v + 0.5 in f32, where the minimum vertex
+    # (v = -0.5 after min-max normalization) lands within ~6e-8 ROUNDING
+    # NOISE of zero.  Clamping at f32 eps bounds log(v + 0.5) at
+    # log(1.2e-7) = -15.9; a f64-eps clamp would let pure rounding noise
+    # produce log values anywhere in [-36, -15.9], scattering the W1 cost
+    # of the affected column.  Measured (round-3 A/B): the f64-eps clamp
+    # broke template-iteration pose invariance on spheres (near-tie
+    # spectra); f32 eps is the numerically sound clamp for f32
+    # arithmetic.  Host/jit parity for edge samples is therefore limited
+    # by f32 rounding, not by this constant (tests/test_eigsort.py gates
+    # at rtol 2e-3).
     eps = jnp.finfo(jnp.float32).eps
 
     # c_lambda (eigsort.py:142-160)
@@ -132,5 +145,8 @@ def sort_eigenmaps_jit(
     )
     # Permutation matrix: out[:, r] = in[:, src_of_tgt[r]] (after flip).
     P = jax.nn.one_hot(src_of_tgt, k, dtype=jnp.float32).T
-    vecs = (eig_vecs_to_permute * sign[None, :]) @ P
+    # HIGHEST precision: at the MXU default this one-hot permutation
+    # would round every eigenvector entry to bf16 when the public
+    # entry point is called outside an f32_matmuls scope.
+    vecs = jnp.matmul(eig_vecs_to_permute * sign[None, :], P, precision=_PREC)
     return vecs, Q_vec

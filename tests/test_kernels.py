@@ -191,3 +191,21 @@ def test_knn_routing_k_over_128():
     assert not _use_pallas(3, 1000, 200, None)
     with pytest.raises(ValueError, match="k<=128"):
         knn_pallas(jnp.zeros((1000, 3)), jnp.zeros((10, 3)), 200)
+
+
+def test_knn_query_fewer_refs_than_k_matches_kdtree():
+    """nr < k: missing neighbors report index == nr and inf distance —
+    cKDTree's missing-neighbor sentinel — instead of a padded-row index."""
+    import jax.numpy as jnp
+    from scipy.spatial import KDTree
+
+    from pyfocusr_tpu.ops.knn import knn_query
+
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(2, 3)).astype(np.float32)
+    query = rng.normal(size=(5, 3)).astype(np.float32)
+    d, i = knn_query(jnp.asarray(ref), jnp.asarray(query), k=3)
+    dk, ik = KDTree(ref).query(query, k=3)
+    np.testing.assert_allclose(np.asarray(d)[:, :2], dk[:, :2], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), ik)  # missing -> index 2
+    assert np.all(np.isinf(np.asarray(d)[:, 2]))
