@@ -32,7 +32,7 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
-from .mesh import TriMesh
+from .mesh import TriMesh, as_trimesh
 from .ops import cpd
 from .ops.assignment import linear_sum_assignment
 from .ops.icp import icp as icp_fit
@@ -96,6 +96,10 @@ class Focusr(object):
         self.timer = timer if timer is not None else StageTimer(verbose=verbose)
         if verbose:
             print("Starting Focusr")
+        # Live vtkPolyData inputs (the reference's native type, focusr.py:23)
+        # are coerced to TriMesh; TriMesh passes through unchanged.
+        vtk_mesh_target = as_trimesh(vtk_mesh_target)
+        vtk_mesh_source = as_trimesh(vtk_mesh_source)
         # Inputs (names mirror reference ``focusr.py:72-104``).
         self.n_spectral_features = n_spectral_features
         self.n_extra_spectral = n_extra_spectral

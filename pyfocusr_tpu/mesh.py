@@ -21,7 +21,14 @@ import numpy as np
 
 from .io.mesh_formats import read_any, write_any
 
-__all__ = ["TriMesh", "MeshTopology", "load_mesh", "save_mesh", "build_topology"]
+__all__ = [
+    "TriMesh",
+    "MeshTopology",
+    "as_trimesh",
+    "load_mesh",
+    "save_mesh",
+    "build_topology",
+]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -254,6 +261,58 @@ def build_topology(
         component_labels=labels.astype(np.int32),
         n_components=int(labels.max()) + 1 if n_points else 0,
         overflow_edges=overflow,
+    )
+
+
+def as_trimesh(obj) -> TriMesh:
+    """Coerce a mesh-like object to :class:`TriMesh`.
+
+    Accepted inputs:
+      * ``TriMesh`` — returned unchanged;
+      * a live ``vtkPolyData`` (duck-typed on the VTK C++ API, so no vtk
+        import is required here): reference users hold these from their own
+        VTK pipelines (``vtk_functions.py:5-9``) and pass them straight to
+        ``Focusr``/``Graph`` (``focusr.py:23``, ``graph.py:19``) — migration
+        must not require hand-converting them.  Polygons with more than 3
+        vertices are fan-triangulated; named point-data arrays are carried
+        over (consumed by ``list_features_to_get_from_mesh``,
+        reference ``graph.py:88-104``).
+    """
+    if isinstance(obj, TriMesh):
+        return obj
+    if hasattr(obj, "GetNumberOfPoints") and hasattr(obj, "GetNumberOfCells"):
+        n = int(obj.GetNumberOfPoints())
+        points = np.empty((n, 3), np.float32)
+        for i in range(n):
+            points[i] = obj.GetPoint(i)
+        tris = []
+        for c in range(int(obj.GetNumberOfCells())):
+            ids = obj.GetCell(c).GetPointIds()
+            k = int(ids.GetNumberOfIds())
+            for t in range(1, k - 1):  # fan-triangulation; k==3 -> one tri
+                tris.append((ids.GetId(0), ids.GetId(t), ids.GetId(t + 1)))
+        triangles = (
+            np.asarray(tris, np.int32) if tris else np.zeros((0, 3), np.int32)
+        )
+        point_data = {}
+        pdo = obj.GetPointData() if hasattr(obj, "GetPointData") else None
+        if pdo is not None:
+            for a in range(int(pdo.GetNumberOfArrays())):
+                arr = pdo.GetArray(a)
+                if arr is None:
+                    continue
+                name = pdo.GetArrayName(a) or f"array_{a}"
+                nt = int(arr.GetNumberOfTuples())
+                nc = int(arr.GetNumberOfComponents())
+                vals = np.empty((nt, nc), np.float32)
+                for t in range(nt):
+                    for cidx in range(nc):
+                        vals[t, cidx] = arr.GetComponent(t, cidx)
+                point_data[name] = vals[:, 0] if nc == 1 else vals
+        return TriMesh(points=points, triangles=triangles, point_data=point_data)
+    raise TypeError(
+        f"cannot interpret {type(obj).__name__!r} as a mesh: expected a "
+        "TriMesh or a vtkPolyData-like object"
     )
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh import TriMesh, MeshTopology, build_topology
+from ..mesh import TriMesh, MeshTopology, as_trimesh, build_topology
 from ..ops import graph_ops
 from ..ops.curvature import principal_curvatures
 from ..ops.eigen import smallest_nonzero_eigpairs
@@ -64,7 +64,7 @@ features_dictionary = {
 class Graph:
     def __init__(
         self,
-        mesh: TriMesh,
+        mesh: TriMesh = None,
         n_spectral_features: int = 3,
         norm_eig_vecs: bool = True,
         n_rand_samples: int = 10000,
@@ -82,7 +82,16 @@ class Graph:
         eig_cg_iters: int = 300,
         eig_lanczos_iters: int = 0,
         topology: MeshTopology | None = None,
+        vtk_mesh=None,
     ):
+        # The reference names this parameter ``vtk_mesh`` (``graph.py:19``);
+        # accept it as a keyword alias so keyword-style callers migrate
+        # unchanged.  Live vtkPolyData objects are coerced to TriMesh.
+        if mesh is None:
+            mesh = vtk_mesh
+        if mesh is None:
+            raise TypeError("Graph requires a mesh (positional or vtk_mesh=)")
+        mesh = as_trimesh(mesh)
         self.eig_method = eig_method
         self.mesh = mesh
         self.n_spectral_features = n_spectral_features

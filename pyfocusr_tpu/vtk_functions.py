@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .mesh import TriMesh, load_mesh, save_mesh, build_topology
+from .mesh import TriMesh, as_trimesh, load_mesh, save_mesh, build_topology
 from .ops.curvature import principal_curvatures
 from .ops.icp import icp as _icp, apply_rigid
 
@@ -55,6 +55,7 @@ def icp_transform(
     (``vtk_functions.py:27-28``), and the TPU NN kernel is cheap enough to use
     every point.
     """
+    target, source = as_trimesh(target), as_trimesh(source)
     (s, R, t), _moved = _icp(
         jnp.asarray(source.points, jnp.float32),
         jnp.asarray(target.points, jnp.float32),
@@ -65,11 +66,13 @@ def icp_transform(
 
 
 def apply_transform(source: TriMesh, transform) -> TriMesh:
+    source = as_trimesh(source)
     s, R, t = transform
     return source.with_points(apply_rigid(jnp.asarray(source.points, jnp.float32), s, R, t))
 
 
 def _curvatures(mesh: TriMesh):
+    mesh = as_trimesh(mesh)
     topo = build_topology(np.asarray(mesh.triangles), mesh.n_points)
     return principal_curvatures(
         jnp.asarray(mesh.points, jnp.float32),
@@ -80,6 +83,7 @@ def _curvatures(mesh: TriMesh):
 
 
 def get_node_curvatures(vtk_mesh: TriMesh, curvature_type: str = "min") -> TriMesh:
+    vtk_mesh = as_trimesh(vtk_mesh)
     kmin, kmax = _curvatures(vtk_mesh)
     vals = kmin if curvature_type == "min" else kmax
     name = f"{curvature_type}_curvature"
@@ -100,6 +104,7 @@ def get_min_max_curvature_values(vtk_mesh: TriMesh):
 
 
 def vtk_deep_copy(mesh: TriMesh) -> TriMesh:
+    mesh = as_trimesh(mesh)
     return TriMesh(
         jnp.array(mesh.points),
         jnp.array(mesh.triangles),
