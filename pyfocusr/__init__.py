@@ -28,6 +28,7 @@ from pyfocusr_tpu import (  # noqa: F401
     GraphArrays,
     PipelineConfig,
     TriMesh,
+    as_trimesh,
     eigsort,
     features_dictionary,
     load_mesh,

@@ -15,7 +15,13 @@ jit pipeline entry points, and sharded cohort registration.
 from . import vtk_functions  # noqa: F401  (parity: submodule export)
 from .focusr import Focusr  # noqa: F401
 from .main import print_header  # noqa: F401
-from .mesh import TriMesh, load_mesh, save_mesh, build_topology  # noqa: F401
+from .mesh import (  # noqa: F401
+    TriMesh,
+    as_trimesh,
+    build_topology,
+    load_mesh,
+    save_mesh,
+)
 from .pipeline import (  # noqa: F401
     GraphArrays,
     PipelineConfig,

@@ -251,6 +251,19 @@ class Graph:
             self._overflow, self._ov_w,
         )
 
+    def get_laplacian_matrix(self):
+        """L = G (D - W) as scipy CSR, stored on ``self.laplacian_matrix``
+        (reference ``graph.py:221-226``).  Host-side materialization for API
+        parity and inspection only — the compute path is the matrix-free
+        :meth:`laplacian_matvec`."""
+        import scipy.sparse as sp
+
+        W = self.to_scipy_sparse()
+        d = np.asarray(self.degrees, np.float64)
+        g = np.asarray(self.g, np.float64)
+        self.laplacian_matrix = sp.diags(g) @ (sp.diags(d) - W)
+        return self.laplacian_matrix
+
     def to_scipy_sparse(self):
         """Materialize W as scipy CSR (testing/debug only; never on the hot path)."""
         import scipy.sparse as sp
