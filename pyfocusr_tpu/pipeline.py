@@ -73,7 +73,20 @@ _PREC = jax.lax.Precision.HIGHEST
 @dataclasses.dataclass(frozen=True, eq=True)
 class PipelineConfig:
     """Static registration configuration (hashable: used as a jit static arg).
-    Field names mirror the reference's ``Focusr.__init__`` kwargs (SURVEY §5.6)."""
+    Field names mirror the reference's ``Focusr.__init__`` kwargs (SURVEY §5.6).
+
+    DEFAULTS DEVIATION (deliberate, gated by tests/test_api_parity.py):
+    six fields default to the reference EXAMPLE NOTEBOOK's tuned values
+    rather than ``Focusr.__init__``'s raw defaults — the notebook config is
+    the reference's de-facto ``main()`` and registers the bundled meshes
+    well, while the raw defaults (alpha=0.5, beta=3, 1000 CPD iterations,
+    weighted spectral coords, affine pre-pass, 5000-point CPD subsample) are
+    untuned for them.  ``Focusr`` keeps the reference's raw defaults for
+    drop-in parity and always passes its resolved values here explicitly.
+    Deviating fields: n_coords_spectral_registration (1000 vs 5000),
+    get_weighted_spectral_coords (False vs True), rigid_before_non_rigid_reg
+    (False vs True), non_rigid_max_iterations (300 vs 1000), non_rigid_alpha
+    (0.01 vs 0.5), non_rigid_beta (50 vs 3)."""
 
     icp_register_first: bool = True
     icp_registration_mode: str = "rigid"

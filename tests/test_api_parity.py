@@ -112,6 +112,48 @@ def test_init_signature_matches_reference(cls_name, ref_file):
         )
 
 
+# PipelineConfig deliberately defaults six fields to the reference EXAMPLE
+# NOTEBOOK's tuned values instead of Focusr's raw defaults (documented in the
+# PipelineConfig docstring; Focusr forwards its own values explicitly, so the
+# class path keeps raw reference defaults).  Everything else must agree.
+PIPELINE_DEFAULT_DEVIATIONS = {
+    "n_coords_spectral_registration",
+    "get_weighted_spectral_coords",
+    "rigid_before_non_rigid_reg",
+    "non_rigid_max_iterations",
+    "non_rigid_alpha",
+    "non_rigid_beta",
+}
+
+
+def test_pipeline_config_defaults_track_focusr():
+    import dataclasses
+
+    from pyfocusr_tpu import Focusr
+    from pyfocusr_tpu.pipeline import PipelineConfig
+
+    fsig = inspect.signature(Focusr.__init__)
+    fdef = {
+        p: v.default
+        for p, v in fsig.parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+    drift = []
+    for f in dataclasses.fields(PipelineConfig):
+        if f.name not in fdef or f.name in PIPELINE_DEFAULT_DEVIATIONS:
+            continue
+        d = f.default
+        fv = fdef[f.name]
+        if isinstance(d, tuple) and isinstance(fv, (list, tuple)):
+            d, fv = list(d), list(fv)
+        if d != fv:
+            drift.append((f.name, fv, d))
+    assert not drift, (
+        "PipelineConfig defaults drifted from Focusr's (add to "
+        f"PIPELINE_DEFAULT_DEVIATIONS only if deliberate+documented): {drift}"
+    )
+
+
 @pytest.mark.parametrize(
     "cls_name,ref_file",
     [("Focusr", "focusr.py"), ("Graph", "graph.py"), ("eigsort", "eigsort.py")],
