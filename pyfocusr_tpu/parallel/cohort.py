@@ -77,8 +77,9 @@ def pad_cohort(meshes: Sequence[TriMesh]) -> List[GraphArrays]:
             pad_degree=d_pad,
             pad_components=c_pad,
             pad_overflow=e_pad,
+            topology=t,  # reuse the pad-sizing pass (built once per mesh)
         )
-        for m in meshes
+        for m, t in zip(meshes, topos)
     ]
 
 
@@ -165,15 +166,20 @@ def register_cohort(
     configs), False disables it.
     """
     batch = jax.tree.leaves(targets)[0].shape[0]
-    min_real = int(
-        min(
-            float(jnp.sum(targets.valid_mask[i]))
-            for i in range(batch)
-        )
-    )
-    min_real = min(min_real, int(float(jnp.sum(template.valid_mask))))
+    # One host transfer for the whole batch (a per-subject float() loop
+    # would be B blocking round-trips on the remote runtime).
+    min_real = int(np.min(np.sum(np.asarray(targets.valid_mask), axis=1)))
+    min_real = min(min_real, int(np.sum(np.asarray(template.valid_mask))))
+    # 'hungarian' padding hazard: padding on EITHER side of a pair lets
+    # dead rows steal one-to-one assignments, so check the larger of the
+    # template's and the targets' padded sizes.
     check_cohort_config(
-        min_real, cfg, padded_size=int(template.valid_mask.shape[0])
+        min_real,
+        cfg,
+        padded_size=max(
+            int(template.valid_mask.shape[0]),
+            int(targets.valid_mask.shape[1]),
+        ),
     )
     keys = jax.random.split(key, batch)
 
@@ -415,11 +421,13 @@ def ssm_project(points, mean, modes, variances=None, n_modes: int | None = None)
     ``cohort_shape_modes``'s outputs.
 
     Returns ``(coeffs [m'], reconstruction [N, 3], residual_rms)``:
-    ``coeffs[i] = <modes[i], points - mean>`` (raw displacement amplitude
-    along mode i; divide by ``sqrt(variances)`` for the conventional
-    standard-deviation units), ``reconstruction = mean + sum_i coeffs[i]
-    modes[i]`` — the model's best rank-m' approximation of the subject —
-    and ``residual_rms`` the per-vertex RMS of what the model cannot
+    ``coeffs[i] = <modes[i], points - mean>`` — raw displacement amplitude
+    along mode i when ``variances`` is None, or divided by
+    ``sqrt(variances[i])`` (conventional standard-deviation units, the
+    form ``ssm_sample`` consumes) when ``variances`` is given.
+    ``reconstruction = mean`` plus the modes at the projected amplitudes —
+    the model's best rank-m' approximation of the subject — and
+    ``residual_rms`` the per-vertex RMS of what the model cannot
     represent.  ``n_modes`` truncates the basis.
     """
     P = jnp.asarray(points, jnp.float32)
@@ -433,6 +441,11 @@ def ssm_project(points, mean, modes, variances=None, n_modes: int | None = None)
     B = modes.reshape(m, N * D)
     coeffs = jnp.dot(B, x, precision=jax.lax.Precision.HIGHEST)  # [m]
     recon = mean + jnp.tensordot(coeffs, modes, axes=1)
+    if variances is not None:
+        # Return standard-deviation units — the convention ``ssm_sample``
+        # consumes, so project->sample round-trips without manual scaling.
+        sig = jnp.sqrt(jnp.maximum(jnp.asarray(variances, jnp.float32), 0.0))
+        coeffs = coeffs / jnp.maximum(sig[:m], 1e-30)
     residual_rms = jnp.sqrt(
         jnp.mean(jnp.sum((P - recon) ** 2, axis=1))
     )

@@ -136,7 +136,14 @@ def mesh_with_transferred_data(
     n_s = np.asarray(source_mesh.points).shape[0]
     mesh = source_mesh
     for name, vals in transferred.items():
-        mesh = mesh.with_point_data(name + suffix, np.asarray(vals)[:n_s])
+        vals = np.asarray(vals)
+        if vals.shape[0] < n_s:
+            raise ValueError(
+                f"transferred {name!r} has {vals.shape[0]} rows but "
+                f"source_mesh has {n_s} vertices — result and source_mesh "
+                "come from different registrations"
+            )
+        mesh = mesh.with_point_data(name + suffix, vals[:n_s])
     return mesh
 
 
@@ -144,6 +151,7 @@ def cohort_point_data_matrix(
     subject_meshes,
     results: dict,
     name: str,
+    n_template: Optional[int] = None,
 ) -> np.ndarray:
     """Assemble a named per-vertex scalar across a registered cohort, in
     template vertex order: row b is subject b's measurement at each
@@ -154,8 +162,22 @@ def cohort_point_data_matrix(
 
     Returns ``[B, N_template]`` (or ``[B, N_template, C]`` for vector
     data) — ready for group statistics or as SSM regressors.
+
+    ``n_template``: the template's REAL vertex count.  Required knowledge
+    for padded cohorts (``pad_cohort``): result rows beyond it are padding
+    (their correspondences are masked to 0), so without slicing, the tail
+    columns would all repeat each subject's vertex-0 value and poison any
+    group statistic.  Defaults to the full row count (correct for unpadded
+    cohorts).
     """
     corr = np.asarray(results["correspondences"])
+    if n_template is not None:
+        if not 0 < n_template <= corr.shape[1]:
+            raise ValueError(
+                f"n_template={n_template} out of range for correspondence "
+                f"rows of length {corr.shape[1]}"
+            )
+        corr = corr[:, :n_template]
     rows = []
     for b, mesh in enumerate(subject_meshes):
         if name not in mesh.point_data:

@@ -42,12 +42,16 @@ class StageTimer:
 
             ctx = jax.profiler.TraceAnnotation(name)
         t0 = time.perf_counter()
-        with ctx:
-            yield
-        dt = time.perf_counter() - t0
-        self.spans.append((name, dt))
-        if self.verbose:
-            print(f"[timing] {name}: {dt * 1000:.1f} ms")
+        try:
+            with ctx:
+                yield
+        finally:
+            # Record even when the body raises: the failing stage's partial
+            # duration is exactly what a crash diagnosis needs.
+            dt = time.perf_counter() - t0
+            self.spans.append((name, dt))
+            if self.verbose:
+                print(f"[timing] {name}: {dt * 1000:.1f} ms")
 
     def totals(self) -> Dict[str, float]:
         out: Dict[str, float] = {}

@@ -338,10 +338,17 @@ class TestSSMProjection:
         mean, modes, variances = self._basis()
         b_true = np.array([1.3, -0.7, 0.4], np.float32)
         subject = mean + np.tensordot(b_true, modes, axes=1)
-        coeffs, recon, resid = ssm_project(subject, mean, modes, variances)
+        # Raw displacement amplitudes without variances ...
+        coeffs, recon, resid = ssm_project(subject, mean, modes)
         np.testing.assert_allclose(np.asarray(coeffs), b_true, atol=1e-4)
         np.testing.assert_allclose(np.asarray(recon), subject, atol=1e-4)
         assert float(resid) < 1e-4
+        # ... and standard-deviation units (ssm_sample's convention) with.
+        coeffs_sd, recon_sd, _ = ssm_project(subject, mean, modes, variances)
+        np.testing.assert_allclose(
+            np.asarray(coeffs_sd), b_true / np.sqrt(variances), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(recon_sd), subject, atol=1e-4)
 
     def test_out_of_basis_residual_reported(self):
         from pyfocusr_tpu.parallel.cohort import ssm_project
@@ -607,3 +614,79 @@ class TestSSMSample:
             )
         with pytest.raises(ValueError, match="coefficient length"):
             ssm_sample(mean, modes, variances, b=[1.0, 0.0])
+
+
+def test_hungarian_rejects_padded_targets():
+    """Padding on the TARGET side of a cohort must also trip the
+    'hungarian' guard — dead rows would steal one-to-one assignments."""
+    template = mesh_to_graph_arrays(_sphere_mesh(n_theta=8, n_phi=16))
+    # Unequal subjects force pad_cohort to pad the smaller one.
+    subjects = stack_graph_arrays(
+        pad_cohort(
+            [
+                _sphere_mesh(n_theta=8, n_phi=16),
+                _sphere_mesh(n_theta=10, n_phi=20),
+            ]
+        )
+    )
+    cfg = PipelineConfig(
+        n_coords_spectral_ordering=64,
+        n_coords_spectral_registration=64,
+        initial_correspondence_type="hungarian",
+        non_rigid_max_iterations=2,
+        graph_smoothing_iterations=2,
+        projection_smooth_iterations=1,
+    )
+    with pytest.raises(ValueError, match="hungarian"):
+        register_cohort(template, subjects, cfg, jax.random.PRNGKey(0))
+
+
+def test_pad_cohort_then_arrays_match_direct_build():
+    """pad_cohort's topology reuse must be byte-identical to building the
+    arrays from scratch with the same pad sizes."""
+    meshes = [
+        _sphere_mesh(n_theta=8, n_phi=16),
+        _sphere_mesh(n_theta=10, n_phi=20),
+    ]
+    via_reuse = pad_cohort(meshes)
+    n_pad = max(m.n_points for m in meshes)
+    d_pad = max(g.neighbors.shape[1] for g in via_reuse)
+    c_pad = via_reuse[0].null_indicators.shape[1]
+    e_pad = via_reuse[0].overflow.shape[0]
+    for m, g in zip(meshes, via_reuse):
+        direct = mesh_to_graph_arrays(
+            m,
+            pad_n_points=n_pad,
+            pad_degree=d_pad,
+            pad_components=c_pad,
+            pad_overflow=e_pad,
+        )
+        for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ssm_project_variances_returns_std_units():
+    """With variances passed, ssm_project's coefficients are in the
+    standard-deviation units ssm_sample consumes: project(sample(b)) == b."""
+    from pyfocusr_tpu.parallel.cohort import ssm_project, ssm_sample
+
+    rng = np.random.default_rng(0)
+    n = 40
+    mean = rng.standard_normal((n, 3)).astype(np.float32)
+    raw = rng.standard_normal((2, n, 3)).astype(np.float32)
+    # Orthonormal mode fields
+    flat = raw.reshape(2, -1)
+    q, _ = np.linalg.qr(flat.T)
+    modes = q.T.reshape(2, n, 3).astype(np.float32)
+    variances = np.asarray([4.0, 0.25], np.float32)
+    b = np.asarray([1.5, -2.0], np.float32)
+    shape = ssm_sample(mean, modes, variances, b=b)
+    coeffs, recon, resid = ssm_project(shape, mean, modes, variances=variances)
+    np.testing.assert_allclose(np.asarray(coeffs), b, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(shape), atol=1e-4)
+    assert float(resid) < 1e-4
+    # Without variances: raw displacement amplitudes (b * sigma).
+    raw_coeffs, _, _ = ssm_project(shape, mean, modes)
+    np.testing.assert_allclose(
+        np.asarray(raw_coeffs), b * np.sqrt(variances), rtol=1e-4, atol=1e-4
+    )

@@ -217,3 +217,39 @@ def test_cohort_matrix_rejects_out_of_range_indices():
     results = {"correspondences": np.asarray([[0, 5, 1]], np.int32)}
     with pytest.raises(ValueError, match="reach 5"):
         cohort_point_data_matrix([subj], results, "f")
+
+
+def test_cohort_matrix_n_template_slices():
+    """Padded cohorts: rows beyond the template's real vertex count are
+    padding and must be sliced off with n_template."""
+    from pyfocusr_tpu.mesh import TriMesh
+
+    pts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    tris = np.asarray([[0, 1, 2], [0, 1, 3]], np.int32)
+    m = TriMesh(jnp.asarray(pts), jnp.asarray(tris)).with_point_data(
+        "f", np.asarray([10, 11, 12, 13], np.float32)
+    )
+    # 6 result rows for a 4-vertex template: last 2 are padding (masked to 0)
+    results = {"correspondences": np.asarray([[3, 2, 1, 0, 0, 0]], np.int32)}
+    mat = cohort_point_data_matrix([m], results, "f", n_template=4)
+    np.testing.assert_array_equal(mat, [[13, 12, 11, 10]])
+    full = cohort_point_data_matrix([m], results, "f")
+    assert full.shape == (1, 6)
+    with pytest.raises(ValueError, match="n_template"):
+        cohort_point_data_matrix([m], results, "f", n_template=7)
+
+
+def test_mesh_with_transferred_data_rejects_short_rows(registered_5k):
+    """A result from a smaller registration than source_mesh must raise,
+    not silently attach truncated data."""
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.transfer import mesh_with_transferred_data
+
+    target, source, res = registered_5k
+    big_pts = np.zeros((source.n_points * 2, 3), np.float32)
+    big_tris = np.asarray(source.triangles)
+    big_source = TriMesh(big_pts, big_tris)
+    with pytest.raises(ValueError, match="different registrations"):
+        mesh_with_transferred_data(
+            big_source, target, res, names=["thickness_change_(mm)"]
+        )

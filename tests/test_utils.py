@@ -169,3 +169,13 @@ class TestAOTExport:
         )
         with pytest.raises(ValueError, match="unpadded"):
             export_registration(cfg, g_pad, g_pad, str(tmp_path / "x.jaxexp"))
+
+
+def test_stage_timer_records_on_exception():
+    """A span whose body raises still records its (partial) duration —
+    the failing stage is the one a crash diagnosis needs."""
+    t = StageTimer()
+    with pytest.raises(RuntimeError):
+        with t.span("exploding"):
+            raise RuntimeError("boom")
+    assert "exploding" in t.totals()
