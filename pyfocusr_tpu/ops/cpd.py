@@ -56,12 +56,9 @@ __all__ = [
 ]
 
 
-def _sq_dists(a, b):
-    an = jnp.sum(a * a, axis=1)
-    bn = jnp.sum(b * b, axis=1)
-    return jnp.maximum(
-        an[:, None] + bn[None, :] - 2.0 * jnp.dot(a, b.T, precision=_PREC), 0.0
-    )
+# Single source of truth for the cancellation-sensitive matmul distance
+# identity (precision fixes must not fork between cpd and knn).
+from .knn import pairwise_sq_dists as _sq_dists
 
 
 def gaussian_kernel(a, b, beta):
@@ -72,7 +69,10 @@ def gaussian_kernel(a, b, beta):
 def _estep(X, TY, sigma2, w):
     """CPD E-step.  Returns (Pt1 [N], P1 [M], PX [M, D], Np, L).
 
-    L is the negative log-likelihood term used for convergence monitoring.
+    L is the negative log-likelihood term, returned for signature parity
+    with the tiled/pallas E-steps; the solvers converge on |delta sigma2|
+    (pycpd semantics) and do not consume it, so XLA dead-code-eliminates
+    it under jit.
     """
     M = TY.shape[0]
     N, D = X.shape
@@ -91,9 +91,25 @@ def _estep(X, TY, sigma2, w):
 
 
 def _init_sigma2(X, Y):
+    """sigma2_0 = sum_ij ||y_i - x_j||^2 / (D M N) (pycpd initialize_sigma2)
+    in CLOSED FORM: sum_ij d2 = N sum|y|^2 + M sum|x|^2 - 2 sum_y . sum_x,
+    so no [M, N] buffer is ever allocated — the tiled/pallas E-steps exist
+    precisely to keep [M, N] out of HBM at large M*N, and materializing it
+    here (10 GB at 50k x 50k) would defeat them.  Both clouds are shifted by
+    their joint mean first (distance-invariant) so a large common offset
+    cannot cancel catastrophically in f32."""
     N, D = X.shape
     M = Y.shape[0]
-    return jnp.sum(_sq_dists(Y, X)) / (D * M * N)
+    c = (jnp.sum(X, axis=0) + jnp.sum(Y, axis=0)) / (M + N)
+    Xc = X - c[None, :]
+    Yc = Y - c[None, :]
+    total = (
+        N * jnp.sum(Yc * Yc)
+        + M * jnp.sum(Xc * Xc)
+        - 2.0
+        * jnp.dot(jnp.sum(Yc, axis=0), jnp.sum(Xc, axis=0), precision=_PREC)
+    )
+    return jnp.maximum(total, 0.0) / (D * M * N)
 
 
 # ----------------------------------------------------------------------
@@ -162,7 +178,12 @@ class affine_registration:
         return TY, self.get_registration_parameters()
 
     def get_registration_parameters(self):
-        return {"B": np.asarray(self.B), "t": np.asarray(self.t)}
+        # pycpd/cycpd convention: the returned B RIGHT-multiplies Y
+        # (TY = Y @ B + t — see tools/pycpd_oracle.py AffineRegistration).
+        # Internally this class stores the transpose (TY = Y @ B_int.T + t),
+        # so migrated callers applying the returned params directly get the
+        # correct transform even for non-symmetric (shear/rotation) fits.
+        return {"B": np.asarray(self.B).T, "t": np.asarray(self.t)}
 
     def transform_point_cloud(self, points):
         points = jnp.asarray(points, jnp.float32)
@@ -383,8 +404,7 @@ def lowrank_transform(points, Y0, Q, lam, z, beta, tile: int = 2048):
     W = jnp.dot(Q, wt, precision=_PREC)  # [M, D] exact-form weights
 
     def move(pts):
-        d2 = _sq_dists(pts, Y0)
-        disp = jnp.dot(jnp.exp(-d2 / (2.0 * beta**2)), W, precision=_PREC)
+        disp = jnp.dot(gaussian_kernel(pts, Y0, beta), W, precision=_PREC)
         return pts + disp
 
     n = points.shape[0]

@@ -99,7 +99,11 @@ def icp(
     )
     moved0 = source_points + t0
 
-    scale = jnp.max(jnp.abs(target_points * tn[:, None])) + 1.0
+    # Data-scale estimate for the relative stop threshold: max |coordinate|
+    # over FINITE target rows (the binary mask, not the normalized weights —
+    # multiplying by tn would divide the scale by n and make the threshold
+    # unit-dependent, forcing every call to run all max_iterations).
+    scale = jnp.max(jnp.abs(target_points * finite_t[:, None])) + 1.0
 
     def cond(carry):
         _, _, _, _, it, delta = carry
@@ -112,9 +116,17 @@ def icp(
         s, R, t = umeyama(source_points, matched, with_scale, weights=source_mask)
         new_moved = apply_rigid(source_points, s, R, t)
         # Mean vertex motion this iteration (masked): the convergence
-        # criterion vtk's ICP uses (mean distance mode) in spirit.
+        # criterion vtk's ICP uses (mean distance mode) in spirit.  The
+        # where() keeps sentinel-scale padded rows out of the norm — their
+        # inf * wn(=0) would otherwise poison delta with NaN and terminate
+        # the loop after one iteration.
         delta = jnp.sum(
-            jnp.linalg.norm(new_moved - moved, axis=1) * wn
+            jnp.where(
+                source_mask > 0,
+                jnp.linalg.norm(new_moved - moved, axis=1),
+                0.0,
+            )
+            * wn
         )
         return new_moved, s, R, t, it + 1, delta
 

@@ -39,9 +39,11 @@ _EPS = float(np.finfo(np.float64).eps)
 
 
 def _c_lambda(eig_vals_target, eig_vals_source, gap):
-    """exp((lt_i - ls_j)^2 / (2 gap^2)) (reference ``eigsort.py:155-160``)."""
+    """exp((lt_i - ls_j)^2 / (2 gap^2)) (reference ``eigsort.py:155-160``).
+    Exponent clamped at 80 (matching the jit path, eigsort_jax.py): far-apart
+    mode pairs saturate instead of overflowing f32 downstream."""
     diff = eig_vals_target[:, None] - eig_vals_source[None, :]
-    return jnp.exp(diff**2 / (2.0 * gap**2))
+    return jnp.exp(jnp.minimum(diff**2 / (2.0 * gap**2), 80.0))
 
 
 def _c_hist_pair(t_vecs, s_vecs):
@@ -110,9 +112,13 @@ def sort_eigenmaps_fn(
     cost vector (the deliberate deviation from the Matlab original documented
     at ``eigsort.py:79-89``).
     """
-    gap_t = jnp.mean(jnp.diff(eig_vals_target))
-    gap_s = jnp.mean(jnp.diff(eig_vals_source))
+    # k == 1 (empty diff) and exactly degenerate spectra (gap 0) fall back
+    # to gap=1 instead of producing NaN costs (matches eigsort_jax.py).
+    k_t, k_s = eig_vals_target.shape[0], eig_vals_source.shape[0]
+    gap_t = jnp.mean(jnp.diff(eig_vals_target)) if k_t > 1 else 0.0
+    gap_s = jnp.mean(jnp.diff(eig_vals_source)) if k_s > 1 else 0.0
     gap = (gap_t + gap_s) / 2.0
+    gap = jnp.where(gap > 0, gap, 1.0)
 
     c_lambda = _c_lambda(eig_vals_target, eig_vals_source, gap)
     c_hist, c_hist_f = _c_hist_pair(rand_target_eig_vecs, rand_source_eig_vecs)

@@ -63,10 +63,22 @@ def sort_eigenmaps_jit(
     # at rtol 2e-3).
     eps = jnp.finfo(jnp.float32).eps
 
-    # c_lambda (eigsort.py:142-160)
-    gap = (jnp.mean(jnp.diff(eig_vals_target)) + jnp.mean(jnp.diff(eig_vals_source))) / 2
+    # c_lambda (eigsort.py:142-160).  Guards beyond the reference: k == 1
+    # has an empty diff (mean -> NaN) and an exactly degenerate spectrum
+    # has gap == 0 (0/0 -> NaN) — both fall back to gap=1, which is
+    # harmless (a 1x1 assignment is forced, and the downstream confidence
+    # weighting is scale-invariant in that case).  The exponent is clamped
+    # at 80 so far-apart mode pairs saturate at exp(80)~5.5e34 instead of
+    # overflowing f32 to inf (evenly spaced spectra overflow at k >= ~15).
+    def _mean_gap(v):
+        if v.shape[0] < 2:
+            return jnp.asarray(0.0, v.dtype)
+        return jnp.mean(jnp.diff(v))
+
+    gap = (_mean_gap(eig_vals_target) + _mean_gap(eig_vals_source)) / 2
+    gap = jnp.where(gap > 0, gap, 1.0)
     diff = eig_vals_target[:, None] - eig_vals_source[None, :]
-    c_lambda = jnp.exp(diff**2 / (2.0 * gap**2))
+    c_lambda = jnp.exp(jnp.minimum(diff**2 / (2.0 * gap**2), 80.0))
 
     # c_hist (eigsort.py:162-189).  Equal sample sizes -> sorted-difference
     # W1 (one sort per matrix); unequal (reference: each graph keeps its own

@@ -24,7 +24,14 @@ class TestAffine:
         reg = affine_registration(X=X, Y=Y, max_iterations=150, tolerance=1e-10)
         TY, params = reg.register()
         assert np.abs(np.asarray(TY) - X).max() < 1e-3
-        assert np.abs(params["B"] - B_true).max() < 1e-3
+        # Returned params follow the pycpd/cycpd convention TY = Y @ B + t,
+        # so B is the transpose of the planted left-multiplying matrix ...
+        assert np.abs(params["B"] - B_true.T).max() < 1e-3
+        # ... and applying them directly reproduces the fit (the identity a
+        # migrated cycpd caller relies on).
+        np.testing.assert_allclose(
+            Y @ params["B"] + params["t"], np.asarray(TY), atol=1e-5
+        )
         # transform_point_cloud consistency
         Y2 = Y[:100]
         np.testing.assert_allclose(
