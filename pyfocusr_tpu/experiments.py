@@ -44,7 +44,17 @@ def spectrum_union(
     per-partition Rayleigh-Ritz in ops/eigen.py recovers exact per-mesh
     eigenpairs even though similar meshes make the union spectrum
     near-doubly-degenerate.  Returns (lams [2,k], vecs_t [Nt,k], vecs_s [Ns,k]).
+
+    xyz-only: this measurement harness builds the plain random-walk
+    Laplacian and would silently benchmark a DIFFERENT operator than
+    pipeline._spectrum under feature-weighted configs, so those are
+    rejected up front.
     """
+    if cfg.include_features_in_adj_matrix or cfg.use_features_in_graph:
+        raise ValueError(
+            "spectrum_union benchmarks the xyz-only Laplacian; "
+            "feature-weighted graph configs are not supported here"
+        )
     nt, ns = target.n_points, source.n_points
     dt, ds = target.neighbors.shape[1], source.neighbors.shape[1]
     d_pad = max(dt, ds)

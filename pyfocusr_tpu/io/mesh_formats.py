@@ -70,7 +70,17 @@ def read_ply(path: str):
         raw = fh.read()
     if not raw.startswith(b"ply"):
         raise ValueError(f"{path}: not a PLY file")
-    end = raw.find(b"end_header")
+    # Match end_header at a LINE START — a raw substring find would stop at
+    # a comment that happens to contain the word and truncate the header.
+    end, search = -1, 0
+    while True:
+        cand = raw.find(b"end_header", search)
+        if cand < 0:
+            break
+        if raw[cand - 1: cand] in (b"\n", b"\r"):
+            end = cand
+            break
+        search = cand + 1
     if end < 0:
         raise ValueError(f"{path}: missing end_header")
     header = raw[:end].decode("ascii", "replace").splitlines()
@@ -113,10 +123,25 @@ def read_ply(path: str):
                 pos += count * ncol
                 verts, vert_props = arr, props
             elif name == "face":
+                # Walk EVERY declared per-face property in order (legal PLY
+                # allows scalars like 'property uchar quality' around the
+                # vertex list; consuming only the list would misread the
+                # scalar as the next face's vertex count).
+                has_list = any(isinstance(p[1], tuple) for p in props)
+                if not has_list:
+                    raise ValueError(
+                        f"{path}: face element has no list property"
+                    )
                 for _ in range(count):
-                    n = int(tokens[pos]); pos += 1
-                    faces.append([int(t) for t in tokens[pos: pos + n]])
-                    pos += n
+                    for pname, ptype in props:
+                        if isinstance(ptype, tuple):
+                            n = int(tokens[pos]); pos += 1
+                            vals = tokens[pos: pos + n]
+                            pos += n
+                            if pname in ("vertex_indices", "vertex_index"):
+                                faces.append([int(t) for t in vals])
+                        else:
+                            pos += 1  # per-face scalar, not consumed
             else:  # skip unknown fixed-width element
                 scal = [p for p in props if not isinstance(p[1], tuple)]
                 if len(scal) != len(props):
@@ -248,6 +273,14 @@ def read_obj(path: str):
                 idx = []
                 for tok in line.split()[1:]:
                     v = int(tok.split("/")[0])
+                    if v == 0:
+                        # OBJ indices are 1-based (negative = from end);
+                        # 0 is illegal but emitted by buggy exporters —
+                        # raise here rather than produce an out-of-range
+                        # triangle that crashes cryptically downstream.
+                        raise ValueError(
+                            f"{path}: illegal 0 face index (OBJ is 1-based)"
+                        )
                     idx.append(v - 1 if v > 0 else len(pts) + v)
                 faces.append(idx)
     points = np.asarray(pts, np.float64).reshape(-1, 3)
@@ -324,15 +357,27 @@ def read_stl(path: str):
                 i += 4
             else:
                 i += 1
-        if not coords and len(raw) >= 84:
-            # 'solid' prefix but no ascii vertices: retry as binary with
-            # trailing bytes tolerated (text-mode transfers / exporter
-            # padding break the exact size identity); only a file that is
-            # neither parses raises — never return an empty mesh silently.
-            (n_tri_hdr,) = struct.unpack("<I", raw[80:84])
-            if n_tri_hdr > 0 and len(raw) >= 84 + 50 * n_tri_hdr:
-                points, triangles = _weld(_stl_binary_tri_pts(raw, n_tri_hdr))
-                return points, triangles, {}
+        if not coords:
+            # 'solid' prefix but no ascii vertices.  A PROPER zero-triangle
+            # ascii solid (has its 'endsolid' closer) is valid and empty;
+            # otherwise retry as binary with trailing bytes tolerated
+            # (text-mode transfers / exporter padding break the exact size
+            # identity); only a file that is neither parses raises — never
+            # return an empty mesh silently (including sub-84-byte junk,
+            # which cannot be binary either).
+            if b"endsolid" in raw:
+                return (
+                    np.zeros((0, 3), np.float64),
+                    np.zeros((0, 3), np.int32),
+                    {},
+                )
+            if len(raw) >= 84:
+                (n_tri_hdr,) = struct.unpack("<I", raw[80:84])
+                if n_tri_hdr > 0 and len(raw) >= 84 + 50 * n_tri_hdr:
+                    points, triangles = _weld(
+                        _stl_binary_tri_pts(raw, n_tri_hdr)
+                    )
+                    return points, triangles, {}
             raise ValueError(
                 f"{path}: not a valid STL (binary size identity fails "
                 "and no ascii 'vertex' records found)"

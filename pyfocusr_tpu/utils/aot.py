@@ -65,8 +65,29 @@ def export_registration(cfg, target_example, source_example, path: str) -> str:
     counts, ELL degree, overflow length, feature count); the exported
     program accepts any inputs of those exact shapes.  The artifact is
     platform-specific (exported for the current default backend).
+
+    Scale note: jax.export serializes ONE program, so this wraps the fused
+    single-program pipeline.  Above ``pipeline._SPLIT_SPECTRA_N`` vertices
+    the live ``register_pair`` instead hoists each eigensolve into its own
+    program (measured 3.4x faster at 122k — pipeline.py split-spectra
+    notes); exporting such shapes would permanently serve the slow fused
+    variant, so it is rejected rather than silently degraded.
     """
-    from ..pipeline import _check_padding_hazards, _register_pair_jit
+    from ..pipeline import (
+        _SPLIT_SPECTRA_N,
+        _check_padding_hazards,
+        _register_pair_jit,
+    )
+
+    n_max = max(target_example.n_points, source_example.n_points)
+    if _SPLIT_SPECTRA_N > 0 and n_max >= _SPLIT_SPECTRA_N:
+        raise ValueError(
+            f"export_registration serializes the fused single-program "
+            f"pipeline, which is ~3.4x slower than the split-spectra path "
+            f"register_pair uses at {n_max} vertices (threshold "
+            f"{_SPLIT_SPECTRA_N}); serve large pairs through register_pair "
+            "with the persistent compilation cache instead"
+        )
 
     # The example arrays are concrete, so the padding guards register_pair
     # runs pre-jit apply here too — an exported 'hungarian' program must

@@ -20,7 +20,14 @@ try:  # pragma: no cover - optional dependency
 except Exception:  # pragma: no cover
     Viewer = None
 
-__all__ = ["Viewer", "view_mesh", "view_point_sets", "require_viewer", "default_colors"]
+__all__ = [
+    "Viewer",
+    "view_mesh",
+    "view_meshes",
+    "view_point_sets",
+    "require_viewer",
+    "default_colors",
+]
 
 
 def require_viewer():

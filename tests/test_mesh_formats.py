@@ -232,3 +232,74 @@ def test_ply_multicomponent_point_data(tmp_path):
     save_mesh(str(tmp_path / "vec2.ply"), mesh)
     back = load_mesh(str(tmp_path / "vec2.ply"))
     assert {f"grad_{c}" for c in range(3)} <= set(back.point_data)
+
+
+class TestFormatRobustness:
+    """Round-3 review fixes: malformed/legal-but-unusual files must parse
+    correctly or fail loudly — never silently corrupt geometry."""
+
+    def test_ascii_ply_per_face_scalar_property(self, tmp_path):
+        """Legal PLY: a scalar face property after the vertex list.  The
+        scalar must not be consumed as the next face's vertex count."""
+        p = str(tmp_path / "q.ply")
+        open(p, "w").write(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 4\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 2\n"
+            "property list uchar int vertex_indices\n"
+            "property uchar quality\n"
+            "end_header\n"
+            "0 0 0\n1 0 0\n0 1 0\n0 0 1\n"
+            "3 0 1 2 7\n"
+            "3 1 3 2 9\n"
+        )
+        pts, tris, _ = mf.read_ply(p)
+        np.testing.assert_array_equal(tris, [[0, 1, 2], [1, 3, 2]])
+
+    def test_ascii_ply_scalar_before_list(self, tmp_path):
+        p = str(tmp_path / "q2.ply")
+        open(p, "w").write(
+            "ply\nformat ascii 1.0\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property uchar quality\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+            "0 0 0\n1 0 0\n0 1 0\n"
+            "7 3 0 1 2\n"
+        )
+        _, tris, _ = mf.read_ply(p)
+        np.testing.assert_array_equal(tris, [[0, 1, 2]])
+
+    def test_ply_comment_containing_end_header(self, tmp_path):
+        p = str(tmp_path / "c.ply")
+        open(p, "w").write(
+            "ply\nformat ascii 1.0\n"
+            "comment exported before end_header marker rework\n"
+            "element vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+            "0 0 0\n1 0 0\n0 1 0\n"
+            "3 0 1 2\n"
+        )
+        pts, tris, _ = mf.read_ply(p)
+        assert pts.shape == (3, 3)
+        np.testing.assert_array_equal(tris, [[0, 1, 2]])
+
+    def test_obj_zero_index_raises(self, tmp_path):
+        p = str(tmp_path / "z.obj")
+        open(p, "w").write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 0 1 2\n")
+        with pytest.raises(ValueError, match="1-based"):
+            mf.read_obj(p)
+
+    def test_short_non_stl_raises(self, tmp_path):
+        """Sub-84-byte 'solid'-prefixed junk (no endsolid, no vertices)
+        must raise, not return an empty mesh."""
+        p = str(tmp_path / "j.stl")
+        open(p, "w").write("solid junk that is not an stl at all\n")
+        with pytest.raises(ValueError, match="not a valid STL"):
+            mf.read_stl(p)
