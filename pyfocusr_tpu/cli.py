@@ -175,7 +175,10 @@ def main(argv=None):
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.jax_cache"),
+            ),
         )
     except Exception:
         pass
@@ -416,14 +419,18 @@ def main(argv=None):
         if args.project:
             from .parallel.cohort import fit_subject_to_ssm
 
-            for pi, path in enumerate(args.project):
+            # Disambiguated stems: equal basenames in different directories
+            # must not overwrite each other's report keys or recon files.
+            proj_stems = _output_stems(list(args.project))
+            for pi, (path, stem) in enumerate(zip(args.project, proj_stems)):
                 held_out = load_mesh(path)
                 coeffs, recon, resid = fit_subject_to_ssm(
                     held_out, template_mesh, mean, modes, cfg,
                     jax.random.PRNGKey(args.seed + 1000 + pi),
                 )
                 sd = np.sqrt(np.maximum(np.asarray(variances), 1e-30))
-                projections[os.path.basename(path)] = {
+                projections[stem] = {
+                    "path": path,
                     "coefficients": [round(float(c), 5) for c in np.asarray(coeffs)],
                     "coefficients_sd_units": [
                         round(float(c / s), 3)
@@ -432,9 +439,9 @@ def main(argv=None):
                     "residual_rms_mm": round(float(resid), 4),
                 }
                 recon_mesh = template_mesh.with_points(recon)
-                out_name = f"ssm_recon_{os.path.splitext(os.path.basename(path))[0]}.vtk"
+                out_name = f"ssm_recon_{stem}.vtk"
                 save_mesh(os.path.join(args.out_dir, out_name), recon_mesh)
-                projections[os.path.basename(path)]["output"] = out_name
+                projections[stem]["output"] = out_name
         print(
             json.dumps(
                 {

@@ -164,12 +164,37 @@ class Focusr(object):
         )
         with self.timer.span("build_graph_target"):
             self.graph_target = Graph(vtk_mesh_target, seed=seed, **graph_kwargs)
-        with self.timer.span("spectrum_target"):
-            self.graph_target.get_graph_spectrum()
         with self.timer.span("build_graph_source"):
             self.graph_source = Graph(vtk_mesh_source, seed=seed + 1, **graph_kwargs)
-        with self.timer.span("spectrum_source"):
-            self.graph_source.get_graph_spectrum()
+        # Fail fast on invalid correspondence configs (the reference lets a
+        # typo'd type silently no-op and guards only the INITIAL type's
+        # unequal-count hazard, at smoothing time — focusr.py:377-385; a
+        # 'hungarian' FINAL match on unequal counts would silently return a
+        # truncated, misaligned index vector).
+        for _name, _val in (
+            ("initial_correspondence_type", initial_correspondence_type),
+            ("final_correspondence_type", final_correspondence_type),
+        ):
+            if _val not in ("kd", "hungarian"):
+                raise ValueError(
+                    f"{_name} must be 'kd' or 'hungarian', got {_val!r}"
+                )
+        if "hungarian" in (
+            initial_correspondence_type,
+            final_correspondence_type,
+        ) and self.graph_source.n_points != self.graph_target.n_points:
+            raise Exception(
+                "If number vertices between source & target don't match, "
+                "correspondence types must\nbe 'kd' and not 'hungarian'."
+            )
+
+        # The reference computes both spectra HERE (focusr.py:134-170); we
+        # defer them to first use instead: align_maps() computes them via
+        # _ensure_spectra(), while align_maps_pipeline() solves its spectra
+        # inside the fused program and would otherwise pay both eigensolves
+        # TWICE (the dominant pipeline cost) only to overwrite the ctor's
+        # results unread.  Every public reader runs after one of those
+        # entry points, so the attribute contract is unchanged.
 
         self.use_features_as_coords = use_features_as_coords
 
@@ -572,11 +597,17 @@ class Focusr(object):
                 if self.graph_source.n_extra_features > 0
                 else None
             )
+            # Reuse the topologies the Graphs already built (the host-side
+            # pass costs ~0.3 s native / ~10 s numpy per 240k-vertex mesh).
             tg = mesh_to_graph_arrays(
-                self.graph_target.mesh, node_features=feats_t
+                self.graph_target.mesh,
+                node_features=feats_t,
+                topology=self.graph_target.topology,
             )
             sg = mesh_to_graph_arrays(
-                self.graph_source.mesh, node_features=feats_s
+                self.graph_source.mesh,
+                node_features=feats_s,
+                topology=self.graph_source.topology,
             )
             if landmark_pairs is not None:
                 landmark_pairs = jnp.asarray(landmark_pairs, jnp.int32)
@@ -610,7 +641,18 @@ class Focusr(object):
                 self.get_source_mesh_transformed_nearest_neighbour()
         return self.corresponding_target_idx_for_each_source_pt
 
+    def _ensure_spectra(self):
+        """Compute the deferred constructor spectra on first use (see the
+        constructor note; reference semantics ``focusr.py:134-170``)."""
+        if self.graph_target.eig_vecs is None:
+            with self.timer.span("spectrum_target"):
+                self.graph_target.get_graph_spectrum()
+        if self.graph_source.eig_vecs is None:
+            with self.timer.span("spectrum_source"):
+                self.graph_source.get_graph_spectrum()
+
     def align_maps(self):
+        self._ensure_spectra()
         with self.timer.span("eigsort"):
             eig_map_sorter = eigsort(
                 graph_target=self.graph_target,
@@ -909,10 +951,14 @@ class Focusr(object):
                 meshes.append(_colored(transformed, corr))
                 names.append("source transformed")
         if include_average:
-            if self.average_mesh is None and (
-                self.weighted_avg_transformed_points is not None
-            ):
-                self.get_average_shape()
+            # Same fallback ladder as view_meshes (reference focusr.py
+            # lazy-recompute semantics): weighted points preferred, else the
+            # nearest-neighbour locations build the average.
+            if self.average_mesh is None:
+                if self.weighted_avg_transformed_points is not None:
+                    self.get_average_shape()
+                elif self.nearest_neighbor_transformed_points is not None:
+                    self.get_average_shape(align_type="nearest")
             if self.average_mesh is not None:
                 meshes.append(self.average_mesh)
                 names.append("average")

@@ -174,12 +174,17 @@ class Graph:
         out = []
         for f in self.node_features:
             f = jnp.asarray(f, jnp.float32)
+            # A CONSTANT feature (e.g. curvature on a plane) has std 0 and
+            # ptp 0; dividing would make the whole column NaN and silently
+            # poison the registration — normalize it to a constant instead.
             if norm_using_std is True:
-                f = (f - jnp.mean(f)) / jnp.std(f)
+                std = jnp.std(f)
+                f = (f - jnp.mean(f)) / jnp.where(std > 0, std, 1.0)
                 if cap_std is not False:
                     f = jnp.clip(f, -cap_std, cap_std)
             if norm_range_0_to_1 is True:
-                f = (f - jnp.min(f)) / (jnp.max(f) - jnp.min(f))
+                ptp = jnp.max(f) - jnp.min(f)
+                f = (f - jnp.min(f)) / jnp.where(ptp > 0, ptp, 1.0)
             out.append(f)
         self.node_features = out
 
@@ -348,6 +353,18 @@ class Graph:
             if len(good) >= n_needed:
                 break
             k_req += 1 + n_needed  # k_buffer + n_k_needed, graph.py:378
+        else:
+            # Exhausted retry budget: raising here beats returning fewer
+            # columns than requested, which would crash (or silently
+            # lower-dimension the registration) far downstream when source
+            # and target spectra disagree in width.
+            raise RuntimeError(
+                f"eigensolver found only {len(good)} eigenvalues > "
+                f"{MIN_EIG_VAL} after 4 attempts (k grown to {k_req}); "
+                f"needed {n_needed}. The mesh may have many near-zero "
+                "modes (heavily disconnected?) or the spectrum failed to "
+                "converge."
+            )
         good = good[:n_needed]
         self.eig_vals = jnp.asarray(np.asarray(lams)[good])
         self.eig_vecs = vecs[:, jnp.asarray(good)]

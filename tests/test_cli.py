@@ -164,7 +164,10 @@ def test_ssm_project_flag(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-800:]
     out = _json.loads(proc.stdout.strip().splitlines()[-1])
-    proj = out["projections"]["held_out.vtk"]
+    # Keyed by disambiguated stem (collision-safe across directories); the
+    # original path is carried in the record.
+    proj = out["projections"]["held_out"]
+    assert proj["path"] == str(held)
     assert "coefficients" in proj and "residual_rms_mm" in proj
     assert np.isfinite(proj["residual_rms_mm"])
     assert (tmp_path / proj["output"]).exists()

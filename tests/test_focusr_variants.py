@@ -308,3 +308,67 @@ def test_feature_comparison_study():
     assert feat["thickness_transfer_mae_mm"] < 1.25 * base["thickness_transfer_mae_mm"], (feat, base)
     import os
     assert os.path.exists("/tmp/feature_comparison_test/target_with_features.vtk")
+
+
+class TestCtorValidationAndLaziness:
+    """Round-3 review hardening: fail-fast correspondence validation and
+    deferred constructor spectra."""
+
+    def _pair(self, warp=0.03):
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+
+        pts_t, tris_t = make_sphere(n_theta=8, n_phi=16)
+        pts_s, tris_s = make_sphere(n_theta=8, n_phi=16)
+        pts_s = np.asarray(pts_s) * (1.0 + warp)
+        return (
+            TriMesh(np.asarray(pts_t, np.float32), np.asarray(tris_t, np.int32)),
+            TriMesh(np.asarray(pts_s, np.float32), np.asarray(tris_s, np.int32)),
+        )
+
+    def test_invalid_correspondence_type_raises(self):
+        t, s = self._pair()
+        with pytest.raises(ValueError, match="initial_correspondence_type"):
+            Focusr(t, s, initial_correspondence_type="Hungarian",
+                   icp_register_first=False, list_features_to_calc=[])
+
+    def test_hungarian_final_unequal_counts_raises(self):
+        """A 'hungarian' FINAL type on unequal vertex counts must fail at
+        construction, not silently truncate the correspondence vector."""
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+
+        pts_t, tris_t = make_sphere(n_theta=8, n_phi=16)
+        pts_s, tris_s = make_sphere(n_theta=10, n_phi=20)
+        t = TriMesh(np.asarray(pts_t, np.float32), np.asarray(tris_t, np.int32))
+        s = TriMesh(np.asarray(pts_s, np.float32), np.asarray(tris_s, np.int32))
+        with pytest.raises(Exception, match="don't match"):
+            Focusr(t, s, final_correspondence_type="hungarian",
+                   icp_register_first=False, list_features_to_calc=[])
+
+    def test_ctor_spectra_deferred_until_align(self):
+        t, s = self._pair()
+        reg = Focusr(
+            t, s, icp_register_first=False, list_features_to_calc=[],
+            n_spectral_features=2, n_extra_spectral=1,
+            rigid_before_non_rigid_reg=False, non_rigid_max_iterations=5,
+            graph_smoothing_iterations=5, projection_smooth_iterations=2,
+        )
+        assert reg.graph_target.eig_vecs is None  # deferred
+        reg.align_maps()
+        assert reg.graph_target.eig_vecs is not None
+        corr = np.asarray(reg.corresponding_target_idx_for_each_source_pt)
+        assert corr.shape[0] == reg.graph_source.n_points
+
+    def test_constant_feature_normalizes_finite(self):
+        """A constant node feature must normalize to finite values, not NaN
+        (std 0 / ptp 0 guard)."""
+        from pyfocusr_tpu import Graph
+
+        t, _ = self._pair()
+        t = t.with_point_data("const", np.full(t.n_points, 2.5, np.float32))
+        g = Graph(t, list_features_to_get_from_mesh=["const"], seed=0)
+        for f in g.node_features:
+            assert np.all(np.isfinite(np.asarray(f)))
