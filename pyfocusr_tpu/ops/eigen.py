@@ -170,7 +170,8 @@ def lanczos_shift_invert(
     def apply_B(x):
         return _cg_solve(shifted, x, cg_iters, v0)
 
-    # Lanczos with full reorthogonalization (m is small: ~2k+8).
+    # Lanczos with full reorthogonalization (m is small: ~4k+8, see the
+    # default above).
     q = jax.random.normal(jax.random.fold_in(key, 1), (n,), dtype=jnp.float32)
     if subspace_mask is not None:
         q = q * subspace_mask
@@ -492,7 +493,12 @@ def chebyshev_eigpairs(
     if lam_max_bound is not None:
         lam_max = lam_max_bound * 1.005
     else:
-        pw = _estimate_lambda_max(matvec, n, key, subspace_mask=subspace_mask)
+        # Distinct key for the probe: reusing `key` would correlate the
+        # lambda_max power-iteration vector with the filter's start block
+        # (the sibling solvers already split/fold).
+        pw = _estimate_lambda_max(
+            matvec, n, jax.random.fold_in(key, 7), subspace_mask=subspace_mask
+        )
         lam_max = pw * 1.3
 
     def cheb_filter(X, a, deg):

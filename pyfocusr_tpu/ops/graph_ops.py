@@ -180,16 +180,31 @@ def g_vector(
             gk = f**2
         else:
             gk = f - mmin(f)
-        scaling = feature_weights[k, k] * deg_ptp / (mmax(gk) - mmin(gk))
+        # Guard a CONSTANT transformed feature (ptp 0 -> inf scaling -> NaN
+        # spectrum): a feature with no variation carries no information, so
+        # it gets zero weight — consistent with edge_weights' NaN-free clamp.
+        gk_ptp = mmax(gk) - mmin(gk)
+        scaling = jnp.where(
+            gk_ptp > 0,
+            feature_weights[k, k] * deg_ptp / jnp.maximum(gk_ptp, 1e-30),
+            0.0,
+        )
         g = g + gk * scaling
     g = g / k_features
     return g * d_inv
 
 
-def laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
+def laplacian_matvec(
+    neighbors, weights, g, x, overflow=None, ov_w=None, degrees=None
+):
     """L x = g * ((d * x) - W x) — the (generally non-symmetric) operator
-    L = G (D - W) of reference ``graph.py:221-226`` applied matrix-free."""
-    d = degree_vector(weights, overflow, ov_w)
+    L = G (D - W) of reference ``graph.py:221-226`` applied matrix-free.
+
+    ``degrees``: pass the precomputed degree vector when applying the
+    operator inside a solver loop — recomputing the [N, D] row-sum +
+    overflow scatter per application otherwise relies on XLA loop-invariant
+    hoisting."""
+    d = degrees if degrees is not None else degree_vector(weights, overflow, ov_w)
     if x.ndim == 1:
         return g * (d * x - spmv(neighbors, weights, x, overflow, ov_w))
     return g[:, None] * (
@@ -197,7 +212,9 @@ def laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     )
 
 
-def sym_laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
+def sym_laplacian_matvec(
+    neighbors, weights, g, x, overflow=None, ov_w=None, degrees=None
+):
     """Symmetrized operator A = diag(s) (D - W) diag(s), s = sqrt(g).
 
     A is similar to L = diag(g)(D - W):  L = diag(s) A diag(s)^-1, so they
@@ -207,7 +224,7 @@ def sym_laplacian_matvec(neighbors, weights, g, x, overflow=None, ov_w=None):
     default d_inv and for the exp feature transform).
     """
     s = jnp.sqrt(g)
-    d = degree_vector(weights, overflow, ov_w)
+    d = degrees if degrees is not None else degree_vector(weights, overflow, ov_w)
     if x.ndim == 1:
         sx = s * x
         return s * (d * sx - spmv(neighbors, weights, sx, overflow, ov_w))

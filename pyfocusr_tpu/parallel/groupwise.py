@@ -114,8 +114,12 @@ def register_pair_symmetric(
     Returns a dict:
 
     forward / backward    the two ``register_pair`` result pytrees
-    sym_points            f32 [Ns, 3] symmetric location on the target
-                          surface per source vertex
+    sym_points            f32 [Ns, 3] symmetric landing estimate per source
+                          vertex — the raw midpoint (F + F')/2 of the two
+                          directions' estimates, which can lie slightly OFF
+                          the target surface across thin/concave regions;
+                          ``sym_correspondences`` is the on-surface (vertex-
+                          snapped) version
     sym_correspondences   i32 [Ns] symmetric target index per source vertex
     target_sym_points / target_sym_correspondences   the mirror outputs per
                           target vertex (source index), from fusing the
@@ -217,13 +221,15 @@ def register_all_pairs(
                 f"device count {n_dev} (pad the cohort or drop a subject)"
             )
         spec = lambda tree: jax.tree.map(lambda _: P("pairs"), tree)
+        # out_specs as a pytree PREFIX: every output leaf has a leading
+        # pairs axis, so a single P('pairs') covers the whole tree — the
+        # previous jax.eval_shape(_batched, ...) abstract-traced the entire
+        # vmapped registration a second time just to enumerate leaves.
         fn = shard_map(
             _batched,
             mesh=device_mesh,
             in_specs=(spec(targets), spec(sources), P("pairs")),
-            out_specs=spec(
-                jax.eval_shape(_batched, targets, sources, keys)
-            ),
+            out_specs=P("pairs"),
             check_vma=False,
         )
         results = jax.jit(fn)(targets, sources, keys)
@@ -348,6 +354,13 @@ def spectral_bases(
             )
         _, vecs = _basis_spectrum(g, n_basis, k_, cfg)
         v = np.asarray(vecs, np.float64)[mask]
+        # The pipeline's min-max normalization adds a mesh-specific CONSTANT
+        # component b_k*1 to every column; QR re-orthonormalizes but cannot
+        # remove it (the span still contains a rotated slice of the constant
+        # direction, degrading cross-mesh orthogonality of the functional
+        # maps).  Center each column first — nonzero Laplacian modes are
+        # orthogonal to the constant, so this recovers their span.
+        v = v - v.mean(axis=0, keepdims=True)
         q, _ = np.linalg.qr(v)
         out.append(q * np.sqrt(n))
     return out

@@ -455,7 +455,7 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
         # Padding rows are dead coordinates: the Krylov iteration is confined
         # to the masked subspace (see ops/eigen.py subspace_mask).
         ax = graph_ops.sym_laplacian_matvec(
-            graph.neighbors, w, g, x * mask, ov, ov_w
+            graph.neighbors, w, g, x * mask, ov, ov_w, degrees=d
         )
         return ax * mask
 

@@ -253,7 +253,7 @@ class Graph:
         """Matrix-free L = G (D - W) (reference ``graph.py:221-226``)."""
         return graph_ops.laplacian_matvec(
             self._neighbors, self.adjacency_weights, self.g, x,
-            self._overflow, self._ov_w,
+            self._overflow, self._ov_w, degrees=self.degrees,
         )
 
     def get_laplacian_matrix(self):
@@ -311,14 +311,14 @@ class Graph:
         null_vec = jnp.asarray(ind) * (1.0 / s)[:, None]
 
         ov, ov_w = self._overflow, self._ov_w
+        d = graph_ops.degree_vector(weights, ov, ov_w)
 
         def matvec(x):
             return graph_ops.sym_laplacian_matvec(
-                neighbors, weights, g, x, ov, ov_w
+                neighbors, weights, g, x, ov, ov_w, degrees=d
             )
 
         ws = graph_ops.spmv(neighbors, weights, s, ov, ov_w)
-        d = graph_ops.degree_vector(weights, ov, ov_w)
         lam_bound = jnp.max(s * (s * d + ws))
 
         # Retry-with-larger-k contract of ``recursive_eig``

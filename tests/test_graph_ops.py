@@ -176,3 +176,30 @@ def test_g_vector_all_p_functions_match_transcription():
         )
         ref = reference_g_vector(feats.T, d, fw, p)
         np.testing.assert_allclose(ours, ref, rtol=2e-5, err_msg=p)
+
+
+def test_g_vector_constant_feature_zero_weighted():
+    """A constant feature column (ptp 0 after transform) must contribute
+    zero weight, not inf/NaN (round-3 review: use_features_in_graph with a
+    uniform feature silently NaN'd the whole spectrum)."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.ops.graph_ops import g_vector
+
+    rng = np.random.default_rng(0)
+    n = 50
+    degrees = jnp.asarray(rng.uniform(1.0, 5.0, n).astype(np.float32))
+    feats = jnp.stack(
+        [
+            jnp.full((n,), 0.7, jnp.float32),  # constant
+            jnp.asarray(rng.uniform(0, 1, n).astype(np.float32)),
+        ]
+    )
+    fw = jnp.eye(2, dtype=jnp.float32)
+    for p in ("exp", "log", "square", "shift"):
+        g = g_vector(feats, degrees, fw, p_function=p, include_features=True)
+        assert np.all(np.isfinite(np.asarray(g))), p
+    # And the varying feature still contributes (g differs from pure d_inv).
+    g = g_vector(feats, degrees, fw, p_function="exp", include_features=True)
+    d_inv = np.asarray((degrees + 1e-8) ** -1)
+    assert not np.allclose(np.asarray(g), d_inv)
