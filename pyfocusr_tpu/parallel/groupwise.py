@@ -358,8 +358,13 @@ def spectral_bases(
         # component b_k*1 to every column; QR re-orthonormalizes but cannot
         # remove it (the span still contains a rotated slice of the constant
         # direction, degrading cross-mesh orthogonality of the functional
-        # maps).  Center each column first — nonzero Laplacian modes are
-        # orthogonal to the constant, so this recovers their span.
+        # maps).  Center each column first.  Note this is the EUCLIDEAN
+        # deconstant — random-walk modes are orthogonal to the constant in
+        # the g-weighted inner product, not the Euclidean one, so centering
+        # also strips each mode's (small, degree-variance-bound) Euclidean
+        # constant component; the operation is the same deterministic
+        # functional of the modes on every mesh and commutes with vertex
+        # maps, which is what the synchronization model needs.
         v = v - v.mean(axis=0, keepdims=True)
         q, _ = np.linalg.qr(v)
         out.append(q * np.sqrt(n))

@@ -208,6 +208,11 @@ class Graph:
             coords, self._neighbors, self._nbr_mask
         )
         self._ov_w = graph_ops.overflow_weights(coords, self._overflow)
+        # Degrees and G derive from the weights — invalidate their caches so
+        # a recompute (e.g. after mutating points) cannot pair new W with
+        # stale D/G in laplacian_matvec.
+        self._degrees = None
+        self._g = None
         return self._adjacency_weights
 
     @property
@@ -311,7 +316,7 @@ class Graph:
         null_vec = jnp.asarray(ind) * (1.0 / s)[:, None]
 
         ov, ov_w = self._overflow, self._ov_w
-        d = graph_ops.degree_vector(weights, ov, ov_w)
+        d = self.degrees  # cached by get_degree_matrix above
 
         def matvec(x):
             return graph_ops.sym_laplacian_matvec(
