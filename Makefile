@@ -20,8 +20,10 @@ native:
 lint:
 	python -m compileall -q pyfocusr_tpu
 
+# --no-build-isolation: zero-egress environments cannot resolve the
+# setuptools build dependency from pypi; the host interpreter already has it.
 build:
-	python -m pip wheel . -w dist --no-deps
+	python -m pip wheel . -w dist --no-deps --no-build-isolation
 
 docs:
 	python -m pydoc -w pyfocusr_tpu
