@@ -264,6 +264,47 @@ def build_topology(
     )
 
 
+def _as_trimesh_vtk_bulk(obj):
+    """Bulk vtkPolyData -> TriMesh via vtk.util.numpy_support when the real
+    vtk module is importable (it is whenever the caller holds a live
+    vtkPolyData): one array copy instead of O(N) Python-level GetPoint /
+    GetComponent calls.  Returns None to fall back to the duck-typed loops
+    (fake objects in tests, exotic vtk builds, polygonal cells needing the
+    fan path)."""
+    try:
+        from vtk.util.numpy_support import vtk_to_numpy  # type: ignore
+
+        n = int(obj.GetNumberOfPoints())
+        points = np.asarray(
+            vtk_to_numpy(obj.GetPoints().GetData()), np.float32
+        ).reshape(n, 3)
+        cells = vtk_to_numpy(obj.GetPolys().GetData()).astype(np.int64)
+        # Legacy connectivity layout: [k, v0..vk-1, k, ...].  Uniform
+        # triangles reshape directly; anything else falls back to the
+        # generic fan-triangulating loop.
+        if cells.size and cells.size % 4 == 0:
+            quads = cells.reshape(-1, 4)
+            if not np.all(quads[:, 0] == 3):
+                return None
+            triangles = quads[:, 1:].astype(np.int32)
+        elif cells.size == 0:
+            triangles = np.zeros((0, 3), np.int32)
+        else:
+            return None
+        point_data = {}
+        pdo = obj.GetPointData()
+        for a in range(int(pdo.GetNumberOfArrays())):
+            arr = pdo.GetArray(a)
+            if arr is None:
+                continue
+            name = pdo.GetArrayName(a) or f"array_{a}"
+            vals = np.asarray(vtk_to_numpy(arr), np.float32)
+            point_data[name] = vals
+        return TriMesh(points=points, triangles=triangles, point_data=point_data)
+    except Exception:
+        return None
+
+
 def as_trimesh(obj) -> TriMesh:
     """Coerce a mesh-like object to :class:`TriMesh`.
 
@@ -281,6 +322,9 @@ def as_trimesh(obj) -> TriMesh:
     if isinstance(obj, TriMesh):
         return obj
     if hasattr(obj, "GetNumberOfPoints") and hasattr(obj, "GetNumberOfCells"):
+        converted = _as_trimesh_vtk_bulk(obj)
+        if converted is not None:
+            return converted
         n = int(obj.GetNumberOfPoints())
         points = np.empty((n, 3), np.float32)
         for i in range(n):

@@ -226,7 +226,10 @@ def topology_native(tris: np.ndarray, n_points: int, max_deg: int):
     )
     if n_edges < 0:
         return None  # out-of-range indices: let the numpy path raise
-    edges = np.ascontiguousarray(edges[:n_edges])
+    # .copy(), not ascontiguousarray: a leading slice of a C-contiguous
+    # array is already contiguous, so ascontiguousarray returns a VIEW that
+    # pins the whole 3F-row scratch buffer for the topology's lifetime.
+    edges = edges[:n_edges].copy()
     edge_faces = edge_faces[:n_edges].copy()
     if max_deg is None:
         return edges, edge_faces, int(true_max[0]), None, None, None, None, 0
@@ -281,10 +284,17 @@ def mis_greedy_native(
         return None
     u = np.ascontiguousarray(u, dtype=np.int64)
     v = np.ascontiguousarray(v, dtype=np.int64)
-    order = np.empty(n_points, np.int64)
-    order[np.ascontiguousarray(prio, dtype=np.int64)] = np.arange(
-        n_points, dtype=np.int64
-    )
+    prio = np.ascontiguousarray(prio, dtype=np.int64)
+    # Scatter-inverse only covers every slot when prio is an exact
+    # permutation; validate rather than leave np.empty garbage that the
+    # C++ bounds check could accept as a silently wrong visiting order.
+    order = np.full(n_points, -1, np.int64)
+    order[prio] = np.arange(n_points, dtype=np.int64)
+    if (order < 0).any():
+        raise ValueError(
+            "prio must be a permutation of 0..n_points-1 "
+            "(ascending-priority vertex order)"
+        )
     state = np.empty(n_points, np.int8)
     rc = lib.mis_greedy(
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

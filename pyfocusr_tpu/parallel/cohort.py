@@ -116,7 +116,13 @@ def check_cohort_config(
        padding (``padded_size`` > smallest real count) would let padding
        rows steal assignments — rejected outright.
     """
-    for name in ("n_coords_spectral_ordering", "n_coords_spectral_registration"):
+    knobs = ["n_coords_spectral_ordering", "n_coords_spectral_registration"]
+    padded = padded_size is not None and padded_size > meshes_min_points
+    if cfg.icp_register_first and padded:
+        # The ICP landmark draw has the same static-sample-size padding
+        # hazard; on UNPADDED graphs an oversized value just clamps to n.
+        knobs.append("icp_n_landmarks")
+    for name in knobs:
         if getattr(cfg, name) > meshes_min_points:
             raise ValueError(
                 f"{name}={getattr(cfg, name)} exceeds the smallest cohort "

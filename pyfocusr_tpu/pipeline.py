@@ -199,6 +199,16 @@ class PipelineConfig:
             raise ValueError("n_spectral_features must be >= 1")
         if self.n_extra_spectral < 0:
             raise ValueError("n_extra_spectral must be >= 0")
+        if self.icp_register_first:
+            if self.icp_n_landmarks < 3:
+                raise ValueError(
+                    "icp_n_landmarks must be >= 3 (a rigid fit needs at "
+                    "least 3 points; 0 would produce a silent NaN transform)"
+                )
+            if self.icp_iterations < 1:
+                raise ValueError("icp_iterations must be >= 1")
+        if self.projection_smooth_iterations < 0:
+            raise ValueError("projection_smooth_iterations must be >= 0")
         if self.icp_registration_mode not in ("rigid", "similarity"):
             raise ValueError("Error invalid transform mode")
         if self.eig_method not in ("chebyshev", "chebyshev-narrow", "lanczos"):
@@ -260,6 +270,13 @@ class GraphArrays:
                 self,
                 "node_features",
                 jnp.zeros((self.points.shape[0], 0), jnp.float32),
+            )
+        # Default overflow to the empty edge list: every consumer calls
+        # overflow.shape, so a hand-built GraphArrays without hub spill
+        # edges must not carry None.
+        if self.overflow is None and hasattr(self.points, "shape"):
+            object.__setattr__(
+                self, "overflow", jnp.zeros((0, 2), jnp.int32)
             )
 
     def tree_flatten(self):
@@ -404,7 +421,8 @@ def _masked_minmax_norm(vecs, mask):
     small = jnp.where(mask[:, None] > 0, vecs, -jnp.inf)
     mn = jnp.min(big, axis=0)
     mx = jnp.max(small, axis=0)
-    out = (vecs - mn) / (mx - mn) - 0.5
+    # Guarded range: a constant column (degenerate spectrum) must not NaN.
+    out = (vecs - mn) / jnp.maximum(mx - mn, 1e-30) - 0.5
     return out * mask[:, None]
 
 
@@ -558,13 +576,6 @@ def _pad_graph_arrays(
     return GraphArrays(points, neighbors, nbr_mask, valid, nulls, ov, feats)
 
 
-def _graph_weight_arrays(graph: GraphArrays):
-    """(ELL weights, overflow edges, overflow weights) for one mesh."""
-    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
-    ov_w = graph_ops.overflow_weights(graph.points, graph.overflow)
-    return (w, graph.overflow, ov_w)
-
-
 def _rand_idxs(key, mask, n_samples: int):
     """Sample n_samples indices of real vertices (uniform, no replacement).
 
@@ -584,7 +595,9 @@ def _rand_idxs(key, mask, n_samples: int):
 
 def _normed(pts):
     mn = jnp.min(pts, axis=0)
-    return (pts - mn) / (jnp.max(pts, axis=0) - mn)
+    # Guarded: a mesh degenerate along one axis (planar patch) must not
+    # NaN that coordinate column.
+    return (pts - mn) / jnp.maximum(jnp.max(pts, axis=0) - mn, 1e-30)
 
 
 def landmark_pairs_from_positions(
@@ -652,7 +665,13 @@ def _check_padding_hazards(target: GraphArrays, source: GraphArrays, cfg: Pipeli
                 "so padding would participate. Rebuild without padding or "
                 "use correspondence type 'kd'."
             )
-        for knob in ("n_coords_spectral_ordering", "n_coords_spectral_registration"):
+        knobs = ["n_coords_spectral_ordering", "n_coords_spectral_registration"]
+        if cfg.icp_register_first:
+            # The ICP landmark draw samples rows the same way (_rand_idxs
+            # static sample size) — an oversized draw pulls origin-padding
+            # points into the rigid pre-alignment fit.
+            knobs.append("icp_n_landmarks")
+        for knob in knobs:
             if getattr(cfg, knob) > n_real:
                 raise ValueError(
                     f"{knob}={getattr(cfg, knob)} exceeds the {name} graph's "
@@ -773,6 +792,15 @@ def register_pair_prepared(
     """Register ``source`` onto a target prepared by :func:`prepare_target`
     (same contract as :func:`register_pair`, minus the target's eigensolve
     and smoothing)."""
+    # Re-assert the prepare-time invariant: a cfg that moves the TARGET per
+    # pair would mix moved target.points with prepared state computed from
+    # the unmoved target — silently inconsistent correspondences.
+    if cfg.icp_register_first and cfg.icp_reg_target_to_source:
+        raise ValueError(
+            "register_pair_prepared requires a fixed target (prepared state "
+            "was computed from the unmoved target); "
+            "icp_reg_target_to_source=True moves it per pair"
+        )
     _check_padding_hazards(target, source, cfg)
     pre_src = None
     if _want_split(target, source) and source_spectrum_hoistable(cfg):
@@ -850,6 +878,13 @@ def register_pair_prepared_source(
     """Register onto ``target`` with a source prepared by
     :func:`prepare_source` (same contract as :func:`register_pair`, minus
     the source's eigensolve)."""
+    if not source_spectrum_hoistable(cfg):
+        # Re-assert the prepare-time invariant ('similarity' ICP moving the
+        # source rescales the smoothing operator the prepared state baked in).
+        raise ValueError(
+            "register_pair_prepared_source: cfg is not source-hoistable "
+            "(similarity ICP moving the source per pair); see prepare_source"
+        )
     _check_padding_hazards(target, source, cfg)
     pre = None
     if _want_split(target, source) and not (

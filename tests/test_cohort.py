@@ -632,6 +632,7 @@ def test_hungarian_rejects_padded_targets():
     cfg = PipelineConfig(
         n_coords_spectral_ordering=64,
         n_coords_spectral_registration=64,
+        icp_n_landmarks=64,  # below min real count: isolates the hungarian guard
         initial_correspondence_type="hungarian",
         non_rigid_max_iterations=2,
         graph_smoothing_iterations=2,
@@ -639,6 +640,18 @@ def test_hungarian_rejects_padded_targets():
     )
     with pytest.raises(ValueError, match="hungarian"):
         register_cohort(template, subjects, cfg, jax.random.PRNGKey(0))
+    # The ICP landmark draw has the same padding hazard: an oversized
+    # icp_n_landmarks on a PADDED cohort must be rejected too.
+    cfg_icp = PipelineConfig(
+        n_coords_spectral_ordering=64,
+        n_coords_spectral_registration=64,
+        icp_n_landmarks=2000,
+        non_rigid_max_iterations=2,
+        graph_smoothing_iterations=2,
+        projection_smooth_iterations=1,
+    )
+    with pytest.raises(ValueError, match="icp_n_landmarks"):
+        register_cohort(template, subjects, cfg_icp, jax.random.PRNGKey(0))
 
 
 def test_pad_cohort_then_arrays_match_direct_build():
