@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mesh import TriMesh
+from .mesh import TriMesh, build_topology
 from .ops import graph_ops
 from .ops.knn import idw_pull_k3, nn_query
 from .pipeline import (
@@ -121,7 +121,12 @@ def _luby_mis_numpy(u, v, n, prio):
     # repro that produced two ADJACENT seeds.)
     red_idx = seg_starts[has_edges]
     state = np.zeros(n, np.int8)  # 0 unresolved, 1 seed, -1 blocked
-    for _ in range(64):  # expected O(log n) rounds
+    # Loop to CONVERGENCE (expected O(log n) rounds, <= n worst case): the
+    # unresolved vertex with globally minimal priority always joins, so
+    # every round makes progress.  A fixed round cap would have to promote
+    # leftovers blindly — adjacent seeds, a silent MIS-invariant break on
+    # long monotone priority chains.
+    while True:
         un = state == 0
         if not un.any():
             break
@@ -131,6 +136,8 @@ def _luby_mis_numpy(u, v, n, prio):
         if len(red_idx):
             best_nbr[has_edges] = np.minimum.reduceat(nbr_prio, red_idx)
         new_seed = un & (prio < best_nbr)
+        if not new_seed.any():  # defensive: provably unreachable
+            raise RuntimeError("MIS round made no progress")
         state[new_seed] = 1
         blocked = np.zeros(n, bool)
         seed_edge = state[u] == 1
@@ -138,24 +145,33 @@ def _luby_mis_numpy(u, v, n, prio):
         seed_edge = state[v] == 1
         blocked[u[seed_edge]] = True
         state[blocked & (state == 0)] = -1
-    state[state == 0] = 1  # leftovers (edge-free verts) become seeds
     return state
 
 
-def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
+def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng, edges=None):
     """One MIS-aggregation round, fully vectorized.  The MIS itself runs as
     a single native C++ greedy pass in priority order (same result as the
     Luby rounds — both yield the lexicographically-first MIS; numpy
     fallback kept); cluster assignment and coarse-mesh construction stay
     vectorized numpy.  Returns (coarse_pts, coarse_tris, label)."""
     n = pts.shape[0]
-    from .native import topology_native
+    if edges is not None:
+        # Caller-provided unique undirected edges (i < j) — lets
+        # register_pair_multires reuse the fine topology it builds anyway
+        # instead of paying the extraction twice per mesh.  The MIS and
+        # cluster assignment are edge-ORDER independent, so any consistent
+        # unique edge set is equivalent.
+        u = np.asarray(edges[:, 0], np.int64)
+        v = np.asarray(edges[:, 1], np.int64)
+        head = None
+    else:
+        from .native import topology_native
 
-    head = topology_native(tris, n, None)
+        head = topology_native(tris, n, None)
     if head is not None:  # C++ edge extraction (same sorted unique edges)
         u = head[0][:, 0].astype(np.int64)
         v = head[0][:, 1].astype(np.int64)
-    else:
+    elif edges is None:
         e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
         e = np.sort(e, axis=1)
         ukey = np.unique(e[:, 0] * np.int64(n) + e[:, 1])  # scalar-key unique
@@ -218,7 +234,7 @@ def _aggregate_once(pts: np.ndarray, tris: np.ndarray, rng):
     return coarse_pts, ct, label
 
 
-def decimate(mesh: TriMesh, target_n: int, seed: int = 0):
+def decimate(mesh: TriMesh, target_n: int, seed: int = 0, edges=None):
     """Aggregation decimation to approximately ``target_n`` vertices (each
     round contracts ~3.5-4x; rounds stop once within 1.5x of the target, so
     the result lands in roughly [0.4, 1.5] * target_n).
@@ -231,9 +247,13 @@ def decimate(mesh: TriMesh, target_n: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     fine_to_coarse = np.arange(pts.shape[0])
     cur_pts, cur_tris = pts, tris
+    first_edges = edges  # fine-mesh edges apply to round 1 only
     while cur_pts.shape[0] > 1.5 * target_n:
         before = cur_pts.shape[0]
-        cur_pts, cur_tris, label = _aggregate_once(cur_pts, cur_tris, rng)
+        cur_pts, cur_tris, label = _aggregate_once(
+            cur_pts, cur_tris, rng, edges=first_edges
+        )
+        first_edges = None
         fine_to_coarse = label[fine_to_coarse]
         if cur_pts.shape[0] >= before:  # no progress (degenerate mesh)
             break
@@ -401,8 +421,28 @@ def register_pair_multires(
             "independently decimated meshes rarely have the equal vertex "
             "counts it requires (set initial/final_correspondence_type='kd')"
         )
-    ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed)
-    cs_mesh, map_s, rep_s = decimate(source_mesh, coarse_n, seed + 1)
+    if (
+        cfg.use_features_as_coords
+        or cfg.use_features_in_graph
+        or cfg.include_features_in_adj_matrix
+    ):
+        # Decimation does not aggregate point_data / node_features, so the
+        # feature-weighted stages would silently fall back to featureless
+        # weighting at both levels — reject loudly instead.
+        raise ValueError(
+            "register_pair_multires does not support feature-weighted "
+            "configs (decimation drops per-vertex features); use "
+            "register_pair directly or disable the feature options"
+        )
+    # Fine topologies are needed for the refine stage anyway — build them
+    # once and feed the edge lists into decimation's first round (the
+    # extraction is the dominant host cost at multi-million scale).
+    topo_t = build_topology(np.asarray(target_mesh.triangles), target_mesh.n_points)
+    topo_s = build_topology(np.asarray(source_mesh.triangles), source_mesh.n_points)
+    ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed, edges=topo_t.edges)
+    cs_mesh, map_s, rep_s = decimate(
+        source_mesh, coarse_n, seed + 1, edges=topo_s.edges
+    )
     ct = mesh_to_graph_arrays(ct_mesh)
     cs = mesh_to_graph_arrays(cs_mesh)
     coarse_res = register_pair(ct, cs, cfg, key)
@@ -431,8 +471,8 @@ def register_pair_multires(
         cfg, projection_smooth_iterations=proj_iters
     )
 
-    tg = mesh_to_graph_arrays(target_mesh)
-    sg = mesh_to_graph_arrays(source_mesh)
+    tg = mesh_to_graph_arrays(target_mesh, topology=topo_t)
+    sg = mesh_to_graph_arrays(source_mesh, topology=topo_s)
     refine = (
         _refine_fine_level_staged
         if _STAGED_REFINE_N > 0

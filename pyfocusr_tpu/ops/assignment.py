@@ -184,6 +184,10 @@ def auction_lap(
     """
     cost = jnp.asarray(cost, jnp.float32)
     n = cost.shape[0]
+    if n == 1:
+        # top_k(values, 2) inside the bidding phase needs >= 2 columns; the
+        # 1x1 assignment is trivially [0].
+        return jnp.zeros((1,), jnp.int32)
     cost_neg = -cost
     spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12)
     prices = jnp.zeros((n,), cost.dtype)
@@ -432,7 +436,11 @@ def sinkhorn_jv_lap(
         max_total_steps = 60 * n
     if warm_start and n >= 512:
         spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1e-12)
-        if jax.default_backend() == "tpu":
+        # The streamed kernel holds one (256, n_pad) cost block in VMEM —
+        # ~1 MB per 1k columns — so above ~8k the block alone would exhaust
+        # the ~16 MB/core budget and Mosaic fails at compile time; the XLA
+        # reduction path streams from HBM at any size.
+        if jax.default_backend() == "tpu" and n <= 8192:
             # Pallas row-streamed updates: one pass over the cost per dual
             # update instead of XLA's ~5 (pallas_kernels.sinkhorn_duals_streamed).
             from .pallas_kernels import sinkhorn_duals_streamed
@@ -497,6 +505,12 @@ def exact_lap_small(cost: jnp.ndarray) -> jnp.ndarray:
     import itertools
 
     k = cost.shape[0]
+    if cost.shape[1] != k:
+        # Silently enumerating only the first k columns would return a
+        # suboptimal matching from a function documented as EXACT.
+        raise ValueError(
+            f"exact_lap_small requires a square cost, got {cost.shape}"
+        )
     if k > 8:
         raise ValueError(f"exact_lap_small enumerates k! permutations; k={k} > 8")
     perms = jnp.asarray(
@@ -519,14 +533,17 @@ def linear_sum_assignment(cost, device_threshold: int | None = 2048):
     slower than the native host JV.
     Pass ``device_threshold=None`` to force the host path at every size.
     """
-    cost_np = np.asarray(cost)
-    n_rows, n_cols = cost_np.shape
+    n_rows, n_cols = cost.shape  # shape without materializing on host
     if (
         device_threshold is None
         or n_rows != n_cols
         or max(n_rows, n_cols) <= device_threshold
         or jax.default_backend() == "cpu"
     ):
-        return lap_host(cost_np)
-    col_ind = np.asarray(sinkhorn_jv_lap(jnp.asarray(cost_np)))
+        # Host path: the (single) device->host transfer happens here.
+        return lap_host(np.asarray(cost))
+    # Device path: keep a device-resident cost on device — np.asarray would
+    # pull the full matrix to host and push it straight back (200 MB of
+    # round-trip traffic at 5k x 5k f32 over a remote tunnel).
+    col_ind = np.asarray(sinkhorn_jv_lap(jnp.asarray(cost)))
     return np.arange(n_rows), col_ind

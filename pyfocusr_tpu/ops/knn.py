@@ -127,14 +127,17 @@ def _pallas_chunked(ref, query, k):
     reproducibly faults the remote worker at the 3.84M x 3.84M scale,
     while the identical per-chunk calls issued sequentially run fine
     (single 1M x 3.84M chunk: 17.8 s, correct)."""
-    from .pallas_kernels import knn_pallas
+    from .pallas_kernels import KNN_BLOCK_Q, KNN_BLOCK_R, knn_pallas
 
+    # Cell estimates use the kernel's own block constants; the bound is
+    # half the observed ~2^24 fault threshold, which also absorbs the
+    # one-row-block overshoot per-chunk rounding can add.
     nq, nr = query.shape[0], ref.shape[0]
-    cells = (-(-nq // 256)) * (-(-nr // 2048))
+    cells = (-(-nq // KNN_BLOCK_Q)) * (-(-nr // KNN_BLOCK_R))
     if cells <= _PALLAS_MAX_GRID_CELLS:
         return knn_pallas(ref, query, k)
     n_chunks = -(-cells // _PALLAS_MAX_GRID_CELLS)
-    per = _round_up(max(-(-nq // n_chunks), 256), 256)
+    per = _round_up(max(-(-nq // n_chunks), KNN_BLOCK_Q), KNN_BLOCK_Q)
     outs = []
     for s in range(0, nq, per):
         outs.append(knn_pallas(ref, query[s : s + per], k))

@@ -662,9 +662,16 @@ def _knn_kernel(q_ref, rt_ref, vout_ref, iout_ref, *, k, d_real, n_ref,
     iout_ref[:] = newi
 
 
+# Default KNN block schedule ((256, 2048): best of six in the round-3
+# sweep).  knn.py's grid-cell chunking derives its estimates from these —
+# keep them as the single source of truth.
+KNN_BLOCK_Q = 256
+KNN_BLOCK_R = 2048
+
+
 @partial(jax.jit, static_argnames=("k", "block_q", "block_r", "interpret"))
-def knn_pallas(ref, query, k: int, block_q: int = 256, block_r: int = 2048,
-               interpret: bool = False):
+def knn_pallas(ref, query, k: int, block_q: int = KNN_BLOCK_Q,
+               block_r: int = KNN_BLOCK_R, interpret: bool = False):
     """k nearest neighbors by direct coordinate differences (VPU, exact f32).
 
     Same contract as ``knn_query`` / ``KDTree(ref).query(query, k)``
@@ -689,10 +696,15 @@ def knn_pallas(ref, query, k: int, block_q: int = 256, block_r: int = 2048,
 
     q_p = jnp.pad(query.astype(jnp.float32),
                   ((0, nq_pad - nq), (0, d8 - d_dim)))
+    # Non-finite reference coordinates (caller data, NaN scan artifacts)
+    # would poison jnp.min over the whole tile in-kernel — push them to the
+    # huge-but-finite sentinel exactly like the XLA path (ops/knn.py:179);
+    # their rows square to inf and can never win.
+    ref_f = ref.astype(jnp.float32)
+    ref_f = jnp.where(jnp.isfinite(ref_f), ref_f, 1e30)
     # Padded ref rows masked by index in-kernel; padded dims are zero on
     # both sides so they contribute (0-0)^2 = 0.
-    rt = jnp.pad(ref.astype(jnp.float32),
-                 ((0, nr_pad - nr), (0, d8 - d_dim))).T
+    rt = jnp.pad(ref_f, ((0, nr_pad - nr), (0, d8 - d_dim))).T
 
     kernel = partial(_knn_kernel, k=k, d_real=d_dim, n_ref=nr,
                      block_q=block_q, block_r=block_r)
@@ -716,5 +728,12 @@ def knn_pallas(ref, query, k: int, block_q: int = 256, block_r: int = 2048,
         ),
         interpret=interpret,
     )(q_p, rt)
-    d_out = jnp.sqrt(jnp.maximum(vals[:nq, :k], 0.0))
-    return d_out, idxs[:nq, :k]
+    d2 = vals[:nq, :k]
+    idx = idxs[:nq, :k]
+    # Contract parity with the XLA path (ops/knn.py:259-265): a slot whose
+    # winner is a padded column (index >= nr, acc = 1e30) or a sentinel/inf
+    # row is a MISSING neighbor and reports cKDTree's (index == nr,
+    # distance == inf) sentinel, never a finite out-of-range index.
+    bad = (idx >= nr) | (d2 >= 1e29) | jnp.isnan(d2)
+    d_out = jnp.where(bad, jnp.inf, jnp.sqrt(jnp.maximum(d2, 0.0)))
+    return d_out, jnp.where(bad, nr, idx)

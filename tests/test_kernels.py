@@ -209,3 +209,17 @@ def test_knn_query_fewer_refs_than_k_matches_kdtree():
     np.testing.assert_allclose(np.asarray(d)[:, :2], dk[:, :2], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), ik)  # missing -> index 2
     assert np.all(np.isinf(np.asarray(d)[:, 2]))
+
+
+def test_exact_lap_small_rejects_rectangular():
+    from pyfocusr_tpu.ops.assignment import exact_lap_small
+
+    with pytest.raises(ValueError, match="square"):
+        exact_lap_small(jnp.zeros((4, 6), jnp.float32))
+
+
+def test_auction_lap_handles_1x1():
+    from pyfocusr_tpu.ops.assignment import auction_lap
+
+    out = np.asarray(auction_lap(jnp.zeros((1, 1), jnp.float32)))
+    np.testing.assert_array_equal(out, [0])

@@ -222,3 +222,22 @@ def test_decimate_row_unique_fallback_matches_packed_key(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(coarse_a.points), np.asarray(coarse_b.points)
     )
+
+
+def test_multires_rejects_feature_configs():
+    """Decimation drops per-vertex features, so feature-weighted configs
+    must fail loudly instead of silently degrading to featureless."""
+    import jax
+
+    from pyfocusr_tpu.multires import register_pair_multires
+    from pyfocusr_tpu.pipeline import PipelineConfig
+
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh
+
+    pts, tris = make_sphere(n_theta=8, n_phi=16)
+    m = TriMesh(np.asarray(pts, np.float32), np.asarray(tris, np.int32))
+    cfg = PipelineConfig(use_features_in_graph=True)
+    with pytest.raises(ValueError, match="feature"):
+        register_pair_multires(m, m, cfg, jax.random.PRNGKey(0))

@@ -262,3 +262,43 @@ def test_pallas_chunked_query_plumbing(monkeypatch):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
     # direct-difference vs matmul-identity distance rounding
     np.testing.assert_allclose(np.asarray(d), np.asarray(d2), atol=1e-4)
+
+
+class TestKnnPallasContract:
+    """Round-3 review: XLA-path contract parity on the Pallas kernel
+    (interpret mode) — NaN reference rows must never poison a tile, and
+    missing neighbors report cKDTree's (index == nr, inf) sentinel."""
+
+    def test_nan_ref_row_does_not_poison_tile(self):
+        import jax.numpy as jnp
+
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        rng = np.random.default_rng(0)
+        ref = rng.normal(size=(40, 3)).astype(np.float32)
+        ref[7] = np.nan  # one bad row
+        query = ref[[3, 20, 33]] + 1e-4
+        d, i = knn_pallas(jnp.asarray(ref), jnp.asarray(query), k=1,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], [3, 20, 33])
+        assert np.all(np.asarray(d) < 1e-3)
+
+    def test_missing_neighbor_sentinel(self):
+        import jax.numpy as jnp
+
+        from pyfocusr_tpu.ops.knn import SENTINEL
+        from pyfocusr_tpu.ops.pallas_kernels import knn_pallas
+
+        # Only 2 selectable rows but k=3: the third slot must be
+        # (index == nr, distance == inf), exactly like the XLA path.
+        ref = np.asarray(
+            [[0, 0, 0], [1, 0, 0], [SENTINEL] * 3, [SENTINEL] * 3],
+            np.float32,
+        )
+        query = np.zeros((1, 3), np.float32)
+        d, i = knn_pallas(jnp.asarray(ref), jnp.asarray(query), k=3,
+                          interpret=True)
+        d, i = np.asarray(d), np.asarray(i)
+        np.testing.assert_array_equal(i[0, :2], [0, 1])
+        assert i[0, 2] == ref.shape[0]
+        assert np.isinf(d[0, 2])
