@@ -55,6 +55,10 @@ int lap_jv(const double* cost, int64_t n_rows, int64_t n_cols, int64_t* col_ind)
                     }
                 }
             }
+            // Non-finite costs (NaN rows, all-inf remaining columns) leave
+            // j1 == -1: without this guard the p[-1] access below is UB and
+            // the augmentation spins forever.  Report bad input instead.
+            if (j1 < 0) return 2;
             for (int64_t j = 0; j <= n_cols; ++j) {
                 if (used[j]) {
                     u[p[j]] += delta;

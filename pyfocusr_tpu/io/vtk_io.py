@@ -92,6 +92,12 @@ def _triangulate_polys(data: np.ndarray) -> np.ndarray:
             return np.ascontiguousarray(maybe[:, 1:].astype(np.int32))
     while pos < n_total:
         n = int(data[pos])
+        if n <= 0:
+            # A corrupt count would make pos += 1 + n stall (n == -1) or
+            # walk backwards — parse error, not an infinite loop.
+            raise ValueError(
+                f"invalid polygon vertex count {n} at stream offset {pos}"
+            )
         verts = data[pos + 1 : pos + 1 + n]
         for t in range(1, n - 1):
             tris.append((verts[0], verts[t], verts[t + 1]))
@@ -339,7 +345,14 @@ def _read_ascii(text: str):
                 for c, start in zip(counts, offsets[:-1]):
                     stream.append([c])
                     stream.append(conn[start : start + c])
-                data = np.concatenate([np.concatenate(stream)]) if stream else conn
+                # Empty stream -> no polygons; the raw CONNECTIVITY array
+                # has no per-poly counts and must not reach the
+                # triangulator (matches the binary path's np.zeros(0)).
+                data = (
+                    np.concatenate(stream)
+                    if stream
+                    else np.zeros(0, np.int64)
+                )
                 triangles = _triangulate_polys(data.astype(np.int64))
             else:
                 data = toks.take_array(n_vals, np.int64)
@@ -465,6 +478,13 @@ def _read_binary(raw: bytes):
         dt = np.dtype(np_dtype).newbyteorder(">")
         nbytes = dt.itemsize * count
         arr = np.frombuffer(raw[pos : pos + nbytes], dtype=dt).astype(np_dtype)
+        if arr.shape[0] != count:
+            # Truncated binary payload: frombuffer silently returns what is
+            # available; a short mesh must be a loud parse error.
+            raise ValueError(
+                f"binary payload truncated: expected {count} values, "
+                f"file has {arr.shape[0]}"
+            )
         pos += nbytes
         if pos < len(raw) and raw[pos : pos + 1] == b"\n":
             pos += 1
@@ -590,6 +610,19 @@ def write_vtk_polydata(path, points, triangles, point_data=None, title="pyfocusr
             items = list(point_data.items())
             name0, arr0 = items[0]
             arr0 = np.asarray(arr0, dtype=np.float64)
+            # The VTK SCALARS attribute caps numComp at 4 (and our readers
+            # enforce that); wider arrays (e.g. spectral coordinates) must
+            # go out as FIELD data or the file is unreadable.
+            scalars_ok = arr0.ndim == 1 or arr0.shape[1] <= 4
+            if not scalars_ok:
+                items = [(name0, arr0)] + items[1:]
+                f.write(f"FIELD extra {len(items)}\n")
+                for name, arr in items:
+                    arr = np.asarray(arr, dtype=np.float64)
+                    n_comp = 1 if arr.ndim == 1 else arr.shape[1]
+                    f.write(f"{name} {n_comp} {n} double\n")
+                    np.savetxt(f, arr.reshape(n, -1), fmt="%.10g")
+                return
             if arr0.ndim == 1:
                 f.write(f"SCALARS {name0} double\nLOOKUP_TABLE default\n")
                 np.savetxt(f, arr0, fmt="%.10g")

@@ -75,6 +75,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
     path = os.path.join(os.path.dirname(__file__), "_native.so")
     if not os.path.exists(path):
         _try_autobuild(path)
+    else:
+        # Source-newer-than-binary staleness: the missing-symbol probe
+        # below only catches ADDED functions; a behavior fix inside an
+        # existing one (e.g. the lap_jv non-finite guard) needs an mtime
+        # check, or every existing checkout keeps the old behavior.
+        src_dir = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "native"
+        )
+        try:
+            so_mtime = os.path.getmtime(path)
+            srcs = ("lap_jv.cpp", "fast_parse.cpp", "fast_topology.cpp")
+            if any(
+                os.path.getmtime(os.path.join(src_dir, f)) > so_mtime
+                for f in srcs
+                if os.path.exists(os.path.join(src_dir, f))
+            ):
+                _try_autobuild(path)  # atomic os.replace; pre-first-dlopen
+        except OSError:
+            pass
     if not os.path.exists(path):
         return None
     _LIB = _load(path)

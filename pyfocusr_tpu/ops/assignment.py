@@ -48,6 +48,11 @@ def lap_host(cost: np.ndarray):
     internally otherwise).
     """
     cost = np.asarray(cost, dtype=np.float64)
+    if not np.isfinite(cost).all():
+        # scipy's contract; without it the Dijkstra augmentation (numpy AND
+        # the C++ core) can spin forever on a NaN row — NaN comparisons
+        # never select an augmenting column.
+        raise ValueError("cost matrix contains non-finite entries")
     n_rows, n_cols = cost.shape
     if n_rows > n_cols:
         rows, cols = lap_host(cost.T)

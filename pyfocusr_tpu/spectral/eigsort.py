@@ -208,14 +208,18 @@ class eigsort:
     # the matrices piecemeal.
     # ------------------------------------------------------------------
     def calc_c_lambda(self):
-        gap_t = float(jnp.mean(jnp.diff(self.graph_target.eig_vals[: self.n_features])))
-        gap_s = float(jnp.mean(jnp.diff(self.graph_source.eig_vals[: self.n_features])))
+        lt = np.asarray(self.graph_target.eig_vals[: self.n_features])
+        ls = np.asarray(self.graph_source.eig_vals[: self.n_features])
+        # Same k==1 / degenerate-spectrum fallback as the pure fn and the
+        # jit path: an empty diff (NaN mean) or zero gap would NaN every
+        # cost entry silently.
+        gap_t = float(np.mean(np.diff(lt))) if lt.shape[0] > 1 else 0.0
+        gap_s = float(np.mean(np.diff(ls))) if ls.shape[0] > 1 else 0.0
+        gap = (gap_t + gap_s) / 2.0
+        if not gap > 0:
+            gap = 1.0
         self.c_lambda = np.asarray(
-            _c_lambda(
-                jnp.asarray(self.graph_target.eig_vals[: self.n_features]),
-                jnp.asarray(self.graph_source.eig_vals[: self.n_features]),
-                (gap_t + gap_s) / 2.0,
-            )
+            _c_lambda(jnp.asarray(lt), jnp.asarray(ls), gap)
         )
         return self.c_lambda
 

@@ -467,7 +467,10 @@ canvas.addEventListener("contextmenu", e => e.preventDefault());
 /* ---- render ---- */
 function draw() {
   const dpr = window.devicePixelRatio || 1;
-  const w = canvas.clientWidth * dpr, h = canvas.clientHeight * dpr;
+  // Round BEFORE comparing: canvas.width truncates to an integer, so a
+  // fractional DPR (125% displays) would mismatch every frame and
+  // reallocate+clear the drawing buffer on each redraw.
+  const w = Math.round(canvas.clientWidth * dpr), h = Math.round(canvas.clientHeight * dpr);
   if (canvas.width !== w || canvas.height !== h) { canvas.width = w; canvas.height = h; }
   gl.viewport(0, 0, w, h);
   gl.clearColor(0.106, 0.118, 0.137, 1);

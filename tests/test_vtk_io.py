@@ -262,3 +262,50 @@ def test_build_topology_rejects_out_of_range_indices():
         build_topology(np.array([[0, 5, 12]], np.int32), 10)
     with pytest.raises(ValueError, match="triangle indices"):
         build_topology(np.array([[0, -1, 2]], np.int32), 10)
+
+
+class TestRobustnessRound3:
+    """Round-3 review: malformed/degenerate files fail loudly; wide
+    point_data round-trips."""
+
+    def test_wide_point_data_roundtrips_as_field(self, tmp_path):
+        """Arrays with >4 components exceed the SCALARS numComp cap and
+        must be written as FIELD data (a 6-comp SCALARS was unreadable)."""
+        from pyfocusr_tpu.io.vtk_io import read_vtk_polydata, write_vtk_polydata
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(10, 3))
+        tris = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+        wide = rng.normal(size=(10, 6))
+        p = str(tmp_path / "wide.vtk")
+        write_vtk_polydata(p, pts, tris, {"spec": wide})
+        pts2, tris2, pd = read_vtk_polydata(p)
+        np.testing.assert_allclose(pd["spec"], wide, rtol=1e-8)
+        np.testing.assert_array_equal(tris2, tris)
+
+    def test_negative_poly_count_raises(self, tmp_path):
+        p = str(tmp_path / "neg.vtk")
+        open(p, "w").write(
+            "# vtk DataFile Version 4.2\nm\nASCII\nDATASET POLYDATA\n"
+            "POINTS 3 double\n0 0 0\n1 0 0\n0 1 0\n"
+            "POLYGONS 1 4\n-1 0 1 2\n"
+        )
+        from pyfocusr_tpu.io.vtk_io import read_vtk_polydata
+
+        with pytest.raises(ValueError, match="polygon vertex count"):
+            read_vtk_polydata(p)
+
+    def test_truncated_binary_points_raise(self, tmp_path):
+        """A binary file declaring more points than it contains must raise,
+        not return a silently short mesh."""
+        from pyfocusr_tpu.io.vtk_io import read_vtk_polydata
+
+        header = (
+            b"# vtk DataFile Version 4.2\nm\nBINARY\nDATASET POLYDATA\n"
+            b"POINTS 1000 double\n"
+        )
+        payload = np.arange(600 * 3, dtype=">f8").tobytes()  # only 600 pts
+        p = str(tmp_path / "trunc.vtk")
+        open(p, "wb").write(header + payload)
+        with pytest.raises(ValueError, match="truncated"):
+            read_vtk_polydata(p)
