@@ -390,6 +390,7 @@ def register_pair_multires(
     key,
     coarse_n: int = 12000,
     seed: int = 0,
+    device_mesh=None,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -401,6 +402,13 @@ def register_pair_multires(
 
     Returns (results dict from ``_refine_fine_level`` at fine resolution,
     coarse results dict).  Time/memory scale linearly with fine N.
+
+    ``device_mesh`` (single-axis ``jax.sharding.Mesh``): runs step 4
+    vertex-sharded over the mesh's devices
+    (``parallel.bigmesh.refine_fine_level_sharded``) — per-chip HBM and
+    smoothing/KNN work drop to O(N/P) while the coarse solve (fixed
+    budget) stays on one device.  Results match the single-device refine
+    to f32 roundoff (tests/test_bigmesh.py).
 
     The fine refinement uses 'kd' final correspondences; an O(N^2)-memory
     'hungarian' assignment is exactly what multi-resolution exists to avoid
@@ -473,6 +481,13 @@ def register_pair_multires(
 
     tg = mesh_to_graph_arrays(target_mesh, topology=topo_t)
     sg = mesh_to_graph_arrays(source_mesh, topology=topo_s)
+    if device_mesh is not None:
+        from .parallel.bigmesh import refine_fine_level_sharded
+
+        fine_res = refine_fine_level_sharded(
+            tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg, device_mesh
+        )
+        return fine_res, coarse_res
     refine = (
         _refine_fine_level_staged
         if _STAGED_REFINE_N > 0
