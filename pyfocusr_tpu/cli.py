@@ -280,11 +280,26 @@ def main(argv=None):
             source = load_mesh(src_path)
             t0 = time.perf_counter()
             if args.multires:
+                import numpy as np
+                from jax.sharding import Mesh
+
                 from .multires import register_pair_multires
 
+                # On a multi-chip host, vertex-shard the fine refine over
+                # every device (parallel/bigmesh.py) — results match the
+                # single-device path to f32 roundoff, so this is a pure
+                # scale-out (same auto-use pattern as the ssm command's
+                # cohort mesh).
+                n_dev = len(jax.devices())
+                verts_mesh = (
+                    Mesh(np.asarray(jax.devices()).reshape(n_dev), ("verts",))
+                    if n_dev > 1
+                    else None
+                )
                 res, _ = register_pair_multires(
                     target, source, cfg, jax.random.PRNGKey(args.seed),
                     coarse_n=args.multires,
+                    device_mesh=verts_mesh,
                 )
             elif prep is not None:
                 from .pipeline import register_pair_prepared

@@ -48,6 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import graph_ops
 from ..ops.knn import SENTINEL, idw_pull_k3, nn_query
+from ..utils.precision import f32_matmuls
 
 try:  # JAX >= 0.4.35 public API, else experimental
     shard_map = jax.shard_map
@@ -278,7 +279,8 @@ def _build_program(cfg, device_mesh: Mesh, axis: str):
     def spec_tree(tree):
         return jax.tree.map(lambda _: P(axis), tree)
 
-    def run(tgt, src, ic):
+    @f32_matmuls  # the MXU's default bf16 matmul passes corrupt the
+    def run(tgt, src, ic):  # SpMV einsum / KNN numerics (utils/precision.py)
         fn = shard_map(
             shard_fn,
             mesh=device_mesh,
@@ -323,12 +325,16 @@ def refine_fine_level_sharded(target, source, init_corr, cfg, device_mesh: Mesh)
     if src.n_points != n_s:
         ic = jnp.pad(ic, (0, src.n_points - n_s))  # padded rows are masked out
 
-    cache_key = (cfg, axis, n_dev)
+    # Key on device IDENTITY (not mesh object identity): callers often build
+    # a fresh Mesh per call, and a rebuilt shard_map closure would defeat
+    # jit's executable cache.
+    dev_ids = tuple(d.id for d in device_mesh.devices.ravel())
+    cache_key = (cfg, axis, dev_ids)
     prog = _PROGRAM_CACHE.get(cache_key)
-    if prog is None or prog[0] is not device_mesh:
-        prog = (device_mesh, _build_program(cfg, device_mesh, axis))
+    if prog is None:
+        prog = _build_program(cfg, device_mesh, axis)
         _PROGRAM_CACHE[cache_key] = prog
-    out = prog[1](tgt, src, ic)
+    out = prog(tgt, src, ic)
 
     def cut(name, x):
         n = n_t if name == "smoothed_target_coords" else n_s
