@@ -1,11 +1,12 @@
 """Dependency-free PLY / OBJ / STL triangle-mesh readers and writers.
 
 The reference consumes only legacy ``.vtk`` PolyData (``vtk_functions.py:5-9``
-via vtkPolyDataReader), but real mesh collections arrive as PLY/OBJ/STL;
-these loaders widen the I/O boundary with the same zero-dependency,
+via vtkPolyDataReader), but real mesh collections arrive as PLY/OBJ/STL
+(and modern VTK pipelines emit XML ``.vtp`` — see :mod:`.vtp_io`); these
+loaders widen the I/O boundary with the same zero-dependency,
 numpy-only design as :mod:`.vtk_io`.  ``pyfocusr_tpu.load_mesh`` /
 ``save_mesh`` dispatch on file extension, so every pipeline entry point
-accepts any of the four formats transparently.
+accepts any of the five formats transparently.
 
 Format notes:
 
@@ -36,7 +37,7 @@ __all__ = [
     "SUPPORTED_EXTENSIONS",
 ]
 
-SUPPORTED_EXTENSIONS = (".vtk", ".ply", ".obj", ".stl")
+SUPPORTED_EXTENSIONS = (".vtk", ".vtp", ".ply", ".obj", ".stl")
 
 
 def _fan_triangulate(faces):
@@ -429,12 +430,16 @@ def write_stl(path: str, points, triangles, point_data=None, binary=True):
 # ----------------------------------------------------------------------
 
 def read_any(path: str):
-    """(points, triangles, point_data) from .vtk/.ply/.obj/.stl by extension."""
+    """(points, triangles, point_data) from .vtk/.vtp/.ply/.obj/.stl by extension."""
     low = path.lower()
     if low.endswith(".vtk"):
         from .vtk_io import read_vtk_polydata
 
         return read_vtk_polydata(path)
+    if low.endswith(".vtp"):
+        from .vtp_io import read_vtp
+
+        return read_vtp(path)
     if low.endswith(".ply"):
         return read_ply(path)
     if low.endswith(".obj"):
@@ -453,6 +458,10 @@ def write_any(path: str, points, triangles, point_data=None):
         from .vtk_io import write_vtk_polydata
 
         return write_vtk_polydata(path, points, triangles, point_data or {})
+    if low.endswith(".vtp"):
+        from .vtp_io import write_vtp
+
+        return write_vtp(path, points, triangles, point_data)
     if low.endswith(".ply"):
         return write_ply(path, points, triangles, point_data)
     if low.endswith(".obj"):

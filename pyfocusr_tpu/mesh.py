@@ -364,7 +364,8 @@ def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
     """Load a mesh file into a :class:`TriMesh` (replaces
     ``vtk_functions.read_vtk_mesh``, reference ``vtk_functions.py:5-9``).
     Format by extension: legacy ``.vtk`` PolyData plus — beyond the
-    reference — ``.ply`` / ``.obj`` / ``.stl`` (``io.mesh_formats``).
+    reference — XML ``.vtp`` (``io.vtp_io``) and ``.ply`` / ``.obj`` /
+    ``.stl`` (``io.mesh_formats``).
 
     Arrays are HOST-resident (numpy): all connectivity/preprocessing
     consumers are host-side, and on the remote-TPU runtime an eager device
@@ -382,7 +383,7 @@ def load_mesh(path: str, dtype=jnp.float32) -> TriMesh:
 
 def save_mesh(path: str, mesh: TriMesh) -> None:
     """Write ``mesh`` in the format implied by ``path``'s extension
-    (.vtk / .ply / .obj / .stl)."""
+    (.vtk / .vtp / .ply / .obj / .stl)."""
     write_any(
         path,
         np.asarray(mesh.points, dtype=np.float64),
