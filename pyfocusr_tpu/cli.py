@@ -280,7 +280,6 @@ def main(argv=None):
             source = load_mesh(src_path)
             t0 = time.perf_counter()
             if args.multires:
-                import numpy as np
                 from jax.sharding import Mesh
 
                 from .multires import register_pair_multires

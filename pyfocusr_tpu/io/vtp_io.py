@@ -244,6 +244,11 @@ def read_vtp(path: str):
         if pts_el is None:
             raise ValueError("vtp Piece has no Points DataArray")
         ncomp = int(pts_el.get("NumberOfComponents", "3"))
+        if ncomp < 3:
+            raise ValueError(
+                f"vtp Points has NumberOfComponents={ncomp}; FOCUSR needs "
+                "3-D points (embed 2-D meshes with a zero z column first)"
+            )
         pts = _read_data_array(pts_el, decoder, appended, byte_order)
         pts = pts.reshape(-1, ncomp)[:, :3].astype(np.float64)
         n_pts = pts.shape[0]
@@ -334,6 +339,10 @@ def write_vtp(path, points, triangles, point_data=None, binary=True, compress=Fa
     triangles = np.ascontiguousarray(np.asarray(triangles, np.int64))
     if points.ndim != 2 or points.shape[1] != 3:
         raise ValueError(f"points must be [N, 3], got {points.shape}")
+    if triangles.size == 0:
+        triangles = triangles.reshape(0, 3)
+    if triangles.ndim != 2 or triangles.shape[1] != 3:
+        raise ValueError(f"triangles must be [F, 3], got {triangles.shape}")
     if triangles.size and (triangles.min() < 0 or triangles.max() >= len(points)):
         raise ValueError("triangles index out of range")
     n, f = len(points), len(triangles)
@@ -346,7 +355,11 @@ def write_vtp(path, points, triangles, point_data=None, binary=True, compress=Fa
         xml_t = _NP_TO_XML[arr.dtype]
         attrs = f'type="{xml_t}" NumberOfComponents="{ncomp}" format="{fmt}"'
         if name:
-            attrs = f'Name="{name}" ' + attrs
+            # point_data keys come from arbitrary upstream files; unescaped
+            # " & < would produce a file no XML parser can read back.
+            from xml.sax.saxutils import quoteattr
+
+            attrs = f"Name={quoteattr(name)} " + attrs
         body = (
             _encode_block(arr.tobytes(), compress)
             if binary

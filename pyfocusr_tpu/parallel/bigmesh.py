@@ -211,8 +211,9 @@ def _mean_filter_chebyshev_sharded(
     return inv_sqrt[:, None] * acc
 
 
-# Compiled sharded-refine programs, keyed by (cfg, mesh axis sizes/names);
-# rebuilding the shard_map closure per call would defeat jit's cache.
+# Compiled sharded-refine programs, keyed by (cfg, axis name, device
+# identities); rebuilding the shard_map closure per call would defeat
+# jit's cache.
 _PROGRAM_CACHE: dict = {}
 
 
@@ -327,8 +328,9 @@ def refine_fine_level_sharded(target, source, init_corr, cfg, device_mesh: Mesh)
 
     # Key on device IDENTITY (not mesh object identity): callers often build
     # a fresh Mesh per call, and a rebuilt shard_map closure would defeat
-    # jit's executable cache.
-    dev_ids = tuple(d.id for d in device_mesh.devices.ravel())
+    # jit's executable cache.  platform+id, not id alone: device ids restart
+    # at 0 per backend, so a CPU debug mesh and a TPU mesh would collide.
+    dev_ids = tuple((d.platform, d.id) for d in device_mesh.devices.ravel())
     cache_key = (cfg, axis, dev_ids)
     prog = _PROGRAM_CACHE.get(cache_key)
     if prog is None:

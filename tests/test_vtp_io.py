@@ -281,3 +281,35 @@ class TestErrors:
             vtp_io.write_vtp(
                 str(tmp_path / "y.vtp"), np.zeros((3, 3)), np.array([[0, 1, 5]])
             )
+        # Quad / flat connectivity must be rejected, not silently written
+        # as a corrupt file (review finding).
+        with pytest.raises(ValueError, match="triangles must be"):
+            vtp_io.write_vtp(
+                str(tmp_path / "q.vtp"), np.zeros((5, 3)), np.array([[0, 1, 2, 3]])
+            )
+        with pytest.raises(ValueError, match="triangles must be"):
+            vtp_io.write_vtp(
+                str(tmp_path / "f.vtp"), np.zeros((5, 3)), np.array([0, 1, 2])
+            )
+
+    def test_points_with_two_components_raises(self, tmp_path):
+        bad = _PIECE_ASCII.replace(
+            'NumberOfComponents="3"', 'NumberOfComponents="2"'
+        ).replace("0 0 0  1 0 0  1 1 0  0 1 0", "0 0  1 0  1 1  0 1")
+        p = tmp_path / "2d.vtp"
+        p.write_bytes(_xml_file(bad))
+        with pytest.raises(ValueError, match="NumberOfComponents=2"):
+            vtp_io.read_vtp(str(p))
+
+
+def test_point_data_name_needing_xml_escape_roundtrips(tmp_path):
+    """Names with " & < (arbitrary upstream array names) must be escaped
+    into valid XML, not written verbatim (review finding)."""
+    pts = np.zeros((3, 3))
+    tris = np.array([[0, 1, 2]], np.int32)
+    name = 'thick"ness_&_<mm>'
+    vals = np.array([1.0, 2.0, 3.0])
+    p = str(tmp_path / "esc.vtp")
+    vtp_io.write_vtp(p, pts, tris, {name: vals})
+    _, _, data = vtp_io.read_vtp(p)
+    np.testing.assert_allclose(data[name], vals)
