@@ -19,6 +19,16 @@ band* — and the gates below sit between the two.
 import numpy as np
 import pytest
 
+from conftest import SYNTHETIC_FIXTURES
+
+# The goldens were generated from the REAL bundled meshes; the synthetic
+# fixture pair (plain runners without the reference checkout) cannot match
+# them — skip the whole module there.
+pytestmark = pytest.mark.skipif(
+    SYNTHETIC_FIXTURES,
+    reason="golden gates need the bundled reference meshes",
+)
+
 GOLD = "tests/goldens/reference_golden_5k_kd.npz"
 
 NOTEBOOK_COMMON = dict(
