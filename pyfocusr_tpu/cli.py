@@ -34,6 +34,58 @@ def _output_stems(paths):
     return stems
 
 
+def _parse_landmark_file(path):
+    """Parse a ``--landmarks`` file into ('index', i64 [L, 2]) or
+    ('position', f64 [L, 6]); every data line must have the same width
+    (2 = vertex-index pairs, 6 = paired physical positions)."""
+    import numpy as np
+
+    rows = []
+    with open(path) as fh:
+        for lineno, ln in enumerate(fh, 1):
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            vals = ln.replace(",", " ").split()
+            if len(vals) not in (2, 6):
+                raise ValueError(
+                    f"{path}:{lineno}: expected 2 (SRC_IDX TGT_IDX) or 6 "
+                    f"(sx sy sz tx ty tz) values, got {len(vals)}"
+                )
+            rows.append(vals)
+    if not rows:
+        raise ValueError(f"{path}: no landmarks found")
+    widths = {len(r) for r in rows}
+    if len(widths) != 1:
+        raise ValueError(f"{path}: mixed 2- and 6-column landmark lines")
+    if widths == {2}:
+        return "index", np.asarray(rows, np.int64)
+    return "position", np.asarray(rows, np.float64)
+
+
+def _landmark_pairs_for(kind, rows, target, source):
+    """Build register_pair's [L, 2] (source_vertex, target_vertex) pairs
+    for one mesh pair; returns (pairs, max_snap_distance_or_None)."""
+    import numpy as np
+
+    if kind == "index":
+        if rows[:, 0].min() < 0 or rows[:, 0].max() >= source.n_points:
+            raise ValueError(
+                f"landmark source index out of range [0, {source.n_points})"
+            )
+        if rows[:, 1].min() < 0 or rows[:, 1].max() >= target.n_points:
+            raise ValueError(
+                f"landmark target index out of range [0, {target.n_points})"
+            )
+        return rows.astype(np.int32), None
+    from .pipeline import landmark_pairs_from_positions
+
+    pairs, dists = landmark_pairs_from_positions(
+        source, target, rows[:, :3], rows[:, 3:]
+    )
+    return np.asarray(pairs), float(np.asarray(dists).max())
+
+
 def _add_common(p):
     p.add_argument("--n-spectral-features", type=int, default=3)
     p.add_argument("--n-extra-spectral", type=int, default=3)
@@ -96,6 +148,23 @@ def main(argv=None):
         help="multi-resolution path for very large meshes: decimate to "
         "~COARSE_N vertices, register there, refine at full resolution "
         "(pyfocusr_tpu.multires)",
+    )
+    p_reg.add_argument(
+        "--landmarks",
+        metavar="FILE",
+        default=None,
+        help="known correspondences used as CPD priors (anatomically-"
+        "guided registration): text file, one landmark per line, either "
+        "'SRC_IDX TGT_IDX' vertex indices or 'sx sy sz tx ty tz' physical "
+        "positions snapped to the nearest vertices; '#' comments allowed",
+    )
+    p_reg.add_argument(
+        "--landmark-weight",
+        type=float,
+        default=None,
+        metavar="W",
+        help="pseudo-responsibility strength of the --landmarks priors "
+        "(cfg.landmark_weight; default 100)",
     )
     _add_common(p_reg)
 
@@ -253,6 +322,24 @@ def main(argv=None):
         if args.multires and (args.prepared or args.save_prepared):
             print("--multires cannot use prepared target state", file=sys.stderr)
             return 2
+        if args.multires and args.landmarks:
+            print(
+                "--landmarks is not supported with --multires (landmark "
+                "vertex indices are not stable across decimation); register "
+                "directly or pre-decimate the meshes",
+                file=sys.stderr,
+            )
+            return 2
+        landmark_rows = None
+        if args.landmarks:
+            landmark_rows = _parse_landmark_file(args.landmarks)
+            if args.landmark_weight is not None:
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, landmark_weight=args.landmark_weight)
+        elif args.landmark_weight is not None:
+            print("--landmark-weight requires --landmarks", file=sys.stderr)
+            return 2
         if not args.multires and target.n_points > 150_000:
             print(
                 f"note: target has {target.n_points} vertices; direct "
@@ -278,6 +365,11 @@ def main(argv=None):
         summaries = []
         for src_path, src_stem in zip(args.source, _output_stems(args.source)):
             source = load_mesh(src_path)
+            lm_pairs, lm_snap = None, None
+            if landmark_rows is not None:
+                lm_pairs, lm_snap = _landmark_pairs_for(
+                    landmark_rows[0], landmark_rows[1], target, source
+                )
             t0 = time.perf_counter()
             if args.multires:
                 from jax.sharding import Mesh
@@ -306,6 +398,7 @@ def main(argv=None):
                 res = register_pair_prepared(
                     prep, tg, mesh_to_graph_arrays(source), cfg,
                     jax.random.PRNGKey(args.seed),
+                    landmark_pairs=lm_pairs,
                 )
             else:
                 res = register_pair(
@@ -313,6 +406,7 @@ def main(argv=None):
                     mesh_to_graph_arrays(source),
                     cfg,
                     jax.random.PRNGKey(args.seed),
+                    landmark_pairs=lm_pairs,
                 )
             jax.block_until_ready(res)
             dt = time.perf_counter() - t0
@@ -362,15 +456,20 @@ def main(argv=None):
                     f"-> {os.path.basename(args.target)}",
                 )
                 names.append(html_name)
-            summaries.append(
-                {
-                    "source": src_path,
-                    "seconds": round(dt, 3),
-                    "unique_correspondences": int(len(np.unique(corr))),
-                    "n_source_points": int(corr.shape[0]),
-                    "outputs": names,
-                }
-            )
+            summary = {
+                "source": src_path,
+                "seconds": round(dt, 3),
+                "unique_correspondences": int(len(np.unique(corr))),
+                "n_source_points": int(corr.shape[0]),
+                "outputs": names,
+            }
+            if lm_pairs is not None:
+                summary["landmarks"] = int(lm_pairs.shape[0])
+                if lm_snap is not None:
+                    # Large snap distances mean the picked positions do not
+                    # actually lie on the surfaces — surface that loudly.
+                    summary["landmark_max_snap_mm"] = round(lm_snap, 4)
+            summaries.append(summary)
         print(json.dumps(summaries[0] if not multi else summaries))
         return 0
 

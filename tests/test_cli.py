@@ -294,3 +294,122 @@ def test_output_stems_counter_cannot_collide_with_real_basename():
     stems = _output_stems(["a/mesh.vtk", "b/mesh.vtk", "c/mesh_1.vtk"])
     assert len(set(stems)) == 3, stems
     assert stems[2] == "mesh_1"  # real basename keeps its own stem
+
+
+class TestLandmarkParsing:
+    def test_index_format(self, tmp_path):
+        from pyfocusr_tpu.cli import _parse_landmark_file
+
+        p = tmp_path / "lm.txt"
+        p.write_text("# header comment\n3 17\n5, 2  # trailing comment\n\n")
+        kind, rows = _parse_landmark_file(str(p))
+        assert kind == "index"
+        np.testing.assert_array_equal(rows, [[3, 17], [5, 2]])
+
+    def test_position_format(self, tmp_path):
+        from pyfocusr_tpu.cli import _parse_landmark_file
+
+        p = tmp_path / "lm.txt"
+        p.write_text("0 0 0 1 1 1\n0.5, 0.5, 0.5, 2, 2, 2\n")
+        kind, rows = _parse_landmark_file(str(p))
+        assert kind == "position"
+        assert rows.shape == (2, 6)
+
+    def test_bad_width_raises(self, tmp_path):
+        from pyfocusr_tpu.cli import _parse_landmark_file
+
+        p = tmp_path / "lm.txt"
+        p.write_text("1 2 3\n")
+        with pytest.raises(ValueError, match="expected 2 .* or 6"):
+            _parse_landmark_file(str(p))
+
+    def test_mixed_widths_raise(self, tmp_path):
+        from pyfocusr_tpu.cli import _parse_landmark_file
+
+        p = tmp_path / "lm.txt"
+        p.write_text("1 2\n0 0 0 1 1 1\n")
+        with pytest.raises(ValueError, match="mixed"):
+            _parse_landmark_file(str(p))
+
+    def test_empty_raises(self, tmp_path):
+        from pyfocusr_tpu.cli import _parse_landmark_file
+
+        p = tmp_path / "lm.txt"
+        p.write_text("# only comments\n")
+        with pytest.raises(ValueError, match="no landmarks"):
+            _parse_landmark_file(str(p))
+
+    def test_index_range_validation(self):
+        import jax.numpy as jnp
+
+        from pyfocusr_tpu.cli import _landmark_pairs_for
+        from pyfocusr_tpu.mesh import TriMesh
+
+        tri = np.array([[0, 1, 2]], np.int32)
+        m3 = TriMesh(jnp.zeros((3, 3), jnp.float32), jnp.asarray(tri), {})
+        m5 = TriMesh(jnp.zeros((5, 3), jnp.float32), jnp.asarray(tri), {})
+        rows = np.array([[4, 0]])
+        with pytest.raises(ValueError, match="source index out of range"):
+            _landmark_pairs_for("index", rows, target=m5, source=m3)
+        with pytest.raises(ValueError, match="target index out of range"):
+            _landmark_pairs_for("index", np.array([[0, 4]]), target=m3, source=m5)
+        pairs, snap = _landmark_pairs_for(
+            "index", np.array([[2, 4]]), target=m5, source=m3
+        )
+        assert snap is None
+        np.testing.assert_array_equal(pairs, [[2, 4]])
+
+
+def test_register_landmark_flag_validation(tmp_path):
+    lm = tmp_path / "lm.txt"
+    lm.write_text("0 0\n")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--multires", "1000", "--landmarks", str(lm), "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2
+    assert "not supported with --multires" in proc.stderr
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--landmark-weight", "50", "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2
+    assert "requires --landmarks" in proc.stderr
+
+
+@pytest.mark.slow
+def test_register_with_landmarks(tmp_path):
+    """Index-pair landmarks flow through to the CPD prior: the run succeeds,
+    reports the landmark count, and pins the landmarked vertices closer to
+    their targets than the unconstrained run does."""
+    lm_idx = [10, 500, 2500, 4000]
+    lm = tmp_path / "lm.txt"
+    lm.write_text("".join(f"{i} {i}\n" for i in lm_idx))
+    common = [
+        "--non-rigid-max-iterations", "30",
+        "--graph-smoothing-iterations", "30",
+        "--n-coords-spectral-registration", "500",
+    ]
+    d1, d2 = tmp_path / "free", tmp_path / "pinned"
+    d1.mkdir(); d2.mkdir()
+    p1 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d1)] + common
+    )
+    assert p1.returncode == 0, p1.stderr[-800:]
+    p2 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d2), "--landmarks", str(lm),
+         "--landmark-weight", "200"] + common
+    )
+    assert p2.returncode == 0, p2.stderr[-800:]
+    out = json.loads(p2.stdout[p2.stdout.index("{"):])
+    assert out["landmarks"] == len(lm_idx)
+    from pyfocusr_tpu.mesh import load_mesh
+
+    tgt_pts = np.asarray(load_mesh(f"{DATA}/target_mesh.vtk").points, np.float64)
+    free = np.asarray(load_mesh(str(d1 / "transformed_source.vtk")).points)
+    pinned = np.asarray(load_mesh(str(d2 / "transformed_source.vtk")).points)
+    d_free = np.linalg.norm(free[lm_idx] - tgt_pts[lm_idx], axis=1).mean()
+    d_pin = np.linalg.norm(pinned[lm_idx] - tgt_pts[lm_idx], axis=1).mean()
+    assert d_pin < d_free, (d_pin, d_free)
