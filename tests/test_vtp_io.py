@@ -302,6 +302,39 @@ class TestErrors:
             vtp_io.read_vtp(str(p))
 
 
+def test_malformed_files_raise_not_corrupt(tmp_path):
+    """Truncated/corrupted inputs must raise (any exception type is fine —
+    callers treat read failure uniformly), never hang or silently return
+    wrong geometry."""
+    pts = np.arange(30, dtype=np.float64).reshape(10, 3)
+    tris = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    good = str(tmp_path / "good.vtp")
+    vtp_io.write_vtp(good, pts, tris, {"s": np.zeros(10)})
+    raw = open(good, "rb").read()
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        # Truncations and random single-byte corruptions.
+        if i < 10:
+            bad = raw[: int(len(raw) * (i + 1) / 11)]
+        else:
+            b = bytearray(raw)
+            pos = int(rng.integers(0, len(b)))
+            b[pos] = int(rng.integers(0, 256))
+            bad = bytes(b)
+        p = str(tmp_path / "bad.vtp")
+        open(p, "wb").write(bad)
+        try:
+            r_pts, r_tris, _ = vtp_io.read_vtp(p)
+        except Exception:
+            continue  # loud failure is the expected outcome
+        # A byte flip may land in payload/whitespace and decode fine —
+        # but structure must still be self-consistent.
+        assert r_pts.shape[1] == 3
+        assert r_tris.shape[1] == 3
+        if r_tris.size:
+            assert r_tris.max() < r_pts.shape[0]
+
+
 def test_point_data_name_needing_xml_escape_roundtrips(tmp_path):
     """Names with " & < (arbitrary upstream array names) must be escaped
     into valid XML, not written verbatim (review finding)."""
