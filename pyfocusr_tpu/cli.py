@@ -58,9 +58,13 @@ def _parse_landmark_file(path):
     widths = {len(r) for r in rows}
     if len(widths) != 1:
         raise ValueError(f"{path}: mixed 2- and 6-column landmark lines")
-    if widths == {2}:
-        return "index", np.asarray(rows, np.int64)
-    return "position", np.asarray(rows, np.float64)
+    try:
+        if widths == {2}:
+            return "index", np.asarray(rows, np.int64)
+        return "position", np.asarray(rows, np.float64)
+    except ValueError as exc:
+        kind = "integer vertex indices" if widths == {2} else "coordinates"
+        raise ValueError(f"{path}: landmark values must be {kind} ({exc})")
 
 
 def _landmark_pairs_for(kind, rows, target, source):
@@ -311,7 +315,8 @@ def main(argv=None):
         return 0
 
     if args.cmd == "register":
-        target = load_mesh(args.target)
+        # argv-only validations BEFORE any mesh I/O — a wrong flag must not
+        # cost a multi-million-vertex parse first.
         multi = len(args.source) > 1
         if multi and args.multires:
             print(
@@ -324,22 +329,44 @@ def main(argv=None):
             return 2
         if args.multires and args.landmarks:
             print(
-                "--landmarks is not supported with --multires (landmark "
-                "vertex indices are not stable across decimation); register "
-                "directly or pre-decimate the meshes",
+                "--landmarks is not supported with --multires (the "
+                "multi-resolution path has no landmark plumbing yet); "
+                "register directly — landmarks work to ~120k vertices "
+                "within the 5 s envelope",
                 file=sys.stderr,
             )
             return 2
+        if args.landmark_weight is not None and not args.landmarks:
+            print("--landmark-weight requires --landmarks", file=sys.stderr)
+            return 2
+        if args.landmark_weight is not None and args.landmark_weight <= 0:
+            print("--landmark-weight must be positive", file=sys.stderr)
+            return 2
         landmark_rows = None
         if args.landmarks:
-            landmark_rows = _parse_landmark_file(args.landmarks)
+            try:
+                landmark_rows = _parse_landmark_file(args.landmarks)
+            except (OSError, ValueError) as exc:
+                print(f"--landmarks: {exc}", file=sys.stderr)
+                return 2
+            if len(landmark_rows[1]) >= cfg.n_coords_spectral_registration:
+                print(
+                    f"--landmarks: {len(landmark_rows[1])} landmarks but "
+                    "the CPD subsample is only "
+                    f"{cfg.n_coords_spectral_registration} points; raise "
+                    "--n-coords-spectral-registration above the landmark "
+                    "count",
+                    file=sys.stderr,
+                )
+                return 2
             if args.landmark_weight is not None:
                 import dataclasses as _dc
 
+                # Safe to replace before the prepared-state load/save:
+                # the config fingerprint normalizes landmark_weight out
+                # (pipeline._cfg_fingerprint).
                 cfg = _dc.replace(cfg, landmark_weight=args.landmark_weight)
-        elif args.landmark_weight is not None:
-            print("--landmark-weight requires --landmarks", file=sys.stderr)
-            return 2
+        target = load_mesh(args.target)
         if not args.multires and target.n_points > 150_000:
             print(
                 f"note: target has {target.n_points} vertices; direct "
@@ -367,9 +394,13 @@ def main(argv=None):
             source = load_mesh(src_path)
             lm_pairs, lm_snap = None, None
             if landmark_rows is not None:
-                lm_pairs, lm_snap = _landmark_pairs_for(
-                    landmark_rows[0], landmark_rows[1], target, source
-                )
+                try:
+                    lm_pairs, lm_snap = _landmark_pairs_for(
+                        landmark_rows[0], landmark_rows[1], target, source
+                    )
+                except ValueError as exc:
+                    print(f"--landmarks ({src_path}): {exc}", file=sys.stderr)
+                    return 2
             t0 = time.perf_counter()
             if args.multires:
                 from jax.sharding import Mesh

@@ -914,6 +914,20 @@ def _graph_fingerprint(graph: GraphArrays) -> str:
     return h.hexdigest()
 
 
+def _cfg_fingerprint(cfg: PipelineConfig) -> str:
+    """Canonical config string for prepared-state fingerprints.
+
+    ``landmark_weight`` is normalized to its default: it is a per-run CPD
+    prior knob that never enters :func:`prepare_target`'s spectrum or
+    smoothing, so one prepared state legitimately serves runs with
+    different landmark weights (the CLI passes --landmark-weight per
+    invocation)."""
+    import dataclasses
+
+    default_w = PipelineConfig.__dataclass_fields__["landmark_weight"].default
+    return repr(dataclasses.replace(cfg, landmark_weight=default_w))
+
+
 def save_prepared_target(
     path: str, prep, cfg: PipelineConfig = None, target: GraphArrays = None
 ) -> None:
@@ -931,7 +945,7 @@ def save_prepared_target(
     tree = dict(prep)
     if cfg is not None:
         tree["cfg_fingerprint"] = _np.frombuffer(
-            repr(cfg).encode(), dtype=_np.uint8
+            _cfg_fingerprint(cfg).encode(), dtype=_np.uint8
         ).copy()
     if target is not None:
         tree["target_fingerprint"] = _np.frombuffer(
@@ -952,7 +966,7 @@ def load_prepared_target(
     flat = load_results(path)
     if cfg is not None and "['cfg_fingerprint']" in flat:
         stored = bytes(flat["['cfg_fingerprint']"]).decode()
-        if stored != repr(cfg):
+        if stored != _cfg_fingerprint(cfg):
             raise ValueError(
                 "prepared-target state was saved under a different "
                 "PipelineConfig; re-run prepare_target (stored: "

@@ -413,3 +413,85 @@ def test_register_with_landmarks(tmp_path):
     d_free = np.linalg.norm(free[lm_idx] - tgt_pts[lm_idx], axis=1).mean()
     d_pin = np.linalg.norm(pinned[lm_idx] - tgt_pts[lm_idx], axis=1).mean()
     assert d_pin < d_free, (d_pin, d_free)
+
+
+def test_cfg_fingerprint_ignores_landmark_weight():
+    """--landmark-weight is per-run: it must not invalidate prepared state
+    saved under a different weight (review finding)."""
+    import dataclasses
+
+    from pyfocusr_tpu.pipeline import PipelineConfig, _cfg_fingerprint
+
+    cfg = PipelineConfig()
+    assert _cfg_fingerprint(cfg) == _cfg_fingerprint(
+        dataclasses.replace(cfg, landmark_weight=777.0)
+    )
+    # ...but every other field still invalidates.
+    assert _cfg_fingerprint(cfg) != _cfg_fingerprint(
+        dataclasses.replace(cfg, non_rigid_beta=3.0)
+    )
+
+
+def test_register_landmark_fast_failures(tmp_path):
+    """Bad landmark flags fail with a message and exit code 2 BEFORE any
+    mesh is parsed (all run in well under a mesh-load)."""
+    missing = str(tmp_path / "nope.txt")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--landmarks", missing, "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "--landmarks:" in proc.stderr
+
+    badint = tmp_path / "badint.txt"
+    badint.write_text("3.5 2\n")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--landmarks", str(badint), "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "integer vertex indices" in proc.stderr
+
+    lm = tmp_path / "lm.txt"
+    lm.write_text("0 0\n")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--landmarks", str(lm), "--landmark-weight", "0",
+         "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "must be positive" in proc.stderr
+
+    many = tmp_path / "many.txt"
+    many.write_text("".join(f"{i} {i}\n" for i in range(600)))
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--landmarks", str(many),
+         "--n-coords-spectral-registration", "500", "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "CPD subsample" in proc.stderr
+
+
+@pytest.mark.slow
+def test_register_prepared_with_landmark_weight(tmp_path):
+    """Prepared state saved WITHOUT landmarks serves a later run WITH
+    --landmarks --landmark-weight (the fingerprint normalizes the weight
+    out — review finding: this used to fail with a config mismatch)."""
+    common = [
+        "--non-rigid-max-iterations", "30",
+        "--graph-smoothing-iterations", "30",
+        "--n-coords-spectral-registration", "500",
+    ]
+    prep_npz = str(tmp_path / "prep.npz")
+    p1 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(tmp_path), "--save-prepared", prep_npz] + common
+    )
+    assert p1.returncode == 0, p1.stderr[-800:]
+    lm = tmp_path / "lm.txt"
+    lm.write_text("10 10\n2500 2500\n")
+    p2 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(tmp_path), "--prepared", prep_npz,
+         "--landmarks", str(lm), "--landmark-weight", "200"] + common
+    )
+    assert p2.returncode == 0, p2.stderr[-800:]
+    out = json.loads(p2.stdout[p2.stdout.index("{"):])
+    assert out["landmarks"] == 2
