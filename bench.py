@@ -53,7 +53,6 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from pyfocusr_tpu import load_mesh
-from pyfocusr_tpu.ops.knn import nn_query
 from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
 
 DATA = "/root/reference/data"
@@ -170,24 +169,19 @@ def main():
     # a transient tunnel fault in any later phase must not kill the bench
     # (observed: "TPU backend error (Internal)" on a device_put mid-run).
     try:
-        corr = np.asarray(res["correspondences"])
-        uniq = len(np.unique(corr))
-        weighted = np.asarray(res["weighted_points"], np.float64)
-        src_pts = np.asarray(source.points, np.float64)
-        tgt_pts = np.asarray(target.points, np.float64)
-        diag["unique_correspondences"] = f"{uniq}/{corr.shape[0]}"
-        diag["unique_fraction"] = round(uniq / corr.shape[0], 4)
-        diag["mean_displacement_mm"] = round(
-            float(np.linalg.norm(weighted - src_pts, axis=1).mean()), 4
+        from pyfocusr_tpu.metrics import registration_quality
+
+        q = registration_quality(target, source, res)
+        diag["unique_correspondences"] = (
+            f"{q['n_unique_correspondences']}/{q['n_source_points']}"
         )
-        # Symmetric surface distance: transformed source <-> target.
-        wj = jnp.asarray(weighted, jnp.float32)
-        tj = jnp.asarray(tgt_pts, jnp.float32)
-        d_fwd, _ = nn_query(tj, wj)
-        d_rev, _ = nn_query(wj, tj)
-        diag["symmetric_surface_dist_mm"] = round(
-            float((np.asarray(d_fwd).mean() + np.asarray(d_rev).mean()) / 2.0), 4
-        )
+        for k in (
+            "unique_fraction",
+            "mean_displacement_mm",
+            "symmetric_surface_dist_mm",
+            "hausdorff_mm",
+        ):
+            diag[k] = q[k]
     except Exception as e:
         print(f"quality diagnostic failed: {e}", file=sys.stderr)
         diag["quality_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -314,10 +308,9 @@ def main():
             jax.block_until_ready(fine)
             mcorr = np.asarray(fine["correspondences"])
             t_mr = time.perf_counter() - t0
-            mw = jnp.asarray(fine["weighted_points"], jnp.float32)
-            mt = jnp.asarray(np.asarray(t_big.points, np.float32))
-            md_f, _ = nn_query(mt, mw)
-            md_r, _ = nn_query(mw, mt)
+            from pyfocusr_tpu.metrics import surface_distance
+
+            m_mean, _m_haus = surface_distance(fine["weighted_points"], t_big)
             diag["multires_240k"] = {
                 "n_vertices": int(t_big.n_points),
                 "seconds": round(t_mr, 3),
@@ -325,13 +318,7 @@ def main():
                 "unique_fraction": round(
                     len(np.unique(mcorr)) / mcorr.shape[0], 4
                 ),
-                "symmetric_surface_dist_mm": round(
-                    float(
-                        (np.asarray(md_f).mean() + np.asarray(md_r).mean())
-                        / 2.0
-                    ),
-                    4,
-                ),
+                "symmetric_surface_dist_mm": round(m_mean, 4),
             }
         except Exception as e:
             print(f"multires diagnostic failed: {e}", file=sys.stderr)

@@ -32,6 +32,7 @@ from .pipeline import (  # noqa: F401
     register_pair_prepared,
     register_pair_prepared_source,
 )
+from .metrics import registration_quality, surface_distance  # noqa: F401
 from .spectral.eigsort import eigsort  # noqa: F401
 from .spectral.graph import Graph, features_dictionary  # noqa: F401
 from .transfer import (  # noqa: F401

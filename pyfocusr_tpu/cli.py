@@ -170,6 +170,13 @@ def main(argv=None):
         help="pseudo-responsibility strength of the --landmarks priors "
         "(cfg.landmark_weight; default 100)",
     )
+    p_reg.add_argument(
+        "--quality",
+        action="store_true",
+        help="include registration-quality metrics in the JSON summary "
+        "(unique fraction, mean displacement, symmetric surface distance, "
+        "Hausdorff — pyfocusr_tpu.metrics.registration_quality)",
+    )
     _add_common(p_reg)
 
     p_coh = sub.add_parser("cohort", help="register a template to N subjects")
@@ -500,6 +507,10 @@ def main(argv=None):
                     # Large snap distances mean the picked positions do not
                     # actually lie on the surfaces — surface that loudly.
                     summary["landmark_max_snap_mm"] = round(lm_snap, 4)
+            if args.quality:
+                from .metrics import registration_quality
+
+                summary["quality"] = registration_quality(target, source, res)
             summaries.append(summary)
         print(json.dumps(summaries[0] if not multi else summaries))
         return 0
