@@ -334,15 +334,6 @@ def main(argv=None):
         if args.multires and (args.prepared or args.save_prepared):
             print("--multires cannot use prepared target state", file=sys.stderr)
             return 2
-        if args.multires and args.landmarks:
-            print(
-                "--landmarks is not supported with --multires (the "
-                "multi-resolution path has no landmark plumbing yet); "
-                "register directly — landmarks work to ~120k vertices "
-                "within the 5 s envelope",
-                file=sys.stderr,
-            )
-            return 2
         if args.landmark_weight is not None and not args.landmarks:
             print("--landmark-weight requires --landmarks", file=sys.stderr)
             return 2
@@ -429,6 +420,7 @@ def main(argv=None):
                     target, source, cfg, jax.random.PRNGKey(args.seed),
                     coarse_n=args.multires,
                     device_mesh=verts_mesh,
+                    landmark_pairs=lm_pairs,
                 )
             elif prep is not None:
                 from .pipeline import register_pair_prepared

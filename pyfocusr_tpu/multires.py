@@ -391,6 +391,7 @@ def register_pair_multires(
     coarse_n: int = 12000,
     seed: int = 0,
     device_mesh=None,
+    landmark_pairs=None,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -399,6 +400,15 @@ def register_pair_multires(
     3. Prolong: fine source vertex -> its coarse cluster -> coarse
        correspondence -> representative fine target vertex.
     4. Refine at full resolution (reference smoothing + final locations).
+
+    ``landmark_pairs`` (i64/i32 [L, 2] FINE-resolution (source_vertex,
+    target_vertex) pairs): mapped through the decimation clusters and
+    applied as MAP-CPD priors to the COARSE registration (see
+    ``register_pair``).  The pins guide the coarse map; the fine refine
+    then smooths freely, so landmark influence is soft at full resolution
+    (cluster-sized, ~``n_fine/coarse_n`` vertices around each pin).
+    Fine pins that collapse into the same coarse cluster are deduplicated
+    (first wins).
 
     Returns (results dict from ``_refine_fine_level`` at fine resolution,
     coarse results dict).  Time/memory scale linearly with fine N.
@@ -453,7 +463,28 @@ def register_pair_multires(
     )
     ct = mesh_to_graph_arrays(ct_mesh)
     cs = mesh_to_graph_arrays(cs_mesh)
-    coarse_res = register_pair(ct, cs, cfg, key)
+    lm_coarse = None
+    if landmark_pairs is not None:
+        lm = np.asarray(landmark_pairs, np.int64)
+        if lm.ndim != 2 or lm.shape[1] != 2:
+            raise ValueError(f"landmark_pairs must be [L, 2], got {lm.shape}")
+        if lm.size and (
+            lm[:, 0].min() < 0
+            or lm[:, 0].max() >= source_mesh.n_points
+            or lm[:, 1].min() < 0
+            or lm[:, 1].max() >= target_mesh.n_points
+        ):
+            raise ValueError(
+                "landmark_pairs index out of range for the FINE meshes "
+                f"(source {source_mesh.n_points}, target "
+                f"{target_mesh.n_points} vertices)"
+            )
+        c = np.stack([map_s[lm[:, 0]], map_t[lm[:, 1]]], axis=1)
+        # Several fine pins can land in one coarse cluster; keep the first
+        # (consistent picks agree at cluster scale anyway).
+        _, first = np.unique(c[:, 0], return_index=True)
+        lm_coarse = jnp.asarray(c[np.sort(first)], jnp.int32)
+    coarse_res = register_pair(ct, cs, cfg, key, landmark_pairs=lm_coarse)
     coarse_corr = np.asarray(coarse_res["correspondences"], np.int64)
     init_fine = rep_t[coarse_corr[map_s]]
 

@@ -361,20 +361,33 @@ class TestLandmarkParsing:
 
 
 def test_register_landmark_flag_validation(tmp_path):
-    lm = tmp_path / "lm.txt"
-    lm.write_text("0 0\n")
-    proc = _run_cli(
-        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
-         "--multires", "1000", "--landmarks", str(lm), "-o", str(tmp_path)]
-    )
-    assert proc.returncode == 2
-    assert "not supported with --multires" in proc.stderr
     proc = _run_cli(
         ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
          "--landmark-weight", "50", "-o", str(tmp_path)]
     )
     assert proc.returncode == 2
     assert "requires --landmarks" in proc.stderr
+
+
+@pytest.mark.slow
+def test_register_multires_with_landmarks(tmp_path):
+    """Fine-resolution landmark pairs map through the decimation clusters
+    into coarse MAP-CPD priors; the run completes and reports them."""
+    lm = tmp_path / "lm.txt"
+    lm.write_text("10 10\n2500 2500\n")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--multires", "1500", "--landmarks", str(lm),
+         "--landmark-weight", "200", "-o", str(tmp_path),
+         "--non-rigid-max-iterations", "30",
+         "--graph-smoothing-iterations", "30",
+         "--n-coords-spectral-registration", "500"]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["landmarks"] == 2
+    corr = np.load(tmp_path / "correspondences.npy")
+    assert len(np.unique(corr)) > 0.4 * 5000
 
 
 @pytest.mark.slow

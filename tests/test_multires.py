@@ -241,3 +241,50 @@ def test_multires_rejects_feature_configs():
     cfg = PipelineConfig(use_features_in_graph=True)
     with pytest.raises(ValueError, match="feature"):
         register_pair_multires(m, m, cfg, jax.random.PRNGKey(0))
+
+
+def test_multires_landmark_validation_and_mapping(tmp_path):
+    """Fine landmark pairs are validated against the FINE meshes and
+    deduplicated per coarse cluster before reaching the coarse CPD."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.multires import register_pair_multires
+    from pyfocusr_tpu.pipeline import PipelineConfig
+
+    pts, tris = make_sphere(n_theta=12, n_phi=24)
+    warp = pts * (1.0 + 0.04 * np.sin(2 * pts[:, [1]]))
+    target = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+    source = TriMesh(jnp.asarray(warp.astype(np.float32)), jnp.asarray(tris))
+    cfg = PipelineConfig(
+        icp_iterations=5,
+        n_coords_spectral_ordering=60,
+        n_coords_spectral_registration=50,
+        non_rigid_max_iterations=10,
+        non_rigid_n_eigens=20,
+        graph_smoothing_iterations=10,
+        projection_smooth_iterations=1,
+        eig_cg_iters=40,
+    )
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="out of range for the FINE"):
+        register_pair_multires(
+            target, source, cfg, key, coarse_n=60,
+            landmark_pairs=np.array([[10_000, 0]]),
+        )
+    with pytest.raises(ValueError, match="must be \\[L, 2\\]"):
+        register_pair_multires(
+            target, source, cfg, key, coarse_n=60,
+            landmark_pairs=np.zeros((2, 3), np.int64),
+        )
+    # Valid pins (including two that likely share a cluster) run through.
+    lm = np.array([[5, 5], [6, 6], [150, 150]], np.int64)
+    fine, coarse = register_pair_multires(
+        target, source, cfg, key, coarse_n=60, landmark_pairs=lm
+    )
+    assert np.all(np.isfinite(np.asarray(fine["weighted_points"])))
