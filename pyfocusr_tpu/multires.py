@@ -270,6 +270,28 @@ def decimate(mesh: TriMesh, target_n: int, seed: int = 0, edges=None):
     return coarse, fine_to_coarse, rep
 
 
+def _weight_coords(graph: GraphArrays, cfg: PipelineConfig):
+    """Coordinates the smoothing weights derive from: xyz, or xyz augmented
+    with mean-range-scaled node_features when
+    ``cfg.include_features_in_adj_matrix`` — the same augmentation
+    ``pipeline._graph_weights`` applies (reference ``graph.py:166-175``:
+    the smoothing operator's W carries the feature distances too)."""
+    feats = graph.node_features
+    if not (
+        cfg.include_features_in_adj_matrix
+        and feats is not None
+        and feats.shape[1] > 0
+    ):
+        return graph.points
+    mask = graph.valid_mask
+    mn = jnp.min(jnp.where(mask[:, None] > 0, graph.points, jnp.inf), axis=0)
+    mx = jnp.max(jnp.where(mask[:, None] > 0, graph.points, -jnp.inf), axis=0)
+    mean_range = jnp.mean(mx - mn)
+    return jnp.concatenate(
+        [graph.points, feats * mean_range * mask[:, None]], axis=1
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
 def _refine_fine_level(
@@ -278,11 +300,13 @@ def _refine_fine_level(
     """Fine-resolution correspondence refinement: the reference's smoothing
     + final-location stages (``focusr.py:368-431``) from a given initial
     correspondence — the tail of ``register_pair`` without spectra/CPD."""
-    w_t = graph_ops.edge_weights(target.points, target.neighbors, target.nbr_mask)
-    w_s = graph_ops.edge_weights(source.points, source.neighbors, source.nbr_mask)
+    wc_t = _weight_coords(target, cfg)
+    wc_s = _weight_coords(source, cfg)
+    w_t = graph_ops.edge_weights(wc_t, target.neighbors, target.nbr_mask)
+    w_s = graph_ops.edge_weights(wc_s, source.neighbors, source.nbr_mask)
     ov_t, ov_s = target.overflow, source.overflow
-    ovw_t = graph_ops.overflow_weights(target.points, ov_t)
-    ovw_s = graph_ops.overflow_weights(source.points, ov_s)
+    ovw_t = graph_ops.overflow_weights(wc_t, ov_t)
+    ovw_s = graph_ops.overflow_weights(wc_s, ov_s)
     tmask = target.valid_mask[:, None]
     smooth_fn = (
         graph_ops.mean_filter_chebyshev
@@ -329,11 +353,15 @@ def _refine_fine_level(
 _STAGED_REFINE_N = int(os.environ.get("PYFOCUSR_TPU_STAGED_REFINE_N", "2000000"))
 
 
-@partial(jax.jit, static_argnames=("iterations", "method"))
+@partial(jax.jit, static_argnames=("iterations", "method", "cfg"))
 @f32_matmuls
-def _smooth_graph_jit(graph: GraphArrays, values, iterations: int, method: str):
-    w = graph_ops.edge_weights(graph.points, graph.neighbors, graph.nbr_mask)
-    ovw = graph_ops.overflow_weights(graph.points, graph.overflow)
+def _smooth_graph_jit(
+    graph: GraphArrays, values, iterations: int, method: str,
+    cfg: PipelineConfig = None,
+):
+    wc = graph.points if cfg is None else _weight_coords(graph, cfg)
+    w = graph_ops.edge_weights(wc, graph.neighbors, graph.nbr_mask)
+    ovw = graph_ops.overflow_weights(wc, graph.overflow)
     fn = (
         graph_ops.mean_filter_chebyshev
         if method == "chebyshev"
@@ -358,12 +386,12 @@ def _refine_fine_level_staged(
     if cfg.smooth_correspondences:
         smoothed_tgt = _smooth_graph_jit(
             target, target.points, cfg.graph_smoothing_iterations,
-            cfg.smoothing_method,
+            cfg.smoothing_method, cfg,
         )
         gathered = smoothed_tgt[init_corr]
         projected = _smooth_graph_jit(
             source, gathered, cfg.projection_smooth_iterations,
-            cfg.smoothing_method,
+            cfg.smoothing_method, cfg,
         )
         smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
         _, corr = nn_query(smoothed_q, projected)
@@ -392,6 +420,7 @@ def register_pair_multires(
     seed: int = 0,
     device_mesh=None,
     landmark_pairs=None,
+    node_features=None,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -409,6 +438,13 @@ def register_pair_multires(
     (cluster-sized, ~``n_fine/coarse_n`` vertices around each pin).
     Fine pins that collapse into the same coarse cluster are deduplicated
     (first wins).
+
+    ``node_features`` (``(target_feats [Nt, K], source_feats [Ns, K])``,
+    normalized like ``GraphArrays.node_features``): enables the
+    feature-weighted configs at scale — decimation aggregates features per
+    cluster (mean) for the coarse spectral registration, and the fine
+    refine's smoothing weights carry the feature-augmented distances when
+    ``include_features_in_adj_matrix`` is set (``_weight_coords``).
 
     Returns (results dict from ``_refine_fine_level`` at fine resolution,
     coarse results dict).  Time/memory scale linearly with fine N.
@@ -439,19 +475,46 @@ def register_pair_multires(
             "independently decimated meshes rarely have the equal vertex "
             "counts it requires (set initial/final_correspondence_type='kd')"
         )
-    if (
+    feature_cfg = (
         cfg.use_features_as_coords
         or cfg.use_features_in_graph
         or cfg.include_features_in_adj_matrix
-    ):
-        # Decimation does not aggregate point_data / node_features, so the
-        # feature-weighted stages would silently fall back to featureless
-        # weighting at both levels — reject loudly instead.
+    )
+    if feature_cfg and node_features is None:
+        # Without explicit features the feature-weighted stages would
+        # silently fall back to featureless weighting — reject loudly.
         raise ValueError(
-            "register_pair_multires does not support feature-weighted "
-            "configs (decimation drops per-vertex features); use "
-            "register_pair directly or disable the feature options"
+            "feature-weighted configs need node_features=(target_feats, "
+            "source_feats) — fine-resolution normalized [N, K] arrays; "
+            "decimation aggregates them per cluster for the coarse level"
         )
+    if (
+        node_features is not None
+        and device_mesh is not None
+        and cfg.include_features_in_adj_matrix
+    ):
+        raise ValueError(
+            "include_features_in_adj_matrix is not supported with "
+            "device_mesh (the sharded fine refine builds featureless "
+            "smoothing weights); drop device_mesh or that option"
+        )
+    feats_t = feats_s = None
+    if node_features is not None:
+        feats_t, feats_s = node_features
+        feats_t = np.asarray(feats_t, np.float32)
+        feats_s = np.asarray(feats_s, np.float32)
+        if (
+            feats_t.ndim != 2
+            or feats_s.ndim != 2
+            or feats_t.shape[0] != target_mesh.n_points
+            or feats_s.shape[0] != source_mesh.n_points
+            or feats_t.shape[1] != feats_s.shape[1]
+        ):
+            raise ValueError(
+                "node_features must be ([N_target, K], [N_source, K]) "
+                f"matching the fine meshes; got {feats_t.shape} and "
+                f"{feats_s.shape}"
+            )
     # Fine topologies are needed for the refine stage anyway — build them
     # once and feed the edge lists into decimation's first round (the
     # extraction is the dominant host cost at multi-million scale).
@@ -461,8 +524,20 @@ def register_pair_multires(
     cs_mesh, map_s, rep_s = decimate(
         source_mesh, coarse_n, seed + 1, edges=topo_s.edges
     )
-    ct = mesh_to_graph_arrays(ct_mesh)
-    cs = mesh_to_graph_arrays(cs_mesh)
+    def _aggregate_features(feats, label, nc):
+        """Cluster-mean aggregation of per-vertex features onto the coarse
+        mesh (features are already normalized; the mean preserves scale)."""
+        acc = np.zeros((nc, feats.shape[1]), np.float64)
+        np.add.at(acc, label, feats.astype(np.float64))
+        cnt = np.bincount(label, minlength=nc).astype(np.float64)[:, None]
+        return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
+
+    cf_t = cf_s = None
+    if feats_t is not None:
+        cf_t = _aggregate_features(feats_t, map_t, ct_mesh.n_points)
+        cf_s = _aggregate_features(feats_s, map_s, cs_mesh.n_points)
+    ct = mesh_to_graph_arrays(ct_mesh, node_features=cf_t)
+    cs = mesh_to_graph_arrays(cs_mesh, node_features=cf_s)
     lm_coarse = None
     if landmark_pairs is not None:
         lm = np.asarray(landmark_pairs, np.int64)
@@ -510,8 +585,8 @@ def register_pair_multires(
         cfg, projection_smooth_iterations=proj_iters
     )
 
-    tg = mesh_to_graph_arrays(target_mesh, topology=topo_t)
-    sg = mesh_to_graph_arrays(source_mesh, topology=topo_s)
+    tg = mesh_to_graph_arrays(target_mesh, topology=topo_t, node_features=feats_t)
+    sg = mesh_to_graph_arrays(source_mesh, topology=topo_s, node_features=feats_s)
     if device_mesh is not None:
         from .parallel.bigmesh import refine_fine_level_sharded
 
