@@ -90,6 +90,28 @@ def _landmark_pairs_for(kind, rows, target, source):
     return np.asarray(pairs), float(np.asarray(dists).max())
 
 
+def _compute_node_features(mesh, names):
+    """Normalized [N, K] feature matrix for the pipeline, reusing Graph's
+    feature computation + normalization (z-score, clip +-3, 0-1 — the
+    reference's defaults): names are 'curvature' (both principal
+    curvatures), 'min_curvature', 'max_curvature', or any point_data array
+    name on the mesh."""
+    import numpy as np
+
+    from .spectral.graph import Graph, features_dictionary
+
+    calc = [n for n in names if n in features_dictionary]
+    from_mesh = [n for n in names if n not in features_dictionary]
+    g = Graph(
+        mesh,
+        list_features_to_calc=calc,
+        list_features_to_get_from_mesh=from_mesh,
+        n_rand_samples=1,
+        seed=0,
+    )
+    return np.stack([np.asarray(f) for f in g.node_features], axis=1)
+
+
 def _add_common(p):
     p.add_argument("--n-spectral-features", type=int, default=3)
     p.add_argument("--n-extra-spectral", type=int, default=3)
@@ -169,6 +191,23 @@ def main(argv=None):
         metavar="W",
         help="pseudo-responsibility strength of the --landmarks priors "
         "(cfg.landmark_weight; default 100)",
+    )
+    p_reg.add_argument(
+        "--features",
+        nargs="+",
+        metavar="NAME",
+        default=None,
+        help="feature-oriented registration (the F in FOCUSR): append the "
+        "named features to the spectral coordinates "
+        "(use_features_as_coords).  NAME is 'curvature' (both principal "
+        "curvatures), 'min_curvature', 'max_curvature', or a point_data "
+        "array present on BOTH meshes",
+    )
+    p_reg.add_argument(
+        "--features-in-adjacency",
+        action="store_true",
+        help="also weight the graph edges by feature distances "
+        "(include_features_in_adj_matrix); requires --features",
     )
     p_reg.add_argument(
         "--quality",
@@ -337,6 +376,9 @@ def main(argv=None):
         if args.landmark_weight is not None and not args.landmarks:
             print("--landmark-weight requires --landmarks", file=sys.stderr)
             return 2
+        if args.features_in_adjacency and not args.features:
+            print("--features-in-adjacency requires --features", file=sys.stderr)
+            return 2
         if args.landmark_weight is not None and args.landmark_weight <= 0:
             print("--landmark-weight must be positive", file=sys.stderr)
             return 2
@@ -372,7 +414,39 @@ def main(argv=None):
                 "uniqueness (docs/tuning.md) — consider --multires 12000",
                 file=sys.stderr,
             )
-        tg = None if args.multires else mesh_to_graph_arrays(target)
+
+        def _feature_names_missing(mesh):
+            from .spectral.graph import features_dictionary
+
+            return [
+                n
+                for n in (args.features or ())
+                if n not in features_dictionary and n not in mesh.point_data
+            ]
+
+        feats_target = None
+        if args.features:
+            missing = _feature_names_missing(target)
+            if missing:
+                print(
+                    f"--features: {missing} not computable and not in the "
+                    f"target's point_data {sorted(target.point_data)}",
+                    file=sys.stderr,
+                )
+                return 2
+            feats_target = _compute_node_features(target, args.features)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                use_features_as_coords=True,
+                include_features_in_adj_matrix=args.features_in_adjacency,
+            )
+        tg = (
+            None
+            if args.multires
+            else mesh_to_graph_arrays(target, node_features=feats_target)
+        )
         prep = None
         if args.prepared:
             from .pipeline import load_prepared_target
@@ -399,6 +473,17 @@ def main(argv=None):
                 except ValueError as exc:
                     print(f"--landmarks ({src_path}): {exc}", file=sys.stderr)
                     return 2
+            feats_source = None
+            if args.features:
+                missing = _feature_names_missing(source)
+                if missing:
+                    print(
+                        f"--features: {missing} not computable and not in "
+                        f"{src_path}'s point_data {sorted(source.point_data)}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                feats_source = _compute_node_features(source, args.features)
             t0 = time.perf_counter()
             if args.multires:
                 from jax.sharding import Mesh
@@ -416,24 +501,37 @@ def main(argv=None):
                     if n_dev > 1
                     else None
                 )
+                if verts_mesh is not None and args.features_in_adjacency:
+                    # The sharded refine builds featureless smoothing
+                    # weights; run the refine on one device instead.
+                    print(
+                        "note: --features-in-adjacency disables the "
+                        "multi-device fine refine",
+                        file=sys.stderr,
+                    )
+                    verts_mesh = None
                 res, _ = register_pair_multires(
                     target, source, cfg, jax.random.PRNGKey(args.seed),
                     coarse_n=args.multires,
                     device_mesh=verts_mesh,
                     landmark_pairs=lm_pairs,
+                    node_features=(
+                        (feats_target, feats_source) if args.features else None
+                    ),
                 )
             elif prep is not None:
                 from .pipeline import register_pair_prepared
 
                 res = register_pair_prepared(
-                    prep, tg, mesh_to_graph_arrays(source), cfg,
-                    jax.random.PRNGKey(args.seed),
+                    prep, tg,
+                    mesh_to_graph_arrays(source, node_features=feats_source),
+                    cfg, jax.random.PRNGKey(args.seed),
                     landmark_pairs=lm_pairs,
                 )
             else:
                 res = register_pair(
                     tg,
-                    mesh_to_graph_arrays(source),
+                    mesh_to_graph_arrays(source, node_features=feats_source),
                     cfg,
                     jax.random.PRNGKey(args.seed),
                     landmark_pairs=lm_pairs,

@@ -508,3 +508,74 @@ def test_register_prepared_with_landmark_weight(tmp_path):
     assert p2.returncode == 0, p2.stderr[-800:]
     out = json.loads(p2.stdout[p2.stdout.index("{"):])
     assert out["landmarks"] == 2
+
+
+class TestFeaturesFlag:
+    def test_compute_node_features_shapes(self):
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        import jax.numpy as jnp
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.cli import _compute_node_features
+        from pyfocusr_tpu.mesh import TriMesh
+
+        pts, tris = make_sphere(n_theta=10, n_phi=20)
+        m = TriMesh(
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(tris),
+            {"t": jnp.asarray(pts[:, 0] ** 2, jnp.float32)},
+        )
+        f = _compute_node_features(m, ["curvature"])  # min+max principal
+        assert f.shape == (pts.shape[0], 2)
+        f = _compute_node_features(m, ["t", "max_curvature"])
+        assert f.shape == (pts.shape[0], 2)
+        assert f.min() >= 0.0 and f.max() <= 1.0  # Graph normalization
+
+    def test_flag_validation(self, tmp_path):
+        proc = _run_cli(
+            ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+             "--features-in-adjacency", "-o", str(tmp_path)]
+        )
+        assert proc.returncode == 2
+        assert "requires --features" in proc.stderr
+        proc = _run_cli(
+            ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+             "--features", "no_such_array", "-o", str(tmp_path)]
+        )
+        assert proc.returncode == 2
+        assert "no_such_array" in proc.stderr
+        assert "thickness_change_(mm)" in proc.stderr  # lists what IS there
+
+    @pytest.mark.slow
+    def test_register_with_features(self, tmp_path):
+        """--features appends the named channels as registration
+        coordinates (the F in FOCUSR) end to end."""
+        proc = _run_cli(
+            ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+             "--features", "thickness_change_(mm)", "--quality",
+             "-o", str(tmp_path),
+             "--non-rigid-max-iterations", "30",
+             "--graph-smoothing-iterations", "30",
+             "--n-coords-spectral-registration", "500"]
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        out = json.loads(proc.stdout[proc.stdout.index("{"):])
+        assert out["quality"]["unique_fraction"] > 0.5
+        assert (tmp_path / "transformed_source.vtk").exists()
+
+    @pytest.mark.slow
+    def test_register_multires_with_features(self, tmp_path):
+        proc = _run_cli(
+            ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+             "--multires", "1500",
+             "--features", "curvature", "--features-in-adjacency",
+             "-o", str(tmp_path),
+             "--non-rigid-max-iterations", "30",
+             "--graph-smoothing-iterations", "30",
+             "--n-coords-spectral-registration", "500"]
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        corr = np.load(tmp_path / "correspondences.npy")
+        assert len(np.unique(corr)) > 0.3 * 5000
