@@ -90,24 +90,43 @@ def _landmark_pairs_for(kind, rows, target, source):
     return np.asarray(pairs), float(np.asarray(dists).max())
 
 
-def _compute_node_features(mesh, names):
+def _compute_node_features(mesh, names, topology=None):
     """Normalized [N, K] feature matrix for the pipeline, reusing Graph's
     feature computation + normalization (z-score, clip +-3, 0-1 — the
     reference's defaults): names are 'curvature' (both principal
     curvatures), 'min_curvature', 'max_curvature', or any point_data array
-    name on the mesh."""
+    name on the mesh.  Multi-component point_data arrays (e.g. normals,
+    [N, C]) expand into C separately-normalized columns.  Pass a prebuilt
+    ``topology`` to skip Graph's own edge extraction (the dominant host
+    cost on large meshes)."""
     import numpy as np
 
     from .spectral.graph import Graph, features_dictionary
 
     calc = [n for n in names if n in features_dictionary]
-    from_mesh = [n for n in names if n not in features_dictionary]
+    fetch = []
+    g_mesh = mesh
+    for n in names:
+        if n in features_dictionary:
+            continue
+        arr = np.asarray(mesh.point_data[n])
+        if arr.ndim == 1:
+            fetch.append(n)
+        else:
+            # Split vector arrays into scalar columns so each component
+            # normalizes independently (Graph would otherwise z-score the
+            # whole matrix jointly, and mixed scalar/vector stacks fail).
+            for c in range(arr.shape[1]):
+                cn = f"{n}:{c}"
+                g_mesh = g_mesh.with_point_data(cn, arr[:, c])
+                fetch.append(cn)
     g = Graph(
-        mesh,
+        g_mesh,
         list_features_to_calc=calc,
-        list_features_to_get_from_mesh=from_mesh,
+        list_features_to_get_from_mesh=fetch,
         n_rand_samples=1,
         seed=0,
+        topology=topology,
     )
     return np.stack([np.asarray(f) for f in g.node_features], axis=1)
 
@@ -425,6 +444,7 @@ def main(argv=None):
             ]
 
         feats_target = None
+        topo_target = None
         if args.features:
             missing = _feature_names_missing(target)
             if missing:
@@ -434,7 +454,17 @@ def main(argv=None):
                     file=sys.stderr,
                 )
                 return 2
-            feats_target = _compute_node_features(target, args.features)
+            from .mesh import build_topology
+
+            # Built once and shared with mesh_to_graph_arrays below — edge
+            # extraction is the dominant host cost on large meshes.  (The
+            # --multires path still builds its own internally.)
+            topo_target = build_topology(
+                np.asarray(target.triangles), target.n_points
+            )
+            feats_target = _compute_node_features(
+                target, args.features, topology=topo_target
+            )
             import dataclasses as _dc
 
             cfg = _dc.replace(
@@ -445,7 +475,9 @@ def main(argv=None):
         tg = (
             None
             if args.multires
-            else mesh_to_graph_arrays(target, node_features=feats_target)
+            else mesh_to_graph_arrays(
+                target, node_features=feats_target, topology=topo_target
+            )
         )
         prep = None
         if args.prepared:
@@ -474,6 +506,7 @@ def main(argv=None):
                     print(f"--landmarks ({src_path}): {exc}", file=sys.stderr)
                     return 2
             feats_source = None
+            topo_source = None
             if args.features:
                 missing = _feature_names_missing(source)
                 if missing:
@@ -483,7 +516,14 @@ def main(argv=None):
                         file=sys.stderr,
                     )
                     return 2
-                feats_source = _compute_node_features(source, args.features)
+                from .mesh import build_topology
+
+                topo_source = build_topology(
+                    np.asarray(source.triangles), source.n_points
+                )
+                feats_source = _compute_node_features(
+                    source, args.features, topology=topo_source
+                )
             t0 = time.perf_counter()
             if args.multires:
                 from jax.sharding import Mesh
@@ -510,28 +550,42 @@ def main(argv=None):
                         file=sys.stderr,
                     )
                     verts_mesh = None
-                res, _ = register_pair_multires(
-                    target, source, cfg, jax.random.PRNGKey(args.seed),
-                    coarse_n=args.multires,
-                    device_mesh=verts_mesh,
-                    landmark_pairs=lm_pairs,
-                    node_features=(
-                        (feats_target, feats_source) if args.features else None
-                    ),
-                )
+                try:
+                    res, _ = register_pair_multires(
+                        target, source, cfg, jax.random.PRNGKey(args.seed),
+                        coarse_n=args.multires,
+                        device_mesh=verts_mesh,
+                        landmark_pairs=lm_pairs,
+                        node_features=(
+                            (feats_target, feats_source)
+                            if args.features
+                            else None
+                        ),
+                    )
+                except ValueError as exc:
+                    if lm_pairs is not None and "landmark" in str(exc):
+                        # e.g. pins collapse onto more coarse clusters than
+                        # the coarse CPD subsample holds.
+                        print(f"--landmarks: {exc}", file=sys.stderr)
+                        return 2
+                    raise
             elif prep is not None:
                 from .pipeline import register_pair_prepared
 
                 res = register_pair_prepared(
                     prep, tg,
-                    mesh_to_graph_arrays(source, node_features=feats_source),
+                    mesh_to_graph_arrays(
+                        source, node_features=feats_source, topology=topo_source
+                    ),
                     cfg, jax.random.PRNGKey(args.seed),
                     landmark_pairs=lm_pairs,
                 )
             else:
                 res = register_pair(
                     tg,
-                    mesh_to_graph_arrays(source, node_features=feats_source),
+                    mesh_to_graph_arrays(
+                        source, node_features=feats_source, topology=topo_source
+                    ),
                     cfg,
                     jax.random.PRNGKey(args.seed),
                     landmark_pairs=lm_pairs,
@@ -584,10 +638,20 @@ def main(argv=None):
                     f"-> {os.path.basename(args.target)}",
                 )
                 names.append(html_name)
+            q = None
+            if args.quality:
+                from .metrics import registration_quality
+
+                q = registration_quality(target, source, res)
             summary = {
                 "source": src_path,
                 "seconds": round(dt, 3),
-                "unique_correspondences": int(len(np.unique(corr))),
+                # One np.unique pass: reuse the metrics' count when present.
+                "unique_correspondences": (
+                    q.pop("n_unique_correspondences")
+                    if q is not None
+                    else int(len(np.unique(corr)))
+                ),
                 "n_source_points": int(corr.shape[0]),
                 "outputs": names,
             }
@@ -597,10 +661,9 @@ def main(argv=None):
                     # Large snap distances mean the picked positions do not
                     # actually lie on the surfaces — surface that loudly.
                     summary["landmark_max_snap_mm"] = round(lm_snap, 4)
-            if args.quality:
-                from .metrics import registration_quality
-
-                summary["quality"] = registration_quality(target, source, res)
+            if q is not None:
+                q.pop("n_source_points")
+                summary["quality"] = q
             summaries.append(summary)
         print(json.dumps(summaries[0] if not multi else summaries))
         return 0

@@ -488,11 +488,7 @@ def register_pair_multires(
             "source_feats) — fine-resolution normalized [N, K] arrays; "
             "decimation aggregates them per cluster for the coarse level"
         )
-    if (
-        node_features is not None
-        and device_mesh is not None
-        and cfg.include_features_in_adj_matrix
-    ):
+    if device_mesh is not None and cfg.include_features_in_adj_matrix:
         raise ValueError(
             "include_features_in_adj_matrix is not supported with "
             "device_mesh (the sharded fine refine builds featureless "
@@ -526,9 +522,18 @@ def register_pair_multires(
     )
     def _aggregate_features(feats, label, nc):
         """Cluster-mean aggregation of per-vertex features onto the coarse
-        mesh (features are already normalized; the mean preserves scale)."""
-        acc = np.zeros((nc, feats.shape[1]), np.float64)
-        np.add.at(acc, label, feats.astype(np.float64))
+        mesh (features are already normalized; the mean preserves scale).
+        Per-column np.bincount, not np.add.at — unbuffered-ufunc indexing
+        was the measured decimation hotspot at 240k (see _luby_mis_numpy)."""
+        acc = np.stack(
+            [
+                np.bincount(
+                    label, weights=feats[:, k].astype(np.float64), minlength=nc
+                )
+                for k in range(feats.shape[1])
+            ],
+            axis=1,
+        )
         cnt = np.bincount(label, minlength=nc).astype(np.float64)[:, None]
         return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
 
@@ -558,7 +563,21 @@ def register_pair_multires(
         # Several fine pins can land in one coarse cluster; keep the first
         # (consistent picks agree at cluster scale anyway).
         _, first = np.unique(c[:, 0], return_index=True)
-        lm_coarse = jnp.asarray(c[np.sort(first)], jnp.int32)
+        c = c[np.sort(first)]
+        # The coarse CPD subsample must exceed the pin count (pipeline
+        # guard) — at aggressive coarse_n every cluster can end up pinned.
+        n_reg_coarse = min(
+            cfg.n_coords_spectral_registration,
+            ct_mesh.n_points,
+            cs_mesh.n_points,
+        )
+        if len(c) >= n_reg_coarse:
+            raise ValueError(
+                f"{len(c)} landmark pins survive decimation but the coarse "
+                f"CPD subsample is only {n_reg_coarse} points; raise "
+                "coarse_n (more clusters) or thin the landmarks"
+            )
+        lm_coarse = jnp.asarray(c, jnp.int32)
     coarse_res = register_pair(ct, cs, cfg, key, landmark_pairs=lm_coarse)
     coarse_corr = np.asarray(coarse_res["correspondences"], np.int64)
     init_fine = rep_t[coarse_corr[map_s]]

@@ -301,8 +301,14 @@ def refine_fine_level_sharded(target, source, init_corr, cfg, device_mesh: Mesh)
     final-location stages (``focusr.py:368-431``) — with each device
     owning N/P vertex rows of both graphs.
 
-    Feature-weighted refine configs never reach here
-    (``register_pair_multires`` rejects them before the coarse stage).
+    This refine builds FEATURELESS smoothing weights: graphs carrying
+    node_features may arrive (use_features_as_coords affects only the
+    coarse stage, so that combination is fine), but
+    ``include_features_in_adj_matrix`` — which puts features into the
+    smoothing weights (``multires._weight_coords``) — is rejected by
+    ``register_pair_multires`` before reaching here.  If the single-device
+    refine ever grows more feature awareness, this twin must follow or the
+    documented single/multi-device parity breaks.
     """
     if len(device_mesh.axis_names) != 1:
         raise ValueError(

@@ -579,3 +579,29 @@ class TestFeaturesFlag:
         assert proc.returncode == 0, proc.stderr[-800:]
         corr = np.load(tmp_path / "correspondences.npy")
         assert len(np.unique(corr)) > 0.3 * 5000
+
+
+def test_compute_node_features_multicomponent(tmp_path):
+    """Vector point_data (e.g. normals) expands into per-component columns
+    instead of crashing np.stack (review finding)."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.cli import _compute_node_features
+    from pyfocusr_tpu.mesh import TriMesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    m = TriMesh(
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(tris),
+        {
+            "t": jnp.asarray(pts[:, 0] ** 2, jnp.float32),
+            "vec": jnp.asarray(pts, jnp.float32),  # [N, 3]
+        },
+    )
+    f = _compute_node_features(m, ["t", "vec"])
+    assert f.shape == (pts.shape[0], 4)  # 1 scalar + 3 components
+    assert np.all(np.isfinite(f)) and f.min() >= 0 and f.max() <= 1

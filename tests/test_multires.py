@@ -379,3 +379,28 @@ class TestMultiresFeatures:
             np.asarray(feat["correspondences"])
             != np.asarray(plain["correspondences"])
         )
+
+
+def test_multires_landmarks_exceeding_coarse_subsample_rejected():
+    """Pins that survive decimation must stay below the coarse CPD
+    subsample; otherwise fail with an actionable message (review
+    finding: the deep pipeline error named the wrong knob)."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.multires import register_pair_multires
+    from pyfocusr_tpu.pipeline import PipelineConfig
+
+    pts, tris = make_sphere(n_theta=12, n_phi=24)
+    m = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+    cfg = PipelineConfig(n_coords_spectral_registration=50)
+    lm = np.stack([np.arange(0, 260, 2)] * 2, axis=1)  # 130 well-spread pins
+    with pytest.raises(ValueError, match="survive decimation"):
+        register_pair_multires(
+            m, m, cfg, jax.random.PRNGKey(0), coarse_n=40, landmark_pairs=lm
+        )
