@@ -279,9 +279,44 @@ def main(argv=None):
     p_info = sub.add_parser("info", help="print mesh statistics")
     p_info.add_argument("mesh")
 
+    p_conv = sub.add_parser(
+        "convert",
+        help="convert meshes between the supported formats "
+        "(.vtk/.vtp/.ply/.obj/.stl by extension); point_data carries over "
+        "where the format allows",
+    )
+    p_conv.add_argument("input")
+    p_conv.add_argument("output")
+
     args = parser.parse_args(argv)
 
     from .mesh import load_mesh, save_mesh
+
+    if args.cmd == "convert":
+        from .io.mesh_formats import SUPPORTED_EXTENSIONS
+
+        low = args.output.lower()
+        if not any(low.endswith(e) for e in SUPPORTED_EXTENSIONS):
+            print(
+                f"convert: unsupported output extension on {args.output!r}; "
+                f"expected one of {SUPPORTED_EXTENSIONS}",
+                file=sys.stderr,
+            )
+            return 2
+        m = load_mesh(args.input)
+        save_mesh(args.output, m)
+        print(
+            json.dumps(
+                {
+                    "input": args.input,
+                    "output": args.output,
+                    "points": m.n_points,
+                    "triangles": m.n_triangles,
+                    "point_data": sorted(m.point_data),
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "info":
         m = load_mesh(args.mesh)

@@ -605,3 +605,24 @@ def test_compute_node_features_multicomponent(tmp_path):
     f = _compute_node_features(m, ["t", "vec"])
     assert f.shape == (pts.shape[0], 4)  # 1 scalar + 3 components
     assert np.all(np.isfinite(f)) and f.min() >= 0 and f.max() <= 1
+
+
+def test_convert_command(tmp_path):
+    """`pyfocusr-tpu convert`: format round-trip through every writer."""
+    proc = _run_cli(
+        ["convert", f"{DATA}/source_mesh.vtk", str(tmp_path / "m.vtp")]
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["points"] == 5000 and "thickness_change_(mm)" in out["point_data"]
+    proc = _run_cli(["convert", str(tmp_path / "m.vtp"), str(tmp_path / "m.ply")])
+    assert proc.returncode == 0
+    from pyfocusr_tpu import load_mesh
+
+    back = load_mesh(str(tmp_path / "m.ply"))
+    orig = load_mesh(f"{DATA}/source_mesh.vtk")
+    np.testing.assert_allclose(
+        np.asarray(back.points), np.asarray(orig.points), atol=1e-4
+    )
+    proc = _run_cli(["convert", f"{DATA}/source_mesh.vtk", str(tmp_path / "m.xyz")])
+    assert proc.returncode == 2 and "unsupported output extension" in proc.stderr
