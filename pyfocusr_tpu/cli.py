@@ -828,9 +828,9 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         mean_mesh = template_mesh.with_points(mean_shape)
         save_mesh(os.path.join(args.out_dir, "mean_shape.vtk"), mean_mesh)
+        corr_all = np.asarray(results["correspondences"])
         np.save(
-            os.path.join(args.out_dir, "cohort_correspondences.npy"),
-            np.asarray(results["correspondences"]),
+            os.path.join(args.out_dir, "cohort_correspondences.npy"), corr_all
         )
         print(
             json.dumps(
@@ -838,6 +838,10 @@ def main(argv=None):
                     "seconds": round(dt, 3),
                     "n_subjects": len(subject_meshes),
                     "devices_used": n_dev if dev_mesh is not None else 1,
+                    "unique_fraction_per_subject": [
+                        round(len(np.unique(corr_all[b])) / corr_all.shape[1], 4)
+                        for b in range(corr_all.shape[0])
+                    ],
                     "outputs": ["mean_shape.vtk", "cohort_correspondences.npy"],
                 }
             )
