@@ -626,3 +626,42 @@ def test_convert_command(tmp_path):
     )
     proc = _run_cli(["convert", f"{DATA}/source_mesh.vtk", str(tmp_path / "m.xyz")])
     assert proc.returncode == 2 and "unsupported output extension" in proc.stderr
+
+
+def test_cohort_command(tmp_path):
+    """`pyfocusr-tpu cohort`: template -> N subjects, mean shape +
+    per-subject correspondences + quality in the summary."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    tpl = tmp_path / "tpl.vtk"
+    save_mesh(str(tpl), TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+    paths = []
+    for i in range(2):
+        w = pts * (1.0 + 0.04 * (i + 1) * np.sin(3 * pts[:, [1]]))
+        p = tmp_path / f"subj{i}.vtk"
+        save_mesh(str(p), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+        paths.append(str(p))
+    proc = _run_cli(
+        ["cohort", str(tpl), *paths, "-o", str(tmp_path),
+         "--non-rigid-max-iterations", "10",
+         "--graph-smoothing-iterations", "10",
+         "--n-coords-spectral-registration", "100"]
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["n_subjects"] == 2
+    assert len(out["unique_fraction_per_subject"]) == 2
+    corr = np.load(tmp_path / "cohort_correspondences.npy")
+    assert corr.shape[0] == 2
+    from pyfocusr_tpu import load_mesh
+
+    mean = load_mesh(str(tmp_path / "mean_shape.vtk"))
+    assert mean.n_points == pts.shape[0]
+    assert np.all(np.isfinite(np.asarray(mean.points)))
