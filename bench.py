@@ -374,7 +374,58 @@ def main():
             print(f"cohort diagnostic failed: {e}", file=sys.stderr)
             diag["cohort_8x5k_1chip"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    # (c) 122k-vertex DIRECT registration (no multires): a hub-rich
+    # (c) feature-weighted 15k pair: the F in FOCUSR at full scale — the
+    # bundled thickness scalar appended as a registration coordinate AND
+    # weighted into the graph edges (the heaviest feature config).
+    if os.environ.get("BENCH_SKIP_FEATURES") != "1":
+        try:
+            import dataclasses as _dc
+
+            from pyfocusr_tpu.metrics import registration_quality
+
+            def _normf(f):
+                # Graph.norm_node_features' math incl. its constant-feature
+                # guards (std/ptp of 0 would NaN-poison the weights without
+                # raising, since numpy only warns on 0/0).
+                f = np.asarray(f, np.float64)
+                std = f.std()
+                f = np.clip((f - f.mean()) / (std if std > 0 else 1.0), -3, 3)
+                ptp = f.max() - f.min()
+                return ((f - f.min()) / (ptp if ptp > 0 else 1.0))[:, None]
+
+            key_t = "thickness_change_(mm)"
+            fcfg = _dc.replace(
+                cfg,
+                use_features_as_coords=True,
+                include_features_in_adj_matrix=True,
+                feature_smoothing_iterations=10,
+            )
+            tgf = mesh_to_graph_arrays(
+                target, node_features=_normf(target.point_data[key_t])
+            )
+            sgf = mesh_to_graph_arrays(
+                source, node_features=_normf(source.point_data[key_t])
+            )
+            rf = register_pair(tgf, sgf, fcfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(rf)
+            ft_times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                rf = register_pair(tgf, sgf, fcfg, jax.random.PRNGKey(i + 1))
+                jax.block_until_ready(rf)
+                _ = np.asarray(rf["correspondences"])[:4]
+                ft_times.append(time.perf_counter() - t0)
+            qf = registration_quality(target, source, rf)
+            diag["features_15k"] = {
+                "seconds": round(float(np.median(ft_times)), 3),
+                "unique_fraction": qf["unique_fraction"],
+                "symmetric_surface_dist_mm": qf["symmetric_surface_dist_mm"],
+            }
+        except Exception as e:
+            print(f"feature diagnostic failed: {e}", file=sys.stderr)
+            diag["features_15k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # (d) 122k-vertex DIRECT registration (no multires): a hub-rich
     # LAST diagnostic: a large first compile has tripped the remote
     # worker before, and a dead worker poisons every later device call
     # in this process, so nothing may run after this block.
@@ -445,52 +496,6 @@ def main():
         except Exception as e:
             print(f"direct-122k diagnostic failed: {e}", file=sys.stderr)
             diag["direct_122k_hub"] = {"error": f"{type(e).__name__}: {e}"[:200]}
-
-    # (d) feature-weighted 15k pair: the F in FOCUSR at full scale — the
-    # bundled thickness scalar appended as a registration coordinate AND
-    # weighted into the graph edges (the heaviest feature config).
-    if os.environ.get("BENCH_SKIP_FEATURES") != "1":
-        try:
-            import dataclasses as _dc
-
-            from pyfocusr_tpu.metrics import registration_quality
-
-            def _normf(f):
-                f = np.asarray(f, np.float64)
-                f = np.clip((f - f.mean()) / f.std(), -3, 3)
-                return ((f - f.min()) / (f.max() - f.min()))[:, None]
-
-            key_t = "thickness_change_(mm)"
-            fcfg = _dc.replace(
-                cfg,
-                use_features_as_coords=True,
-                include_features_in_adj_matrix=True,
-                feature_smoothing_iterations=10,
-            )
-            tgf = mesh_to_graph_arrays(
-                target, node_features=_normf(target.point_data[key_t])
-            )
-            sgf = mesh_to_graph_arrays(
-                source, node_features=_normf(source.point_data[key_t])
-            )
-            rf = register_pair(tgf, sgf, fcfg, jax.random.PRNGKey(0))
-            jax.block_until_ready(rf)
-            ft_times = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                rf = register_pair(tgf, sgf, fcfg, jax.random.PRNGKey(i + 1))
-                jax.block_until_ready(rf)
-                _ = np.asarray(rf["correspondences"])[:4]
-                ft_times.append(time.perf_counter() - t0)
-            qf = registration_quality(target, source, rf)
-            diag["features_15k"] = {
-                "seconds": round(float(np.median(ft_times)), 3),
-                "unique_fraction": qf["unique_fraction"],
-                "symmetric_surface_dist_mm": qf["symmetric_surface_dist_mm"],
-            }
-        except Exception as e:
-            print(f"feature diagnostic failed: {e}", file=sys.stderr)
-            diag["features_15k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps(diag), file=sys.stderr)
     print(

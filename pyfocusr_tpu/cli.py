@@ -61,10 +61,17 @@ def _parse_landmark_file(path):
     try:
         if widths == {2}:
             return "index", np.asarray(rows, np.int64)
-        return "position", np.asarray(rows, np.float64)
+        arr = np.asarray(rows, np.float64)
     except ValueError as exc:
         kind = "integer vertex indices" if widths == {2} else "coordinates"
         raise ValueError(f"{path}: landmark values must be {kind} ({exc})")
+    if not np.all(np.isfinite(arr)):
+        bad = int(np.argwhere(~np.isfinite(arr).all(axis=1))[0, 0])
+        raise ValueError(
+            f"{path}: landmark positions must be finite (data line {bad + 1} "
+            "has NaN/inf)"
+        )
+    return "position", arr
 
 
 def _landmark_pairs_for(kind, rows, target, source):
@@ -87,7 +94,18 @@ def _landmark_pairs_for(kind, rows, target, source):
     pairs, dists = landmark_pairs_from_positions(
         source, target, rows[:, :3], rows[:, 3:]
     )
-    return np.asarray(pairs), float(np.asarray(dists).max())
+    pairs = np.asarray(pairs)
+    # Defensive: a degenerate query can make the NN snap return a padded /
+    # sentinel index; an out-of-range pin would be silently clamped by the
+    # pipeline's gather.
+    if (
+        pairs[:, 0].min() < 0
+        or pairs[:, 0].max() >= source.n_points
+        or pairs[:, 1].min() < 0
+        or pairs[:, 1].max() >= target.n_points
+    ):
+        raise ValueError("landmark position snapped outside the mesh")
+    return pairs, float(np.asarray(dists).max())
 
 
 def _compute_node_features(mesh, names, topology=None):
@@ -540,6 +558,23 @@ def main(argv=None):
                 except ValueError as exc:
                     print(f"--landmarks ({src_path}): {exc}", file=sys.stderr)
                     return 2
+                # The pipeline's effective CPD subsample is also bounded by
+                # the mesh sizes (the pre-load check above could only see
+                # the config value).
+                n_reg_eff = min(
+                    cfg.n_coords_spectral_registration,
+                    target.n_points,
+                    source.n_points,
+                )
+                if not args.multires and len(lm_pairs) >= n_reg_eff:
+                    print(
+                        f"--landmarks: {len(lm_pairs)} landmarks but the "
+                        f"effective CPD subsample is only {n_reg_eff} "
+                        "points (bounded by the mesh sizes); thin the "
+                        "landmarks",
+                        file=sys.stderr,
+                    )
+                    return 2
             feats_source = None
             topo_source = None
             if args.features:
@@ -559,6 +594,17 @@ def main(argv=None):
                 feats_source = _compute_node_features(
                     source, args.features, topology=topo_source
                 )
+                if feats_source.shape[1] != feats_target.shape[1]:
+                    # Same names can expand to different widths (e.g. a
+                    # [N, 3] 'disp' on one mesh vs scalar on the other).
+                    print(
+                        f"--features: {src_path} expands to "
+                        f"{feats_source.shape[1]} feature columns but the "
+                        f"target has {feats_target.shape[1]} (same-named "
+                        "point_data with different component counts?)",
+                        file=sys.stderr,
+                    )
+                    return 2
             t0 = time.perf_counter()
             if args.multires:
                 from jax.sharding import Mesh
@@ -594,6 +640,12 @@ def main(argv=None):
                         node_features=(
                             (feats_target, feats_source)
                             if args.features
+                            else None
+                        ),
+                        topologies=(
+                            (topo_target, topo_source)
+                            if topo_target is not None
+                            and topo_source is not None
                             else None
                         ),
                     )

@@ -197,6 +197,14 @@ def _read_data_array(elem, decoder: _BlockDecoder, appended, byte_order: str):
 
 def _triangulate_offsets(conn: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """XML connectivity+offsets -> (F, 3) int32 fan triangulation."""
+    declared = int(offs[-1]) if offs.size else 0
+    if conn.size != declared:
+        # Trailing junk would either fabricate phantom triangles (fast
+        # path) or be silently dropped (slow path) — both corruptions.
+        raise ValueError(
+            f"vtp connectivity holds {conn.size} indices but offsets "
+            f"declare {declared}"
+        )
     if offs.size and np.all(np.diff(offs, prepend=0) == 3):
         return np.ascontiguousarray(conn.reshape(-1, 3).astype(np.int32))
     tris = []
@@ -281,6 +289,11 @@ def read_vtp(path: str):
                 ncomp_a = int(arr_el.get("NumberOfComponents", "1"))
                 vals = _read_data_array(arr_el, decoder, appended, byte_order)
                 vals = vals.astype(np.float64)
+                if vals.size != n_pts * ncomp_a:
+                    raise ValueError(
+                        f"vtp PointData {name!r} holds {vals.size} values "
+                        f"for {n_pts} points x {ncomp_a} components"
+                    )
                 pd[name] = vals if ncomp_a == 1 else vals.reshape(n_pts, ncomp_a)
 
         all_pts.append(pts)

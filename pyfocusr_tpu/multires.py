@@ -421,6 +421,7 @@ def register_pair_multires(
     device_mesh=None,
     landmark_pairs=None,
     node_features=None,
+    topologies=None,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -514,8 +515,17 @@ def register_pair_multires(
     # Fine topologies are needed for the refine stage anyway — build them
     # once and feed the edge lists into decimation's first round (the
     # extraction is the dominant host cost at multi-million scale).
-    topo_t = build_topology(np.asarray(target_mesh.triangles), target_mesh.n_points)
-    topo_s = build_topology(np.asarray(source_mesh.triangles), source_mesh.n_points)
+    # ``topologies=(topo_t, topo_s)`` lets callers that already built them
+    # (the CLI does for --features) skip the duplicate pass.
+    if topologies is not None:
+        topo_t, topo_s = topologies
+    else:
+        topo_t = build_topology(
+            np.asarray(target_mesh.triangles), target_mesh.n_points
+        )
+        topo_s = build_topology(
+            np.asarray(source_mesh.triangles), source_mesh.n_points
+        )
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed, edges=topo_t.edges)
     cs_mesh, map_s, rep_s = decimate(
         source_mesh, coarse_n, seed + 1, edges=topo_s.edges

@@ -665,3 +665,65 @@ def test_cohort_command(tmp_path):
     mean = load_mesh(str(tmp_path / "mean_shape.vtk"))
     assert mean.n_points == pts.shape[0]
     assert np.all(np.isfinite(np.asarray(mean.points)))
+
+
+def test_landmark_nonfinite_positions_rejected(tmp_path):
+    from pyfocusr_tpu.cli import _parse_landmark_file
+
+    p = tmp_path / "lm.txt"
+    p.write_text("0 0 0 1 1 1\nnan nan nan 2 2 2\n")
+    with pytest.raises(ValueError, match="must be finite"):
+        _parse_landmark_file(str(p))
+
+
+def test_landmarks_exceeding_effective_subsample(tmp_path):
+    """The pipeline bounds the CPD subsample by the MESH sizes too; the CLI
+    must catch counts between the config bound and the mesh bound (review
+    finding: used to escape as a deep traceback)."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)  # 182 vertices
+    t = tmp_path / "t.vtk"
+    save_mesh(str(t), TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+    lm = tmp_path / "lm.txt"
+    lm.write_text("0 0\n" * 200)  # 200 pins > 182 mesh verts, < default 1000
+    proc = _run_cli(
+        ["register", str(t), str(t), "--landmarks", str(lm), "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2, proc.stderr[-500:]
+    assert "effective CPD subsample" in proc.stderr
+
+
+def test_features_width_mismatch_between_meshes(tmp_path):
+    """Same-named point_data with different component counts on target vs
+    source must exit 2 naming the offender, not crash at jit-trace time."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    t = tmp_path / "t.vtk"
+    s = tmp_path / "s.vtk"
+    save_mesh(str(t), TriMesh(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(tris),
+        {"disp": jnp.asarray(pts, jnp.float32)},  # [N, 3]
+    ))
+    save_mesh(str(s), TriMesh(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(tris),
+        {"disp": jnp.asarray(pts[:, 0], jnp.float32)},  # [N]
+    ))
+    proc = _run_cli(
+        ["register", str(t), str(s), "--features", "disp", "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2, proc.stderr[-500:]
+    assert "feature columns" in proc.stderr

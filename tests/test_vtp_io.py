@@ -346,3 +346,32 @@ def test_point_data_name_needing_xml_escape_roundtrips(tmp_path):
     vtp_io.write_vtp(p, pts, tris, {name: vals})
     _, _, data = vtp_io.read_vtp(p)
     np.testing.assert_allclose(data[name], vals)
+
+
+def test_wrong_length_scalar_point_data_raises(tmp_path):
+    """1-component PointData with the wrong number of values must raise,
+    not return misaligned point_data (review finding)."""
+    body = _PIECE_ASCII.replace(
+        "<Points>",
+        '<PointData><DataArray type="Float32" Name="thick" format="ascii">'
+        "1 2 3 4 5</DataArray></PointData>\n<Points>",
+    )
+    p = tmp_path / "wl.vtp"
+    p.write_bytes(_xml_file(body))
+    with pytest.raises(ValueError, match="holds 5 values for 4 points"):
+        vtp_io.read_vtp(str(p))
+
+
+def test_trailing_connectivity_junk_raises(tmp_path):
+    """Connectivity longer than offsets[-1] must raise — the all-triangles
+    fast path used to fabricate a phantom triangle from the junk."""
+    body = _PIECE_ASCII.replace(
+        ">0 1 2 3<", ">0 1 2 0 2 3<"
+    ).replace(
+        '<DataArray type="Int64" Name="offsets" format="ascii">4</DataArray>',
+        '<DataArray type="Int64" Name="offsets" format="ascii">3</DataArray>',
+    )
+    p = tmp_path / "tj.vtp"
+    p.write_bytes(_xml_file(body))
+    with pytest.raises(ValueError, match="offsets\\s+declare|offsets declare"):
+        vtp_io.read_vtp(str(p))
