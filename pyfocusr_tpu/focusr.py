@@ -988,3 +988,24 @@ class Focusr(object):
         (``focusr.py:797-807``, AttributeError when ``icp_register_first``
         was False — documented latent defect) this returns None in that case."""
         return self._icp_transform
+
+    def registration_quality(self):
+        """Quality readout for the completed registration (beyond-reference;
+        see :func:`pyfocusr_tpu.metrics.registration_quality`): unique
+        fraction, mean displacement (vs the post-ICP source), symmetric
+        surface distance, Hausdorff.  Requires ``align_maps`` (or the
+        pipeline variant) to have run."""
+        if self.corresponding_target_idx_for_each_source_pt is None:
+            raise ValueError("run align_maps() first")
+        from .metrics import registration_quality
+
+        return registration_quality(
+            self.graph_target.points,
+            self.graph_source.points,
+            {
+                "correspondences": (
+                    self.corresponding_target_idx_for_each_source_pt
+                ),
+                "weighted_points": self.weighted_avg_transformed_points,
+            },
+        )

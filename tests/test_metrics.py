@@ -91,3 +91,30 @@ def test_real_pipeline_quality(mesh_5k_target, mesh_5k_source):
     assert q["unique_fraction"] > 0.5
     assert 0 < q["symmetric_surface_dist_mm"] < q["hausdorff_mm"]
     assert q["n_source_points"] == mesh_5k_source.n_points
+
+
+def test_focusr_registration_quality_method(mesh_5k_target, mesh_5k_source):
+    """Focusr.registration_quality(): the class-API entry to the metrics."""
+    import pytest as _pytest
+
+    from pyfocusr_tpu import Focusr
+
+    reg = Focusr(
+        vtk_mesh_target=mesh_5k_target,
+        vtk_mesh_source=mesh_5k_source,
+        n_spectral_features=3,
+        n_extra_spectral=3,
+        list_features_to_calc=[],
+        non_rigid_max_iterations=30,
+        graph_smoothing_iterations=30,
+        projection_smooth_iterations=1,
+        n_coords_spectral_registration=500,
+        n_coords_spectral_ordering=min(5000, mesh_5k_source.n_points),
+        seed=0,
+    )
+    with _pytest.raises(ValueError, match="align_maps"):
+        reg.registration_quality()
+    reg.align_maps_pipeline()
+    q = reg.registration_quality()
+    assert q["unique_fraction"] > 0.5
+    assert q["n_source_points"] == mesh_5k_source.n_points
