@@ -275,6 +275,11 @@ def main(argv=None):
                        help="also synthesize N random shapes from the "
                        "fitted model (coefficients ~ N(0,1) per mode, "
                        "clipped to +-3 sigma) as ssm_sample_<i>.vtk")
+    p_ssm.add_argument("--html", action="store_true",
+                       help="also write ssm_viewer.html: the template with "
+                       "per-vertex |mode| displacement magnitudes of the "
+                       "first three modes as selectable colorings "
+                       "(standalone WebGL, no dependencies)")
     p_ssm.add_argument("--project", nargs="+", default=[], metavar="MESH",
                        help="held-out meshes to fit to the built model: "
                        "register the template to each, project onto the "
@@ -794,6 +799,24 @@ def main(argv=None):
             variances=np.asarray(variances),
             motions=np.asarray(motions),
         )
+        html_outputs = []
+        if args.html:
+            from .utils.html_viewer import export_html
+
+            modes_np = np.asarray(modes)  # [m, N, 3] displacement fields
+            view_mesh = template_mesh
+            for k in range(min(3, modes_np.shape[0])):
+                mag = np.linalg.norm(modes_np[k], axis=-1)
+                view_mesh = view_mesh.with_point_data(
+                    f"mode{k}_mag", mag.astype(np.float32)
+                )
+            export_html(
+                os.path.join(args.out_dir, "ssm_viewer.html"),
+                meshes=[view_mesh],
+                mesh_names=["SSM template (mode magnitudes)"],
+                title="FOCUSR SSM",
+            )
+            html_outputs = ["ssm_viewer.html"]
         samples = []
         if args.sample:
             from .parallel.cohort import ssm_sample
@@ -847,7 +870,9 @@ def main(argv=None):
                     "mode_variances": [
                         round(float(v), 6) for v in np.asarray(variances)
                     ],
-                    "outputs": ["ssm_template.vtk", "ssm_modes.npz"] + samples,
+                    "outputs": ["ssm_template.vtk", "ssm_modes.npz"]
+                    + html_outputs
+                    + samples,
                     **({"projections": projections} if projections else {}),
                 }
             )

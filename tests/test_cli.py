@@ -111,6 +111,7 @@ def test_ssm_command(tmp_path):
             "ssm", *paths, "-o", str(tmp_path),
             "--iterations", "2",
             "--sample", "2",
+            "--html",
             "--non-rigid-max-iterations", "10",
             "--graph-smoothing-iterations", "10",
             "--n-coords-spectral-registration", "100",
@@ -118,6 +119,8 @@ def test_ssm_command(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-800:]
     assert (tmp_path / "ssm_template.vtk").exists()
+    html = (tmp_path / "ssm_viewer.html").read_text()
+    assert "mode0_mag" in html  # mode-magnitude coloring present
     z = np.load(tmp_path / "ssm_modes.npz")
     assert z["modes"].shape[1] == pts.shape[0]
     assert np.all(np.isfinite(z["variances"]))
