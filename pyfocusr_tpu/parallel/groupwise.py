@@ -214,11 +214,19 @@ def register_all_pairs(
     if device_mesh is None:
         results = _batched(targets, sources, keys)
     else:
-        n_dev = device_mesh.devices.size
+        if "pairs" not in device_mesh.axis_names:
+            raise ValueError(
+                "register_all_pairs shards over a 'pairs' mesh axis; got "
+                f"axes {device_mesh.axis_names}"
+            )
+        # The sharding divides the PAIRS AXIS only — a multi-axis mesh's
+        # other axes don't constrain the pair count.
+        n_dev = device_mesh.shape["pairs"]
         if len(pair_index) % n_dev != 0:
             raise ValueError(
                 f"pair count {len(pair_index)} must be divisible by the "
-                f"device count {n_dev} (pad the cohort or drop a subject)"
+                f"'pairs' axis size {n_dev} (pad the cohort or drop a "
+                "subject)"
             )
         spec = lambda tree: jax.tree.map(lambda _: P("pairs"), tree)
         # out_specs as a pytree PREFIX: every output leaf has a leading

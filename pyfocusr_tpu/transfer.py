@@ -74,6 +74,13 @@ def transfer_point_data(
     out: Dict[str, np.ndarray] = {}
     corr = np.asarray(result["correspondences"])
     if n_source is not None:
+        if not 0 < n_source <= corr.shape[0]:
+            # Catch the wrong-mesh mistake loudly (the analogous
+            # n_template check in cohort_point_data_matrix).
+            raise ValueError(
+                f"n_source={n_source} out of range for a result with "
+                f"{corr.shape[0]} source rows"
+            )
         corr = corr[:n_source]
     n_t = np.asarray(target_mesh.points).shape[0]
     all_vals = []

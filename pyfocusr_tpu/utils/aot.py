@@ -26,6 +26,8 @@ compile cache for a list of mesh sizes (see cli.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -103,8 +105,12 @@ def export_registration(cfg, target_example, source_example, path: str) -> str:
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
     blob = exp.serialize()
-    with open(path, "wb") as f:
+    # Atomic publish: a process killed mid-write must not leave a
+    # truncated artifact at the serving path.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
     return path
 
 

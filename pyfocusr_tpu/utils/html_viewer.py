@@ -143,7 +143,11 @@ def export_html(
         ],
     }
     # </script> inside a JSON string would terminate the script block early.
-    payload = json.dumps(data).replace("</", "<\\/")
+    # Escape EVERY '<' (< round-trips identically through JSON): bare
+    # '</' would close the script element, and '<!--' + '<script' in a
+    # user-supplied name would put the parser into the double-escaped
+    # script state and swallow the viewer code entirely.
+    payload = json.dumps(data).replace("<", "\\u003c")
     # Substitute by splitting, not sequential .replace: a title containing
     # the literal '__DATA__' (or a scalar named '__TITLE__' in the payload)
     # must never be re-scanned by the other substitution.

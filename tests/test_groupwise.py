@@ -286,3 +286,30 @@ def test_cycle_consistency_rejects_pairs():
     pts = [np.zeros((4, 3), np.float32)] * 2
     with pytest.raises(ValueError, match=">= 3 meshes"):
         cycle_consistency_error(corr, pts, [4, 4])
+
+
+def test_all_pairs_multi_axis_mesh_and_axis_validation():
+    """The pairs-sharding guard checks the 'pairs' AXIS size, not the total
+    device count, and rejects meshes without a 'pairs' axis (review
+    finding)."""
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh
+
+    from pyfocusr_tpu.parallel.groupwise import register_all_pairs
+    from pyfocusr_tpu.pipeline import PipelineConfig
+
+    meshes = _tiny_cohort(3)  # 6 ordered pairs
+    cfg = TINY
+    devs = np.asarray(jax.devices()[:4])
+    bad = Mesh(devs.reshape(4), ("model",))
+    with pytest.raises(ValueError, match="'pairs' mesh axis"):
+        register_all_pairs(meshes, cfg, jax.random.PRNGKey(0), device_mesh=bad)
+    # (2, 2) mesh with axes ('pairs', 'model'): 6 % 2 == 0, so valid even
+    # though the TOTAL device count (4) does not divide 6.
+    multi = Mesh(devs.reshape(2, 2), ("pairs", "model"))
+    corr, pair_index, _ = register_all_pairs(
+        meshes, cfg, jax.random.PRNGKey(0), device_mesh=multi
+    )
+    assert np.asarray(corr).shape[:2] == (3, 3) and len(pair_index) == 6

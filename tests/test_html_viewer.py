@@ -199,3 +199,33 @@ def test_focusr_export_viewer_html(tmp_path):
         ),
     )
     assert len(data["pointSets"]) == 2
+
+
+def test_script_breaking_names_escaped(tmp_path):
+    """Names containing '<!--<script' must not break the viewer page: every
+    '<' in the JSON payload is escaped (review finding — '</'-only escaping
+    left the double-escaped script-data state reachable)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyfocusr_tpu.mesh import TriMesh
+    from pyfocusr_tpu.utils.html_viewer import export_html
+
+    m = TriMesh(
+        jnp.zeros((3, 3), jnp.float32),
+        jnp.asarray([[0, 1, 2]]),
+        {"<!--<script>alert(1)</script>": jnp.arange(3, dtype=jnp.float32)},
+    )
+    p = str(tmp_path / "v.html")
+    export_html(p, meshes=[m], mesh_names=["<!--<script>"], title="t")
+    html = open(p).read()
+    start = html.index("application/json")
+    end = html.index("</script>", start)
+    payload = html[start:end]
+    assert "<" not in payload.replace("\\u003c", "")
+    import json as _json
+
+    # The escaped payload still parses back to the original names.
+    blob = payload[payload.index(">") + 1:]
+    data = _json.loads(blob)
+    assert data["meshes"][0]["name"] == "<!--<script>"
