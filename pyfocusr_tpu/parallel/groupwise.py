@@ -335,13 +335,6 @@ def _basis_spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
     return lams, vecs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "cfg"))
-def _basis_spectrum_batch(stacked, k: int, keys, cfg: PipelineConfig):
-    """All B eigensolves in ONE program (vmapped _spectrum over the padded
-    cohort stack — the same batching register_cohort uses)."""
-    return jax.vmap(lambda g, kk: _spectrum(g, k, kk, cfg)[1])(stacked, keys)
-
-
 def spectral_bases(
     graphs: Sequence[GraphArrays],
     cfg: PipelineConfig,
@@ -358,8 +351,8 @@ def spectral_bases(
     the basis convention ``synchronize_spectral`` assumes.
     """
     keys = jax.random.split(key, max(len(graphs), 1))
-    masks, n_reals = [], []
-    for g in graphs:
+    out = []
+    for g, k_ in zip(graphs, keys):
         mask = np.asarray(g.valid_mask) > 0
         n = int(mask.sum())
         if n_basis >= n:
@@ -367,26 +360,8 @@ def spectral_bases(
                 f"n_basis={n_basis} must be smaller than the real vertex "
                 f"count {n}"
             )
-        masks.append(mask)
-        n_reals.append(n)
-    # Uniformly-padded cohorts (the pad_cohort output every caller passes)
-    # run ALL B eigensolves as one vmapped program — B separate dispatches
-    # left the device idle between launches on the remote runtime.
-    shapes = {
-        tuple(np.shape(leaf) for leaf in jax.tree.leaves(g)) for g in graphs
-    }
-    if len(graphs) > 1 and len(shapes) == 1:
-        stacked = stack_graph_arrays(list(graphs))
-        all_vecs = _basis_spectrum_batch(stacked, n_basis, keys, cfg)
-        vecs_list = [np.asarray(all_vecs[b], np.float64) for b in range(len(graphs))]
-    else:
-        vecs_list = [
-            np.asarray(_basis_spectrum(g, n_basis, k_, cfg)[1], np.float64)
-            for g, k_ in zip(graphs, keys)
-        ]
-    out = []
-    for vecs, mask, n in zip(vecs_list, masks, n_reals):
-        v = vecs[mask]
+        _, vecs = _basis_spectrum(g, n_basis, k_, cfg)
+        v = np.asarray(vecs, np.float64)[mask]
         # The pipeline's min-max normalization adds a mesh-specific CONSTANT
         # component b_k*1 to every column; QR re-orthonormalizes but cannot
         # remove it (the span still contains a rotated slice of the constant
