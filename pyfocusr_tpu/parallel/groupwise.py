@@ -349,6 +349,13 @@ def spectral_bases(
     min-max normalizes columns, which breaks orthogonality), and row-scaled
     by sqrt(n_real) so descriptor rows are O(1) regardless of mesh size —
     the basis convention ``synchronize_spectral`` assumes.
+
+    NEGATIVE RESULT (round 3, measured on v5e): vmapping all B eigensolves
+    into ONE program is 0.84x — SLOWER than B sequential dispatches
+    (8 x 5k cohort: 0.372 s loop vs 0.444 s vmapped, warm).  Same root
+    cause as the union/batched pair-spectra result (experiments.py): the
+    [B, N, k]-batched ELL gather serializes worse than independent solves.
+    The sequential loop is deliberate.
     """
     keys = jax.random.split(key, max(len(graphs), 1))
     out = []
