@@ -39,9 +39,8 @@ import numpy as np
 
 from .mesh import TriMesh, build_topology
 from .ops import graph_ops
-from .ops.knn import idw_pull_k3, nn_query
+from .ops.knn import idw_from_knn, knn3_masked
 from .pipeline import (
-    SENTINEL,
     GraphArrays,
     PipelineConfig,
     mesh_to_graph_arrays,
@@ -326,12 +325,12 @@ def _refine_fine_level(
             source.neighbors, w_s, gathered,
             cfg.projection_smooth_iterations, ov_s, ovw_s,
         )
-        smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
-        _, corr = nn_query(smoothed_q, projected)
-
-    weighted = idw_pull_k3(
-        smoothed_tgt, target.valid_mask, target.points, projected
-    )
+    # One k=3 query serves both the final correspondence (column 0) and
+    # the IDW locations — saves a full [N, N] NN pass (ops.knn.knn3_masked).
+    d3, i3 = knn3_masked(smoothed_tgt, target.valid_mask, projected)
+    if cfg.smooth_correspondences:
+        corr = i3[:, 0]
+    weighted = idw_from_knn(d3, i3, target.points)
     smask = source.valid_mask[:, None]
     return {
         "correspondences": corr * source.valid_mask.astype(corr.dtype),
@@ -393,11 +392,10 @@ def _refine_fine_level_staged(
             source, gathered, cfg.projection_smooth_iterations,
             cfg.smoothing_method, cfg,
         )
-        smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
-        _, corr = nn_query(smoothed_q, projected)
-    weighted = idw_pull_k3(
-        smoothed_tgt, target.valid_mask, target.points, projected
-    )
+    d3, i3 = knn3_masked(smoothed_tgt, target.valid_mask, projected)
+    if cfg.smooth_correspondences:
+        corr = i3[:, 0]
+    weighted = idw_from_knn(d3, i3, target.points)
     smask = source.valid_mask[:, None]
     return {
         "correspondences": corr * source.valid_mask.astype(corr.dtype),

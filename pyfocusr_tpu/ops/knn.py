@@ -45,7 +45,14 @@ from ..utils.precision import f32_matmuls  # noqa: E402
 # uses it too (1e30^2 overflows f32 to inf, so padded rows never win).
 SENTINEL = 1e30
 
-__all__ = ["nn_query", "knn_query", "pairwise_sq_dists", "idw_pull_k3"]
+__all__ = [
+    "nn_query",
+    "knn_query",
+    "pairwise_sq_dists",
+    "idw_pull_k3",
+    "knn3_masked",
+    "idw_from_knn",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -271,19 +278,27 @@ def _knn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 81
 
 
 
-def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
-    """k=3 inverse-distance interpolation of ``ref_values`` at
-    ``query_points`` — the reference's weighted final-location semantics
-    (``focusr.py:401-426``) including the exact-hit shortcut (distance-0
-    neighbor wins outright).  Padded reference rows (``ref_mask == 0``)
-    are pushed to ``SENTINEL`` so they can never be selected.  Shared by
-    the pipeline's final locations and groupwise map inversion.
+def knn3_masked(ref_positions, ref_mask, query_points):
+    """k=3 neighbors of ``query_points`` among the valid rows of
+    ``ref_positions`` (``ref_mask == 0`` rows pushed to ``SENTINEL``).
 
-    Degenerate input (``ref_mask`` all zero — no valid reference rows at
-    all) yields NaN outputs (0/0 total weight) rather than a silent
-    fabricated value; callers must pass at least one valid row."""
+    This is the shared query behind the pipeline's final-correspondence
+    search AND its k=3 IDW final locations: both run against the same
+    (smoothed-target, projected-source) pair, and the final NN
+    correspondence is exactly column 0 of the k=3 result (identical
+    tie rule: ascending distance, lowest index first — the cKDTree
+    contract both ``nn_query`` and ``knn_query`` implement).  Fusing them
+    removes an entire [Nq, Nr] NN pass from every refine tail (measured
+    3.9 s at 960k x 960k, ~62 s at 3.84M with the Pallas kernel)."""
     ref_q = jnp.where(ref_mask[:, None] > 0, ref_positions, SENTINEL)
-    dists, idxs = knn_query(ref_q, query_points, k=3)
+    return knn_query(ref_q, query_points, k=3)
+
+
+def idw_from_knn(dists, idxs, ref_values):
+    """Inverse-distance k=3 interpolation from a precomputed
+    ``knn3_masked`` result — the reference's weighted final-location
+    semantics (``focusr.py:401-426``) including the exact-hit shortcut
+    (distance-0 neighbor wins outright)."""
     vals = ref_values[idxs]  # [Nq, 3, D]
     exact = dists <= 0.0
     any_exact = jnp.any(exact, axis=1)
@@ -294,3 +309,17 @@ def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
         wts, axis=1, keepdims=True
     )
     return jnp.where(any_exact[:, None], exact_vals, out)
+
+
+def idw_pull_k3(ref_positions, ref_mask, ref_values, query_points):
+    """k=3 inverse-distance interpolation of ``ref_values`` at
+    ``query_points`` (``knn3_masked`` + ``idw_from_knn``).  Shared by the
+    pipeline's final locations and groupwise map inversion; callers that
+    also need the final NN correspondence should call the two halves
+    directly and reuse ``idxs[:, 0]``.
+
+    Degenerate input (``ref_mask`` all zero — no valid reference rows at
+    all) yields NaN outputs (0/0 total weight) rather than a silent
+    fabricated value; callers must pass at least one valid row."""
+    dists, idxs = knn3_masked(ref_positions, ref_mask, query_points)
+    return idw_from_knn(dists, idxs, ref_values)

@@ -47,7 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import graph_ops
-from ..ops.knn import SENTINEL, idw_pull_k3, nn_query
+from ..ops.knn import idw_from_knn, knn3_masked
 from ..utils.precision import f32_matmuls
 
 try:  # JAX >= 0.4.35 public API, else experimental
@@ -256,14 +256,12 @@ def _build_program(cfg, device_mesh: Mesh, axis: str):
                 axis, src.neighbors, w_s, src.overflow, ovw_s, row0_s,
                 gathered, cfg.projection_smooth_iterations,
             )
-            smoothed_q = jnp.where(
-                tmask_full[:, None] > 0, smoothed_full, SENTINEL
-            )
-            _, corr = nn_query(smoothed_q, projected)
-
-        weighted = idw_pull_k3(
-            smoothed_full, tmask_full, tpts_full, projected
-        )
+        # One k=3 query serves both the final correspondence (column 0)
+        # and the IDW locations (ops.knn.knn3_masked).
+        d3, i3 = knn3_masked(smoothed_full, tmask_full, projected)
+        if cfg.smooth_correspondences:
+            corr = i3[:, 0]
+        weighted = idw_from_knn(d3, i3, tpts_full)
         smask = src.valid_mask[:, None]
         cdt = corr.dtype
         return {

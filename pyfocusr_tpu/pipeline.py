@@ -50,7 +50,7 @@ from .ops.eigen import (
 )
 # SENTINEL: single source of truth for the masked-row sentinel coordinate
 # (idw_pull_k3 and the query masking must agree on the value).
-from .ops.knn import SENTINEL, idw_pull_k3, nn_query
+from .ops.knn import SENTINEL, idw_from_knn, knn3_masked, nn_query
 from .spectral.eigsort_jax import sort_eigenmaps_jit
 from .utils.precision import f32_matmuls
 
@@ -1292,15 +1292,17 @@ def _register_pair_jit(
             source.neighbors, w_s[0], gathered,
             cfg.projection_smooth_iterations, w_s[1], w_s[2],
         )
-        smoothed_q = jnp.where(tmask > 0, smoothed_tgt, SENTINEL)
         if cfg.final_correspondence_type == "hungarian":
             corr = _hungarian(smoothed_tgt, projected)
-        else:
-            _, corr = nn_query(smoothed_q, projected)
 
     # --- Final locations (``focusr.py:401-431``): shared k=3 IDW with
-    # exact-hit shortcut (ops.knn.idw_pull_k3). ---
-    weighted = idw_pull_k3(smoothed_tgt, target.valid_mask, target.points, projected)
+    # exact-hit shortcut.  The same k=3 query also yields the final 'kd'
+    # correspondence as its first column (ops.knn.knn3_masked), saving a
+    # full [N, N] NN pass. ---
+    d3, i3 = knn3_masked(smoothed_tgt, target.valid_mask, projected)
+    if cfg.smooth_correspondences and cfg.final_correspondence_type == "kd":
+        corr = i3[:, 0]
+    weighted = idw_from_knn(d3, i3, target.points)
     nearest = target.points[corr]
     average = (source.points + weighted) / 2.0
 

@@ -62,6 +62,36 @@ class TestKNN:
         np.testing.assert_array_equal(np.asarray(i4), np.asarray(i3))
         np.testing.assert_allclose(np.asarray(d4), np.asarray(d3), atol=1e-5)
 
+    def test_knn3_masked_column0_is_nn(self):
+        # The refine tails reuse knn3_masked's first column as the final
+        # 'kd' correspondence instead of a separate nn_query — the two
+        # must agree EXACTLY, including on distance ties (both implement
+        # the cKDTree tie rule: lowest index wins).
+        from pyfocusr_tpu.ops.knn import SENTINEL, idw_from_knn, knn3_masked
+
+        rng = np.random.default_rng(7)
+        r = rng.random((400, 3)).astype(np.float32)
+        # Duplicate reference rows manufacture exact distance ties.
+        r[100:140] = r[0:40]
+        mask = np.ones(400, np.float32)
+        mask[350:] = 0.0
+        q = np.concatenate([rng.random((200, 3)).astype(np.float32),
+                            r[20:60]])  # exact hits too
+        d3, i3 = knn3_masked(jnp.asarray(r), jnp.asarray(mask), jnp.asarray(q))
+        r_q = np.where(mask[:, None] > 0, r, SENTINEL)
+        d_nn, i_nn = nn_query(jnp.asarray(r_q), jnp.asarray(q))
+        np.testing.assert_array_equal(np.asarray(i3[:, 0]), np.asarray(i_nn))
+        np.testing.assert_allclose(np.asarray(d3[:, 0]), np.asarray(d_nn),
+                                   atol=1e-6)
+        # And idw_pull_k3 == knn3_masked + idw_from_knn by construction.
+        from pyfocusr_tpu.ops.knn import idw_pull_k3
+
+        vals = rng.random((400, 3)).astype(np.float32)
+        w0 = idw_pull_k3(jnp.asarray(r), jnp.asarray(mask), jnp.asarray(vals),
+                         jnp.asarray(q))
+        w1 = idw_from_knn(d3, i3, jnp.asarray(vals))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
     def test_pairwise_matches_cdist(self):
         from scipy.spatial.distance import cdist
 
