@@ -25,6 +25,7 @@ Distances returned are *Euclidean* (sqrt applied at the end), matching
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -153,13 +154,70 @@ def _pallas_chunked(ref, query, k):
     return d, i
 
 
+# Route large UNTRACED 3-D queries to the O(N) voxel-grid path
+# (ops/grid_knn.py) instead of the O(Nq*Nr) brute kernels.  The grid is
+# exact (certified per row with brute fallback), so routing is purely a
+# perf decision.  Measured crossover vs the Pallas brute kernel on v5e
+# (noisy-sphere, Nq = Nr = N): the grid pays ~1 s of fixed cost (build +
+# spacing probe + staged dispatches) and then scales ~O(N), so brute wins
+# below ~600k (k=1) / ~450k (k=3) and the grid wins above — at 300k brute
+# leads 0.41 vs 1.00 s (nn), at 500k they cross (knn3 2.08 vs 1.70 s;
+# nn still 1.08 vs 1.49), at 960k the grid leads 3.9 -> 1.3 s (nn) /
+# 7.6 -> 1.6 s (knn3) and at 3.84M ~122 -> ~6.5 s.  The k >= 2 threshold
+# is halved because brute cost grows with k while the grid's is flat.
+_GRID_MIN_PAIRS = float(
+    os.environ.get("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "4e11")
+)
+
+
+def _use_grid(ref, query, k: int) -> bool:
+    """Grid path applies only outside jit (its per-row fallback needs
+    dynamic shapes), in 3-D, for small k.  ``PYFOCUSR_TPU_KNN_GRID``
+    = off|auto|on overrides (decided per call)."""
+    mode = os.environ.get("PYFOCUSR_TPU_KNN_GRID", "auto").lower()
+    if mode in ("off", "0"):
+        return False
+    if isinstance(ref, jax.core.Tracer) or isinstance(query, jax.core.Tracer):
+        return False
+    if ref.ndim != 2 or query.ndim != 2:
+        return False
+    if ref.shape[1] != 3 or query.shape[1] != 3 or k > 8:
+        return False
+    if mode in ("on", "1", "force"):
+        return True
+    min_pairs = _GRID_MIN_PAIRS if k == 1 else _GRID_MIN_PAIRS / 2.0
+    return float(query.shape[0]) * float(ref.shape[0]) >= min_pairs
+
+
+def _brute_knn(ref, query, k: int, tile: int = 8192,
+               use_pallas: bool | None = None):
+    """The O(Nq*Nr) k-NN path (Pallas on TPU, tiled XLA elsewhere) —
+    knn_query without the grid routing; also the grid path's fallback."""
+    if _use_pallas(query.shape[1], ref.shape[0], k, use_pallas):
+        return _pallas_chunked(ref, query, k)
+    return _chunked_query(
+        lambda r, q: _knn_query_impl(r, q, k, tile=tile), ref, query, tile
+    )
+
+
 def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
              precision=None, use_pallas: bool | None = None):
     """Nearest neighbor of each query point among ref points (see
     _nn_query_impl); very large query sets are processed in row chunks so
     one [Nq, tile] distance block never exceeds ~1 GB.  On TPU with D <= 16
     this routes to the exact-f32 Pallas kernel (chunked only by the
-    grid-cell bound: it never materializes a distance block)."""
+    grid-cell bound: it never materializes a distance block); very large
+    untraced 3-D queries route to the O(N) voxel-grid path."""
+    if _use_grid(ref, query, 1):
+        from .grid_knn import knn_grid
+
+        d, i = knn_grid(
+            ref, query, 1,
+            brute=lambda r, q, kk: _brute_knn(
+                r, q, kk, tile=tile, use_pallas=use_pallas
+            ),
+        )
+        return d[:, 0], i[:, 0]
     if _use_pallas(query.shape[1], ref.shape[0], 1, use_pallas):
         d, i = _pallas_chunked(ref, query, 1)
         return d[:, 0], i[:, 0]
@@ -216,12 +274,18 @@ def _nn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, preci
 def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192,
               use_pallas: bool | None = None):
     """k nearest neighbors of each query among ref (see _knn_query_impl);
-    large query sets chunked like nn_query; Pallas kernel on TPU."""
-    if _use_pallas(query.shape[1], ref.shape[0], k, use_pallas):
-        return _pallas_chunked(ref, query, k)
-    return _chunked_query(
-        lambda r, q: _knn_query_impl(r, q, k, tile=tile), ref, query, tile
-    )
+    large query sets chunked like nn_query; Pallas kernel on TPU; very
+    large untraced 3-D queries via the O(N) voxel grid."""
+    if _use_grid(ref, query, k):
+        from .grid_knn import knn_grid
+
+        return knn_grid(
+            ref, query, k,
+            brute=lambda r, q, kk: _brute_knn(
+                r, q, kk, tile=tile, use_pallas=use_pallas
+            ),
+        )
+    return _brute_knn(ref, query, k, tile=tile, use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))

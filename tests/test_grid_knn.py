@@ -1,0 +1,140 @@
+"""Voxel-grid exact KNN (ops/grid_knn.py) vs the brute kernels and scipy
+cKDTree.  The grid path is a pure perf rerouting of ``knn_query`` for
+large untraced 3-D queries — every contract detail (tie rule, masked
+rows, missing neighbors, out-of-bbox queries) must match the brute path
+it replaces (SURVEY §2.3 cKDTree row)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import KDTree
+
+from pyfocusr_tpu.ops.knn import SENTINEL, _brute_knn, knn_query, nn_query
+from pyfocusr_tpu.ops.grid_knn import knn_grid
+
+
+def _surface_cloud(n, seed, scale=10.0, noise=0.05):
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    return (u * scale + rng.normal(scale=noise, size=(n, 3))).astype(
+        np.float32
+    )
+
+
+class TestGridKNN:
+    def _mk(self, n=30000, nq=20000, seed=0):
+        rng = np.random.default_rng(seed)
+        r = _surface_cloud(n, seed)
+        r[100:150] = r[0:50]  # exact duplicates -> distance ties
+        mask = np.ones(n, np.float32)
+        mask[-500:] = 0.0
+        r_q = np.where(mask[:, None] > 0, r, SENTINEL).astype(np.float32)
+        q = (
+            r[rng.integers(0, n, nq)]
+            + rng.normal(scale=0.02, size=(nq, 3))
+        ).astype(np.float32)
+        q[:50] = r[200:250]  # exact hits
+        q[50:60] = 100.0  # far outside the reference bbox
+        return r, r_q, mask, q
+
+    @pytest.mark.parametrize("k", [1, 3])
+    def test_matches_brute_and_kdtree(self, k):
+        r, r_q, mask, q = self._mk()
+        dg, ig = knn_grid(jnp.asarray(r_q), jnp.asarray(q), k)
+        db, ib = _brute_knn(jnp.asarray(r_q), jnp.asarray(q), k)
+        ig_, ib_ = np.asarray(ig), np.asarray(ib)
+        # f32-identical computations everywhere except genuinely ulp-tied
+        # neighbors (the brute matmul identity rounds differently).
+        assert (ig_ == ib_).mean() > 0.999
+        # Grid distances are direct f32 differences — accurate vs the f64
+        # KDTree ground truth (the CPU brute path's matmul identity is the
+        # noisy one near zero).
+        tree = KDTree(r[mask > 0].astype(np.float64))
+        remap = np.nonzero(mask > 0)[0]
+        dk, ik = tree.query(q.astype(np.float64), k=k)
+        dk = dk.reshape(len(q), k)
+        err = np.abs(np.asarray(dg) - dk)
+        # Grid-exact rows are direct f32 differences: tight vs f64.  The
+        # rare brute-fallback rows and f32 near-tie swaps are bounded by
+        # the brute kernel's own cancellation noise.
+        assert np.quantile(err, 0.999) < 2e-4
+        np.testing.assert_allclose(np.asarray(dg), dk, atol=5e-3)
+        assert (ig_ == remap[ik.reshape(len(q), k)]).mean() > 0.995
+
+    def test_tie_rule_lowest_index(self):
+        # 4 identical reference points; the grid must return ascending
+        # original indices (the cKDTree/brute tie rule).
+        r = np.zeros((16, 3), np.float32)
+        r[4:] = np.arange(12)[:, None] + 5.0
+        q = np.zeros((4, 3), np.float32)
+        d, i = knn_grid(jnp.asarray(r), jnp.asarray(q), 3)
+        np.testing.assert_array_equal(
+            np.asarray(i), np.tile([0, 1, 2], (4, 1))
+        )
+        np.testing.assert_allclose(np.asarray(d), 0.0)
+
+    def test_tiny_and_degenerate_refs_fall_back(self):
+        q = np.random.default_rng(1).random((64, 3)).astype(np.float32)
+        # fewer valid refs than the brute-fallback floor
+        r = np.full((10, 3), SENTINEL, np.float32)
+        r[0] = (0.5, 0.5, 0.5)
+        d, i = knn_grid(jnp.asarray(r), jnp.asarray(q), 3)
+        db, ib = _brute_knn(jnp.asarray(r), jnp.asarray(q), 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ib))
+        # all reference points identical -> zero spacing -> brute fallback
+        r2 = np.ones((5000, 3), np.float32)
+        d2, i2 = knn_grid(jnp.asarray(r2), jnp.asarray(q), 1)
+        db2, ib2 = _brute_knn(jnp.asarray(r2), jnp.asarray(q), 1)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ib2))
+
+    def test_nonuniform_density_exercises_fallback(self):
+        # A dense cluster (forces candidate-cap overflow) plus a sparse
+        # shell (forces d_k > slab margin) — both certified-fallback paths.
+        rng = np.random.default_rng(3)
+        dense = rng.normal(scale=0.001, size=(5000, 3)).astype(np.float32)
+        sparse = _surface_cloud(2000, 4, scale=50.0, noise=5.0)
+        r = np.concatenate([dense, sparse])
+        q = np.concatenate(
+            [
+                rng.normal(scale=0.001, size=(500, 3)).astype(np.float32),
+                _surface_cloud(500, 5, scale=50.0, noise=5.0),
+            ]
+        )
+        dg, ig = knn_grid(jnp.asarray(r), jnp.asarray(q), 3)
+        db, ib = _brute_knn(jnp.asarray(r), jnp.asarray(q), 3)
+        assert (np.asarray(ig) == np.asarray(ib)).mean() > 0.999
+        tree = KDTree(r.astype(np.float64))
+        dk, _ = tree.query(q.astype(np.float64), k=3)
+        # Overflowed/sparse rows resolve through the brute fallback, whose
+        # matmul-identity distances carry ~|coord|^2*eps cancellation noise.
+        np.testing.assert_allclose(np.asarray(dg), dk, rtol=2e-3, atol=5e-4)
+
+    def test_routing_env_override(self, monkeypatch):
+        # Small sizes never route by default; PYFOCUSR_TPU_KNN_GRID=on
+        # forces the grid, =off forbids it even above the pair threshold.
+        r, r_q, _, q = self._mk(n=4000, nq=1000, seed=7)
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID", "on")
+        d_on, i_on = knn_query(jnp.asarray(r_q), jnp.asarray(q), 3)
+        dn_on, in_on = nn_query(jnp.asarray(r_q), jnp.asarray(q))
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID", "off")
+        d_off, i_off = knn_query(jnp.asarray(r_q), jnp.asarray(q), 3)
+        assert (np.asarray(i_on) == np.asarray(i_off)).mean() > 0.999
+        assert (np.asarray(in_on) == np.asarray(i_off)[:, 0]).mean() > 0.999
+        assert np.asarray(dn_on).ndim == 1
+
+    def test_under_jit_never_routes_to_grid(self, monkeypatch):
+        # Tracers cannot take the host-orchestrated path even when forced.
+        import jax
+
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID", "on")
+        r = _surface_cloud(2000, 8)
+        q = _surface_cloud(300, 9)
+
+        @jax.jit
+        def f(r, q):
+            return knn_query(r, q, 3)
+
+        d, i = f(jnp.asarray(r), jnp.asarray(q))
+        db, ib = _brute_knn(jnp.asarray(r), jnp.asarray(q), 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ib))
