@@ -344,12 +344,17 @@ def _refine_fine_level(
     }
 
 
-# Above this fine vertex count the refine runs host-staged: several Pallas
-# KNN invocations compiled into ONE executable reproducibly fault the
-# remote worker at 3.84M vertices (the same stages issued as separate
+# Above this fine vertex count the refine runs host-staged, for two
+# measured reasons: (a) the untraced KNN can then route to the O(N)
+# voxel-grid path (ops/grid_knn.py), which beats the brute kernels above
+# ~600k vertices — 960k multires warm 56-64 s fused -> 45 s staged+grid,
+# identical unique fraction; staging alone was measured neutral at this
+# scale, so the win is the grid's — and (b) several Pallas KNN
+# invocations compiled into ONE executable reproducibly fault the remote
+# worker at 3.84M vertices (the same stages issued as separate
 # dispatches run fine — see ops/knn._pallas_chunked for the companion
 # grid-cell bound).  Override via PYFOCUSR_TPU_STAGED_REFINE_N (0 = off).
-_STAGED_REFINE_N = int(os.environ.get("PYFOCUSR_TPU_STAGED_REFINE_N", "2000000"))
+_STAGED_REFINE_N = int(os.environ.get("PYFOCUSR_TPU_STAGED_REFINE_N", "600000"))
 
 
 @partial(jax.jit, static_argnames=("iterations", "method", "cfg"))
