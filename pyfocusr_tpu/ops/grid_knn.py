@@ -19,9 +19,13 @@ Exactness is *certified per row*, not assumed:
   and at least k candidates were found;
 * all other rows fall back to the brute-force kernel (padded to a power
   of two to bound recompiles).  The result therefore matches
-  ``knn_query`` exactly — including the cKDTree tie rule (ascending
-  distance, lowest original index first), enforced here by a k-pass
-  lexicographic (distance^2, index) min-reduction.
+  ``knn_query`` — including the cKDTree tie rule (ascending distance,
+  lowest original index first), enforced here by a k-pass lexicographic
+  (distance^2, index) min-reduction — up to f32 rounding of genuinely
+  ulp-tied neighbors: grid rows compute direct (q - r)^2 differences
+  while the XLA brute path rounds through the matmul identity, so a
+  pair tied to within one ulp can resolve differently (~0.1% of rows on
+  noisy clouds; the TPU Pallas kernel computes the same direct form).
 
 TPU mapping (the gather unit is the floor at ~1e8 rows/s, so the design
 minimizes gathered rows per query):
@@ -38,10 +42,10 @@ minimizes gathered rows per query):
   [M, 4] array so each slot costs ONE gathered row (f32 mantissa holds
   indices exactly up to 2^24; larger references use two gathers).
 
-Everything inside ``_grid_chunk`` is static-shaped and jit-compiled; the
-host orchestrates chunking, the spacing probe, and the fallback (dynamic
-row counts are impossible under jit, which is why ``knn.py`` only routes
-*untraced* calls here).
+Everything inside ``_grid_search`` / ``_grid_select`` is static-shaped
+and jit-compiled; the host orchestrates chunking, the spacing probe, and
+the fallback (dynamic row counts are impossible under jit, which is why
+``knn.py`` only routes *untraced* calls here).
 
 Masked reference rows (coordinates at/above ~1e29, e.g. ``knn.SENTINEL``)
 get an out-of-range cell id, sort to the end of the order, and are never
@@ -86,8 +90,10 @@ _VALID_LIMIT = 1e29
 # a 2x-cell second pass before any brute fallback.
 _S_MULT = 1.25
 _RUN_CAP = 12
-# Unrolled in-column binary-search steps: columns longer than 2^8 rows
-# cannot converge and are certified to the fallback instead.
+# Unrolled in-column binary-search steps: a span of length L has L + 1
+# possible lower-bound answers, so 8 steps converge only for L <= 255 —
+# columns of >= 2^8 rows are certified to the fallback instead (the
+# exactly-256 case was verified non-convergent).
 _ZSEARCH_STEPS = 8
 _MAX_COL = 1 << _ZSEARCH_STEPS
 # Query rows per compiled chunk (static shape; last chunk padded).
@@ -149,7 +155,7 @@ def _grid_search(sorted_cz, colstart, query, lo, s, dims):
     colid = jnp.where(ok, rx * g_y + ry, 0)
     c_lo = jnp.where(ok, colstart[colid], 0)
     c_hi = jnp.where(ok, colstart[colid + 1], 0)
-    col_too_long = jnp.any(c_hi - c_lo > _MAX_COL, axis=1)
+    col_too_long = jnp.any(c_hi - c_lo >= _MAX_COL, axis=1)
 
     z0 = (cz - 1)[:, None]
     z1 = (cz + 1)[:, None]
@@ -314,7 +320,9 @@ def knn_grid(ref, query, k: int, brute=None):
     over the host link.  Matches the ``ops.knn.knn_query`` contract:
     Euclidean distances ascending, cKDTree tie rule, masked/non-finite
     reference rows never selected, missing neighbors reported as
-    (inf, len(ref)).
+    (inf, len(ref)).  Neighbor sets are exact; indices/distances can
+    differ from the XLA brute path only on genuinely ulp-tied pairs
+    (see module docstring).
     """
     if brute is None:
         from .knn import _brute_knn as brute
@@ -322,6 +330,11 @@ def knn_grid(ref, query, k: int, brute=None):
     ref = jnp.asarray(ref)
     query = jnp.asarray(query)
     m, nq = ref.shape[0], query.shape[0]
+    if nq == 0:
+        return (
+            jnp.zeros((0, k), query.dtype),
+            jnp.zeros((0, k), jnp.int32),
+        )
 
     finite, ref_clean, lo, hi = _grid_prep(ref)
     finite_np = np.asarray(finite)

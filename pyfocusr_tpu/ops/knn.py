@@ -87,8 +87,6 @@ def _use_pallas(d_dim: int, nr: int, k: int, use_pallas) -> bool:
     (D=8) — the XLA path pays the 128-lane 6-pass MXU padding tax.
     ``PYFOCUSR_TPU_KNN=xla|pallas`` overrides the routing (decided at trace
     time) for A/B timing or to work around a Mosaic toolchain regression."""
-    import os
-
     forced = os.environ.get("PYFOCUSR_TPU_KNN", "").lower()
     if forced == "xla":
         return False
@@ -165,15 +163,14 @@ def _pallas_chunked(ref, query, k):
 # nn still 1.08 vs 1.49), at 960k the grid leads 3.9 -> 1.3 s (nn) /
 # 7.6 -> 1.6 s (knn3) and at 3.84M ~122 -> ~6.5 s.  The k >= 2 threshold
 # is halved because brute cost grows with k while the grid's is flat.
-_GRID_MIN_PAIRS = float(
-    os.environ.get("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "4e11")
-)
+_GRID_MIN_PAIRS_DEFAULT = 4e11
 
 
 def _use_grid(ref, query, k: int) -> bool:
     """Grid path applies only outside jit (its per-row fallback needs
     dynamic shapes), in 3-D, for small k.  ``PYFOCUSR_TPU_KNN_GRID``
-    = off|auto|on overrides (decided per call)."""
+    = off|auto|on and ``PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS`` override
+    (both read per call, like the sibling PYFOCUSR_TPU_KNN dial)."""
     mode = os.environ.get("PYFOCUSR_TPU_KNN_GRID", "auto").lower()
     if mode in ("off", "0"):
         return False
@@ -185,7 +182,13 @@ def _use_grid(ref, query, k: int) -> bool:
         return False
     if mode in ("on", "1", "force"):
         return True
-    min_pairs = _GRID_MIN_PAIRS if k == 1 else _GRID_MIN_PAIRS / 2.0
+    min_pairs = float(
+        os.environ.get(
+            "PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", _GRID_MIN_PAIRS_DEFAULT
+        )
+    )
+    if k > 1:
+        min_pairs /= 2.0
     return float(query.shape[0]) * float(ref.shape[0]) >= min_pairs
 
 
@@ -207,7 +210,10 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
     one [Nq, tile] distance block never exceeds ~1 GB.  On TPU with D <= 16
     this routes to the exact-f32 Pallas kernel (chunked only by the
     grid-cell bound: it never materializes a distance block); very large
-    untraced 3-D queries route to the O(N) voxel-grid path."""
+    untraced 3-D queries route to the O(N) voxel-grid path.  The grid
+    and Pallas routes compute direct f32 differences — at least as
+    accurate as any requested ``precision`` (which only tunes the XLA
+    matmul-identity path; grid fallback rows run at HIGHEST)."""
     if _use_grid(ref, query, 1):
         from .grid_knn import knn_grid
 
@@ -268,6 +274,10 @@ def _nn_query_impl(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192, preci
     (best_d2, best_idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_tiles, dtype=jnp.int32), ref_tiles)
     )
+    # Rows with no finite neighbor report index nr (cKDTree's
+    # missing-neighbor sentinel) — same remap as _knn_query_impl, so the
+    # XLA-nn / Pallas / grid routes agree on degenerate inputs.
+    best_idx = jnp.where(jnp.isinf(best_d2), nr, best_idx)
     return jnp.sqrt(jnp.maximum(best_d2, 0.0)), best_idx
 
 

@@ -123,6 +123,55 @@ class TestGridKNN:
         assert (np.asarray(in_on) == np.asarray(i_off)[:, 0]).mean() > 0.999
         assert np.asarray(dn_on).ndim == 1
 
+    def test_exact_256_column_certified_to_fallback(self):
+        # A (x, y) column of EXACTLY _MAX_COL = 256 reference rows: the
+        # 8-step unrolled z-search cannot converge on a span of 256 (it
+        # distinguishes only 256 of the 257 possible answers), so before
+        # the >= fix the row was certified exact with the true nearest
+        # neighbor silently dropped — knn_grid returned a decoy from the
+        # neighboring column at 40x the true distance.
+        lat = np.stack(
+            np.meshgrid(
+                np.arange(40.0), np.arange(40.0), np.arange(40.0),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 3)
+        col = np.zeros((256, 3))
+        col[:, 0] = col[:, 1] = 20.3
+        col[0, 2] = 20.02  # the true NN of the query
+        col[1:, 2] = 22.6  # 255 rows two z-cells up, same column
+        ref = np.concatenate([lat, col]).astype(np.float32)
+        q = np.array([[20.3, 20.3, 20.01]], np.float32)
+        d, i = knn_grid(jnp.asarray(ref), jnp.asarray(q), 1)
+        # The row must be certified to the fallback and return the true
+        # neighbor (the fallback's matmul-identity distance carries
+        # ~|coord|^2*eps cancellation noise, so only the index is tight).
+        assert int(np.asarray(i)[0, 0]) == lat.shape[0]  # col[0]
+        assert float(np.asarray(d)[0, 0]) < 0.05
+
+    def test_zsearch_span_convergence_bound(self):
+        # The certificate's column budget must match what the unrolled
+        # search can actually converge: every span <= 255 resolves every
+        # target; a span of 256 provably cannot (pigeonhole), which is
+        # why col_too_long flags >= _MAX_COL.
+        from pyfocusr_tpu.ops.grid_knn import _MAX_COL, _lower_bound_z
+
+        span = _MAX_COL - 1
+        cz = jnp.arange(span, dtype=jnp.int32)
+        tgt = jnp.arange(span + 1, dtype=jnp.int32)[:, None]
+        lo = jnp.zeros_like(tgt)
+        hi = jnp.full_like(tgt, span)
+        got = _lower_bound_z(cz, lo, hi, tgt)
+        np.testing.assert_array_equal(
+            np.asarray(got)[:, 0], np.arange(span + 1)
+        )
+
+    def test_empty_query(self):
+        r = _surface_cloud(1000, 11)
+        d, i = knn_grid(jnp.asarray(r), jnp.zeros((0, 3), np.float32), 3)
+        assert d.shape == (0, 3) and i.shape == (0, 3)
+
     def test_under_jit_never_routes_to_grid(self, monkeypatch):
         # Tracers cannot take the host-orchestrated path even when forced.
         import jax
