@@ -448,11 +448,32 @@ def sinkhorn_jv_lap(
         if jax.default_backend() == "tpu" and n <= 8192:
             # Pallas row-streamed updates: one pass over the cost per dual
             # update instead of XLA's ~5 (pallas_kernels.sinkhorn_duals_streamed).
+            # Mixed-precision annealing: the update is HBM-bandwidth-bound,
+            # so the EARLY (high-temperature) levels stream the cost in
+            # bf16 at half the bytes, and only the last 3 levels — which
+            # set the final duals' precision — run f32.  Duals are only a
+            # WARM START (feasibility and exactness come from _bulk_match's
+            # u = rowmin(cost - v) on the f32 cost, for ANY v); quality is
+            # what's tuned: on the bundled 5k cost, all-bf16 halves the
+            # warm start (119 -> 68 ms) but its ~0.4%-of-range dual error
+            # lengthens JV augmentation 99k -> 126k steps (net 0), while
+            # the 3-level f32 tail restores the step count at 79 ms —
+            # LAP total 308 -> 275 ms (same-session A/B, v5e).
             from .pallas_kernels import sinkhorn_duals_streamed
 
-            _, g = sinkhorn_duals_streamed(
-                cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level
-            )
+            n_f32_tail = min(3, levels)
+            f = g = None
+            if levels > n_f32_tail:
+                f, g = sinkhorn_duals_streamed(
+                    cost, spread / 4.0, 1.0 / 3.0, levels - n_f32_tail,
+                    iters_per_level, cost_dtype=jnp.bfloat16,
+                )
+            if n_f32_tail:
+                T_lo = spread / 4.0 * (1.0 / 3.0) ** (levels - n_f32_tail)
+                _, g = sinkhorn_duals_streamed(
+                    cost, T_lo, 1.0 / 3.0, n_f32_tail, iters_per_level,
+                    init=None if f is None else (f, g),
+                )
         else:
             _, g = _sinkhorn_duals(
                 cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level

@@ -263,8 +263,10 @@ def gaussian_matvec_tiled(Y, beta, V, tile: int = 2048):
 # the column update reuses the same kernel on a transpose materialized once.
 
 def _lse_rows_kernel(c_ref, g_ref, invT_ref, f_ref):
-    """Grid (row_tiles,): one full-row logsumexp per output element."""
-    C = c_ref[:, :]  # [TR, n_pad]
+    """Grid (row_tiles,): one full-row logsumexp per output element.
+    The cost block may arrive in a narrower dtype (bf16 stream, see
+    ``sinkhorn_duals_streamed``); all arithmetic is f32."""
+    C = c_ref[:, :].astype(jnp.float32)  # [TR, n_pad]
     g = g_ref[0, :]  # [n_pad]
     invT = invT_ref[0, 0]
     A = g[None, :] - C
@@ -296,11 +298,14 @@ def _lse_rows_pallas(Cmat, vec, invT, tile_r: int, interpret: bool = False):
 
 @partial(
     jax.jit,
-    static_argnames=("levels", "iters_per_level", "tile_r", "interpret"),
+    static_argnames=(
+        "levels", "iters_per_level", "tile_r", "interpret", "cost_dtype"
+    ),
 )
 def sinkhorn_duals_streamed(
     cost, T0, T_factor: float, levels: int, iters_per_level: int,
-    tile_r: int = 256, interpret: bool = False,
+    tile_r: int = 256, interpret: bool = False, cost_dtype=jnp.float32,
+    init=None,
 ):
     """Annealed Sinkhorn dual potentials (f, g) with Pallas row-streamed
     logsumexp updates — the same math as ``assignment._sinkhorn_duals`` at
@@ -310,6 +315,19 @@ def sinkhorn_duals_streamed(
     would make the in-kernel max/rescale produce NaNs), and the padded
     entries of each dual vector are forced to -1e30 after every update so
     padded rows/columns contribute exp(-large) = 0 to real updates.
+
+    ``cost_dtype=jnp.bfloat16`` streams the cost at half the HBM bytes
+    (the iteration is bandwidth-bound: every update reads the full [n, n]
+    matrix once), at the price of quantizing the duals to ~0.4% of the
+    cost's range.  Measured at 5k on v5e: bf16 alone halves the warm
+    start (119 -> 68 ms) but the noisier duals lengthen JV augmentation
+    99k -> 126k steps — a net wash; the production recipe
+    (assignment.sinkhorn_jv_lap) therefore anneals the early levels in
+    bf16 and RESUMES the last 3 levels in f32 via ``init=(f, g)``, which
+    restores the f32 step count at 79 ms of warm start.
+
+    ``init``: optional (f [n], g [n]) duals to resume from (used by the
+    mixed-precision phase split); zeros when None.
     """
     n = cost.shape[0]
     lane = max(tile_r, 128)
@@ -318,7 +336,7 @@ def sinkhorn_duals_streamed(
         cost.astype(jnp.float32),
         ((0, n_pad - n), (0, n_pad - n)),
         constant_values=_DUAL_BIG,
-    )
+    ).astype(cost_dtype)
     CpT = Cp.T
     real = (jnp.arange(n_pad) < n).astype(jnp.float32)
 
@@ -339,9 +357,13 @@ def sinkhorn_duals_streamed(
         return (f, g), None
 
     Ts = T0 * T_factor ** jnp.arange(levels, dtype=jnp.float32)
-    f0 = mask_pad(jnp.zeros((n_pad,), jnp.float32))
-    g0 = mask_pad(jnp.zeros((n_pad,), jnp.float32))
-    (f, g), _ = jax.lax.scan(one_T, (f0, g0), Ts)
+    if init is None:
+        f0 = jnp.zeros((n_pad,), jnp.float32)
+        g0 = jnp.zeros((n_pad,), jnp.float32)
+    else:  # resume a partially-annealed schedule (mixed-precision phases)
+        f0 = jnp.pad(jnp.asarray(init[0], jnp.float32), (0, n_pad - n))
+        g0 = jnp.pad(jnp.asarray(init[1], jnp.float32), (0, n_pad - n))
+    (f, g), _ = jax.lax.scan(one_T, (mask_pad(f0), mask_pad(g0)), Ts)
     return f[:n], g[:n]
 
 

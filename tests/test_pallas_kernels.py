@@ -114,6 +114,35 @@ def test_sinkhorn_duals_streamed_matches_xla():
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=2e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
 
+    # The bf16 cost stream (the production TPU warm-start path,
+    # assignment.sinkhorn_jv_lap) quantizes the cost to ~0.4% of its
+    # range; duals must stay within a few quantization steps of the f32
+    # ones — warm-start quality, not exactness, is all that's at stake.
+    f3, g3 = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 6, 5, tile_r=128,
+        interpret=True, cost_dtype=jnp.bfloat16,
+    )
+    q = spread / 256.0  # one bf16 mantissa step at the cost's scale
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f3), atol=4 * q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3), atol=4 * q)
+
+    # init= resumes a partially-annealed schedule: running the 6-level
+    # schedule as 4 levels + a 2-level resume reproduces the single-run
+    # duals to f32 roundoff (the resumed phase recomputes its starting
+    # temperature as T0*factor^4, rounded differently than the single
+    # run's factor**arange — same schedule, ~1-ulp temperature skew) —
+    # the invariant the mixed-precision production split relies on.
+    fa, ga = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 4, 5, tile_r=128,
+        interpret=True,
+    )
+    fb, gb = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0 / 3.0**4), 1.0 / 3.0, 2, 5,
+        tile_r=128, interpret=True, init=(fa, ga),
+    )
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(fb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(gb), atol=1e-6)
+
 
 def test_jv_device_pallas_interpret_matches_scipy():
     """The VMEM-resident Dijkstra kernel (interpret mode on CPU) is EXACT:
