@@ -539,50 +539,56 @@ def jv_device_pallas(cost, u0, v0, row4col0, col4row0, max_total_steps: int,
     c4r = jnp.pad(col4row0[None, :], pad1, constant_values=-2)
     lane = jnp.arange(n_pad, dtype=jnp.int32)
 
-    def body(carry, i_start):
-        u, v, r4c, c4r, steps_left = carry
-        free = jnp.logical_and(c4r[0, i_start] < 0, steps_left > 0)
+    # Augmentation never unassigns a row (the path flips columns among
+    # already-matched rows and finally assigns i_start), so the rows
+    # needing a Dijkstra search are EXACTLY the ones the bulk phase left
+    # free — compact them up front and loop over only those.  A scan over
+    # all n rows with a lax.cond skip measured ~7.5 us per SKIPPED row on
+    # v5e (37 ms of pure skip overhead at 5k, where ~90% of rows are bulk-
+    # assigned); the dynamic-trip while_loop pays only for real searches.
+    rows_i32 = jnp.arange(n_real, dtype=jnp.int32)
+    free0 = c4r[0, :n_real] < 0
+    free_rows = jnp.sort(jnp.where(free0, rows_i32, jnp.int32(n_real)))
+    n_free = jnp.sum(free0.astype(jnp.int32))
 
-        def run(args):
-            u, v, r4c, c4r, steps_left = args
-            scal = jnp.stack(
-                [i_start, steps_left, jnp.int32(n_real), jnp.int32(n_pad)]
-            )
-            r4c_n, c4r_n, spc, scanned, rvis, stats = _jv_row_call(
-                scal, cost_pad, u, v, r4c, c4r, interpret=interpret
-            )
-            min_val = stats[0, 0]
-            steps = stats[0, 1].astype(jnp.int32)
-            sink = stats[0, 2].astype(jnp.int32)
-            did = sink >= 0
+    def cond(carry):
+        k, u, v, r4c, c4r, steps_left = carry
+        return jnp.logical_and(k < n_free, steps_left > 0)
 
-            # Deferred dual updates (scipy _lsap): need spc gathered at the
-            # PRE-augmentation col4row — a VMEM gather Mosaic can't express,
-            # done here in XLA instead.
-            spc_of_row = spc[0][jnp.clip(c4r[0], 0, n_pad - 1)]
-            upd_rows = jnp.logical_and(rvis[0] > 0, lane != i_start)
-            u_new = jnp.where(
-                upd_rows[None, :], u + min_val - spc_of_row[None, :], u
-            )
-            u_new = u_new.at[0, i_start].add(min_val)
-            v_new = jnp.where(
-                scanned[0][None, :] > 0, v - (min_val - spc[0][None, :]), v
-            )
-            u = jnp.where(did, u_new, u)
-            v = jnp.where(did, v_new, v)
-            r4c = jnp.where(did, r4c_n, r4c)
-            c4r = jnp.where(did, c4r_n, c4r)
-            return u, v, r4c, c4r, steps_left - steps
-
-        u, v, r4c, c4r, steps_left = jax.lax.cond(
-            free, run, lambda a: a, (u, v, r4c, c4r, steps_left)
+    def body(carry):
+        k, u, v, r4c, c4r, steps_left = carry
+        i_start = free_rows[k]  # ascending — same order the row scan used
+        scal = jnp.stack(
+            [i_start, steps_left, jnp.int32(n_real), jnp.int32(n_pad)]
         )
-        return (u, v, r4c, c4r, steps_left), None
+        r4c_n, c4r_n, spc, scanned, rvis, stats = _jv_row_call(
+            scal, cost_pad, u, v, r4c, c4r, interpret=interpret
+        )
+        min_val = stats[0, 0]
+        steps = stats[0, 1].astype(jnp.int32)
+        sink = stats[0, 2].astype(jnp.int32)
+        did = sink >= 0
 
-    init = (u, v, r4c, c4r, jnp.int32(max_total_steps))
-    (u, v, r4c, c4r, steps_left), _ = jax.lax.scan(
-        body, init, jnp.arange(n_real, dtype=jnp.int32)
-    )
+        # Deferred dual updates (scipy _lsap): need spc gathered at the
+        # PRE-augmentation col4row — a VMEM gather Mosaic can't express,
+        # done here in XLA instead.
+        spc_of_row = spc[0][jnp.clip(c4r[0], 0, n_pad - 1)]
+        upd_rows = jnp.logical_and(rvis[0] > 0, lane != i_start)
+        u_new = jnp.where(
+            upd_rows[None, :], u + min_val - spc_of_row[None, :], u
+        )
+        u_new = u_new.at[0, i_start].add(min_val)
+        v_new = jnp.where(
+            scanned[0][None, :] > 0, v - (min_val - spc[0][None, :]), v
+        )
+        u = jnp.where(did, u_new, u)
+        v = jnp.where(did, v_new, v)
+        r4c = jnp.where(did, r4c_n, r4c)
+        c4r = jnp.where(did, c4r_n, c4r)
+        return (k + 1, u, v, r4c, c4r, steps_left - steps)
+
+    init = (jnp.int32(0), u, v, r4c, c4r, jnp.int32(max_total_steps))
+    _, u, v, r4c, c4r, steps_left = jax.lax.while_loop(cond, body, init)
     return c4r[0, :n_real], jnp.int32(max_total_steps) - steps_left
 
 
