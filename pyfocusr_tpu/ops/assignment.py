@@ -461,19 +461,10 @@ def sinkhorn_jv_lap(
             # LAP total 308 -> 275 ms (same-session A/B, v5e).
             from .pallas_kernels import sinkhorn_duals_streamed
 
-            n_f32_tail = min(3, levels)
-            f = g = None
-            if levels > n_f32_tail:
-                f, g = sinkhorn_duals_streamed(
-                    cost, spread / 4.0, 1.0 / 3.0, levels - n_f32_tail,
-                    iters_per_level, cost_dtype=jnp.bfloat16,
-                )
-            if n_f32_tail:
-                T_lo = spread / 4.0 * (1.0 / 3.0) ** (levels - n_f32_tail)
-                _, g = sinkhorn_duals_streamed(
-                    cost, T_lo, 1.0 / 3.0, n_f32_tail, iters_per_level,
-                    init=None if f is None else (f, g),
-                )
+            _, g = sinkhorn_duals_streamed(
+                cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level,
+                cost_dtype=jnp.bfloat16, f32_tail_levels=3,
+            )
         else:
             _, g = _sinkhorn_duals(
                 cost, spread / 4.0, 1.0 / 3.0, levels, iters_per_level

@@ -330,7 +330,20 @@ def knn_grid(ref, query, k: int, brute=None):
     ref = jnp.asarray(ref)
     query = jnp.asarray(query)
     m, nq = ref.shape[0], query.shape[0]
+
+    def _degenerate_stats(**kw):
+        # last_stats documents "the most recent knn_grid call", so the
+        # early-return paths must overwrite it too or a caller reads the
+        # PREVIOUS call's fallback fraction as this one's.
+        last_stats.clear()
+        last_stats.update(
+            n_ref=m, n_query=nq, k=k, cell_size=0.0, dims=(0, 0, 0),
+            pass1_unresolved=0, fallback_rows=0, fallback_fraction=0.0,
+        )
+        last_stats.update(kw)
+
     if nq == 0:
+        _degenerate_stats()
         return (
             jnp.zeros((0, k), query.dtype),
             jnp.zeros((0, k), jnp.int32),
@@ -339,10 +352,12 @@ def knn_grid(ref, query, k: int, brute=None):
     finite, ref_clean, lo, hi = _grid_prep(ref)
     finite_np = np.asarray(finite)
     if int(finite_np.sum()) < max(k, 8):
+        _degenerate_stats(fallback_rows=nq, fallback_fraction=1.0)
         return brute(ref, query, k)
 
     dk_est = _estimate_dk(ref_clean, finite_np, brute, k)
     if dk_est <= 0.0 or not np.isfinite(dk_est):
+        _degenerate_stats(fallback_rows=nq, fallback_fraction=1.0)
         return brute(ref, query, k)
 
     ext = np.asarray(hi, np.float64) - np.asarray(lo, np.float64)

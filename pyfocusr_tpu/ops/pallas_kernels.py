@@ -302,33 +302,13 @@ def _lse_rows_pallas(Cmat, vec, invT, tile_r: int, interpret: bool = False):
         "levels", "iters_per_level", "tile_r", "interpret", "cost_dtype"
     ),
 )
-def sinkhorn_duals_streamed(
+def _sinkhorn_phase(
     cost, T0, T_factor: float, levels: int, iters_per_level: int,
     tile_r: int = 256, interpret: bool = False, cost_dtype=jnp.float32,
     init=None,
 ):
-    """Annealed Sinkhorn dual potentials (f, g) with Pallas row-streamed
-    logsumexp updates — the same math as ``assignment._sinkhorn_duals`` at
-    ~4x less HBM traffic per iteration.
-
-    Cost-matrix padding uses a large FINITE sentinel (1e30, not inf: inf
-    would make the in-kernel max/rescale produce NaNs), and the padded
-    entries of each dual vector are forced to -1e30 after every update so
-    padded rows/columns contribute exp(-large) = 0 to real updates.
-
-    ``cost_dtype=jnp.bfloat16`` streams the cost at half the HBM bytes
-    (the iteration is bandwidth-bound: every update reads the full [n, n]
-    matrix once), at the price of quantizing the duals to ~0.4% of the
-    cost's range.  Measured at 5k on v5e: bf16 alone halves the warm
-    start (119 -> 68 ms) but the noisier duals lengthen JV augmentation
-    99k -> 126k steps — a net wash; the production recipe
-    (assignment.sinkhorn_jv_lap) therefore anneals the early levels in
-    bf16 and RESUMES the last 3 levels in f32 via ``init=(f, g)``, which
-    restores the f32 step count at 79 ms of warm start.
-
-    ``init``: optional (f [n], g [n]) duals to resume from (used by the
-    mixed-precision phase split); zeros when None.
-    """
+    """One annealing phase of :func:`sinkhorn_duals_streamed` (single cost
+    dtype, optional resume duals); see that wrapper for semantics."""
     n = cost.shape[0]
     lane = max(tile_r, 128)
     n_pad = _round_up(n, lane)
@@ -365,6 +345,55 @@ def sinkhorn_duals_streamed(
         g0 = jnp.pad(jnp.asarray(init[1], jnp.float32), (0, n_pad - n))
     (f, g), _ = jax.lax.scan(one_T, (mask_pad(f0), mask_pad(g0)), Ts)
     return f[:n], g[:n]
+
+
+def sinkhorn_duals_streamed(
+    cost, T0, T_factor: float, levels: int, iters_per_level: int,
+    tile_r: int = 256, interpret: bool = False, cost_dtype=jnp.float32,
+    init=None, f32_tail_levels: int = 0,
+):
+    """Annealed Sinkhorn dual potentials (f, g) with Pallas row-streamed
+    logsumexp updates — the same math as ``assignment._sinkhorn_duals`` at
+    ~4x less HBM traffic per iteration.
+
+    Cost-matrix padding uses a large FINITE sentinel (1e30, not inf: inf
+    would make the in-kernel max/rescale produce NaNs), and the padded
+    entries of each dual vector are forced to -1e30 after every update so
+    padded rows/columns contribute exp(-large) = 0 to real updates.
+
+    ``cost_dtype=jnp.bfloat16`` streams the cost at half the HBM bytes
+    (the iteration is bandwidth-bound: every update reads the full [n, n]
+    matrix once), at the price of quantizing the duals to ~0.4% of the
+    cost's range.  ``f32_tail_levels=k`` runs the LAST k levels of the
+    schedule with an f32 stream (resuming the low-precision phase's duals
+    via ``init``), which restores final dual precision while keeping the
+    byte saving on the early high-temperature levels.  Measured at 5k on
+    v5e: bf16 alone halves the warm start (119 -> 68 ms) but the noisier
+    duals lengthen JV augmentation 99k -> 126k steps — a net wash; bf16
+    with a 3-level f32 tail keeps the f32 step count at 79 ms of warm
+    start (the production recipe, assignment.sinkhorn_jv_lap).
+
+    ``init``: optional (f [n], g [n]) duals to resume from; zeros when
+    None.  ``levels=0`` returns the initial duals unchanged.
+    """
+    tail = min(f32_tail_levels, levels)
+    if cost_dtype == jnp.float32:
+        tail = 0  # a same-dtype split would be pure overhead
+    head = levels - tail
+    if head > 0:
+        init = _sinkhorn_phase(
+            cost, T0, T_factor, head, iters_per_level, tile_r=tile_r,
+            interpret=interpret, cost_dtype=cost_dtype, init=init,
+        )
+        T0 = T0 * T_factor**head
+    if tail > 0 or head == 0:
+        # levels == 0 still flows through one empty-schedule phase so the
+        # return shape/dtype contract holds for any input.
+        return _sinkhorn_phase(
+            cost, T0, T_factor, tail, iters_per_level, tile_r=tile_r,
+            interpret=interpret, init=init,
+        )
+    return init
 
 
 # ----------------------------------------------------------------------

@@ -172,6 +172,24 @@ class TestGridKNN:
         d, i = knn_grid(jnp.asarray(r), jnp.zeros((0, 3), np.float32), 3)
         assert d.shape == (0, 3) and i.shape == (0, 3)
 
+    def test_early_returns_refresh_last_stats(self):
+        # last_stats documents "the most recent call" — the early-return
+        # paths (empty query, too-few-finite-rows brute route) must not
+        # leave the previous call's diagnostics behind.
+        from pyfocusr_tpu.ops.grid_knn import last_stats
+
+        r = _surface_cloud(4000, 12)
+        q = _surface_cloud(2000, 13)
+        knn_grid(jnp.asarray(r), jnp.asarray(q), 1)
+        assert last_stats["n_query"] == 2000
+        knn_grid(jnp.asarray(r), jnp.zeros((0, 3), np.float32), 3)
+        assert last_stats["n_query"] == 0
+        assert last_stats["fallback_rows"] == 0
+        tiny = jnp.asarray(_surface_cloud(4, 14))
+        knn_grid(tiny, jnp.asarray(q), 3)
+        assert last_stats["n_ref"] == 4
+        assert last_stats["fallback_fraction"] == 1.0
+
     def test_under_jit_never_routes_to_grid(self, monkeypatch):
         # Tracers cannot take the host-orchestrated path even when forced.
         import jax

@@ -143,6 +143,32 @@ def test_sinkhorn_duals_streamed_matches_xla():
     np.testing.assert_allclose(np.asarray(f2), np.asarray(fb), atol=1e-6)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(gb), atol=1e-6)
 
+    # f32_tail_levels performs that same split internally (the production
+    # mixed-precision recipe): bf16 head + f32 tail == manual phases.
+    fh, gh = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 6, 5, tile_r=128,
+        interpret=True, cost_dtype=jnp.bfloat16, f32_tail_levels=2,
+    )
+    fm, gm = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 4, 5, tile_r=128,
+        interpret=True, cost_dtype=jnp.bfloat16,
+    )
+    fm, gm = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0 / 3.0**4), 1.0 / 3.0, 2, 5,
+        tile_r=128, interpret=True, init=(fm, gm),
+    )
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(fm), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gm), atol=1e-6)
+
+    # levels=0 returns well-formed zero duals for ANY tail setting — the
+    # public sinkhorn_jv_lap(levels=0) path crashed on this before the
+    # split moved inside the wrapper (g stayed None).
+    f0, g0 = sinkhorn_duals_streamed(
+        C, jnp.float32(spread / 4.0), 1.0 / 3.0, 0, 5, tile_r=128,
+        interpret=True, cost_dtype=jnp.bfloat16, f32_tail_levels=3,
+    )
+    assert f0.shape == (C.shape[0],) and not np.any(np.asarray(g0))
+
 
 def test_jv_device_pallas_interpret_matches_scipy():
     """The VMEM-resident Dijkstra kernel (interpret mode on CPU) is EXACT:
