@@ -213,6 +213,16 @@ def main(argv=None):
         "(pyfocusr_tpu.multires)",
     )
     p_reg.add_argument(
+        "--checkpoint-dir",
+        metavar="DIR",
+        default=None,
+        help="with --multires: persist finished stages (coarse solve, fine "
+        "smoothings) to DIR so a faulted multi-million-vertex run resumes "
+        "instead of restarting; stage files are fingerprinted over every "
+        "input, so a stale directory recomputes rather than leaking wrong "
+        "results",
+    )
+    p_reg.add_argument(
         "--landmarks",
         metavar="FILE",
         default=None,
@@ -450,6 +460,9 @@ def main(argv=None):
         if args.multires and (args.prepared or args.save_prepared):
             print("--multires cannot use prepared target state", file=sys.stderr)
             return 2
+        if args.checkpoint_dir and not args.multires:
+            print("--checkpoint-dir requires --multires", file=sys.stderr)
+            return 2
         if args.landmark_weight is not None and not args.landmarks:
             print("--landmark-weight requires --landmarks", file=sys.stderr)
             return 2
@@ -653,6 +666,7 @@ def main(argv=None):
                             and topo_source is not None
                             else None
                         ),
+                        checkpoint_dir=args.checkpoint_dir,
                     )
                 except ValueError as exc:
                     if lm_pairs is not None and "landmark" in str(exc):

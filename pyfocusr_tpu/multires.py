@@ -375,27 +375,46 @@ def _smooth_graph_jit(
 
 
 def _refine_fine_level_staged(
-    target: GraphArrays, source: GraphArrays, init_corr, cfg: PipelineConfig
+    target: GraphArrays, source: GraphArrays, init_corr, cfg: PipelineConfig,
+    ckpt=None,
 ):
     """The same math as :func:`_refine_fine_level` with each heavy stage
     dispatched as its own compiled program (smoothings jitted per graph;
     the KNN stages run through the unrolled chunked Pallas path outside
     any enclosing jit) — the multi-million-vertex execution shape the
     remote worker tolerates.  Gated equal to the fused refine by
-    tests/test_multires.py."""
+    tests/test_multires.py.
+
+    ``ckpt`` (utils.checkpoint.StageCheckpointer): persists each smoothing
+    stage — the two dominant device costs at multi-million scale — so a
+    faulted run resumes past them (see ``register_pair_multires``).
+    """
     tmask = target.valid_mask[:, None]
     corr = init_corr
     smoothed_tgt = target.points
     projected = source.points
     if cfg.smooth_correspondences:
-        smoothed_tgt = _smooth_graph_jit(
-            target, target.points, cfg.graph_smoothing_iterations,
-            cfg.smoothing_method, cfg,
+        def _smooth_target():
+            return _smooth_graph_jit(
+                target, target.points, cfg.graph_smoothing_iterations,
+                cfg.smoothing_method, cfg,
+            )
+
+        smoothed_tgt = (
+            ckpt.get_or("refine_smoothed_target", _smooth_target)
+            if ckpt is not None else _smooth_target()
         )
-        gathered = smoothed_tgt[init_corr]
-        projected = _smooth_graph_jit(
-            source, gathered, cfg.projection_smooth_iterations,
-            cfg.smoothing_method, cfg,
+
+        def _smooth_projection():
+            gathered = smoothed_tgt[init_corr]
+            return _smooth_graph_jit(
+                source, gathered, cfg.projection_smooth_iterations,
+                cfg.smoothing_method, cfg,
+            )
+
+        projected = (
+            ckpt.get_or("refine_projected", _smooth_projection)
+            if ckpt is not None else _smooth_projection()
         )
     d3, i3 = knn3_masked(smoothed_tgt, target.valid_mask, projected)
     if cfg.smooth_correspondences:
@@ -414,6 +433,38 @@ def _refine_fine_level_staged(
     }
 
 
+def _run_fingerprint(
+    target_mesh, source_mesh, cfg, key, coarse_n, seed,
+    landmark_pairs, node_features,
+) -> str:
+    """Hash of every register_pair_multires input that determines its
+    outputs — the validity token for stage checkpoints.  Mesh point_data is
+    deliberately excluded: the registration never reads it (features enter
+    only via the explicitly-hashed ``node_features``)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(b"pyfocusr_tpu-multires-ckpt-v1")
+    for arr in (
+        target_mesh.points, target_mesh.triangles,
+        source_mesh.points, source_mesh.triangles,
+    ):
+        a = np.asarray(arr)
+        h.update(str((a.shape, a.dtype.str)).encode())
+        h.update(a.tobytes())
+    h.update(repr(cfg).encode())
+    h.update(np.asarray(key).tobytes())
+    h.update(str((int(coarse_n), int(seed))).encode())
+    if landmark_pairs is not None:
+        h.update(np.asarray(landmark_pairs, np.int64).tobytes())
+    if node_features is not None:
+        for f in node_features:
+            a = np.asarray(f, np.float32)
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def register_pair_multires(
     target_mesh: TriMesh,
     source_mesh: TriMesh,
@@ -425,6 +476,7 @@ def register_pair_multires(
     landmark_pairs=None,
     node_features=None,
     topologies=None,
+    checkpoint_dir: str | None = None,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -463,6 +515,19 @@ def register_pair_multires(
     The fine refinement uses 'kd' final correspondences; an O(N^2)-memory
     'hungarian' assignment is exactly what multi-resolution exists to avoid
     at this scale, so that configuration is rejected explicitly.
+
+    ``checkpoint_dir``: persist finished stages so a faulted run (the
+    remote TPU link can kill long steps — a real hazard at multi-million
+    vertices, where a registration spans minutes of device stages) resumes
+    instead of restarting.  Stage files are fingerprinted over EVERY
+    functional input (meshes, cfg, key, coarse_n, seed, landmarks,
+    features); a mismatch recomputes, so a stale directory can never leak
+    wrong results — delete the directory to force a full rerun.  Saved
+    stages: the coarse solve (+ prolonged init) always; the two fine
+    smoothing stages when the host-staged refine runs (vertex counts >=
+    PYFOCUSR_TPU_STAGED_REFINE_N, default 600k — exactly the runs long
+    enough to care).  The ``device_mesh`` sharded refine checkpoints only
+    the coarse stage.
     """
     if (
         cfg.final_correspondence_type != "kd"
@@ -529,6 +594,27 @@ def register_pair_multires(
         topo_s = build_topology(
             np.asarray(source_mesh.triangles), source_mesh.n_points
         )
+    ckpt = None
+    if checkpoint_dir is not None:
+        from .utils.checkpoint import StageCheckpointer
+
+        ckpt = StageCheckpointer(
+            checkpoint_dir,
+            _run_fingerprint(
+                target_mesh, source_mesh, cfg, key, coarse_n, seed,
+                landmark_pairs, node_features,
+            ),
+        )
+        coarse_saved = ckpt.load("coarse")
+        if coarse_saved is not None:
+            init_fine = np.asarray(coarse_saved.pop("__init_fine__"))
+            cs_n = int(coarse_saved.pop("__coarse_source_n__"))
+            coarse_res = coarse_saved
+            return _finish_multires(
+                target_mesh, source_mesh, cfg, init_fine, cs_n, coarse_res,
+                topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+            )
+
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed, edges=topo_t.edges)
     cs_mesh, map_s, rep_s = decimate(
         source_mesh, coarse_n, seed + 1, edges=topo_s.edges
@@ -594,7 +680,31 @@ def register_pair_multires(
     coarse_res = register_pair(ct, cs, cfg, key, landmark_pairs=lm_coarse)
     coarse_corr = np.asarray(coarse_res["correspondences"], np.int64)
     init_fine = rep_t[coarse_corr[map_s]]
+    if ckpt is not None:
+        # Everything the fine stage needs from the coarse solve, in one
+        # file: the prolonged init, the coarse source size (sets the
+        # projection-smoothing budget), and the returned coarse dict.
+        ckpt.save(
+            "coarse",
+            {
+                **coarse_res,
+                "__init_fine__": np.asarray(init_fine, np.int64),
+                "__coarse_source_n__": np.int64(cs_mesh.n_points),
+            },
+        )
+    return _finish_multires(
+        target_mesh, source_mesh, cfg, init_fine, cs_mesh.n_points,
+        coarse_res, topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+    )
 
+
+def _finish_multires(
+    target_mesh, source_mesh, cfg, init_fine, cs_n, coarse_res,
+    topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+):
+    """Fine-level half of :func:`register_pair_multires` (everything after
+    the coarse solve) — split out so a checkpoint resume can enter here
+    directly with the saved coarse artifacts."""
     # The prolonged correspondence is piecewise-constant over coarse
     # clusters (~ratio fine vertices share one target), so the fine-level
     # projection smoothing must diffuse far enough to separate cluster
@@ -606,7 +716,7 @@ def register_pair_multires(
     # (ratio 320) the fixed 100 left uniqueness at 0.773, while 300
     # iterations reached 0.804 at unchanged surface distance (0.033 vs
     # 0.035 mm) — so the ceiling is max(100, ratio).
-    ratio = source_mesh.n_points / max(cs_mesh.n_points, 1)
+    ratio = source_mesh.n_points / max(cs_n, 1)
     # Cap only the AUTO-derived term: an explicitly configured larger
     # projection_smooth_iterations is the user's call and is honored.
     proj_iters = max(
@@ -626,11 +736,17 @@ def register_pair_multires(
             tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg, device_mesh
         )
         return fine_res, coarse_res
-    refine = (
-        _refine_fine_level_staged
-        if _STAGED_REFINE_N > 0
-        and max(tg.n_points, sg.n_points) >= _STAGED_REFINE_N
-        else _refine_fine_level
-    )
-    fine_res = refine(tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg)
+    if _STAGED_REFINE_N > 0 and (
+        max(tg.n_points, sg.n_points) >= _STAGED_REFINE_N
+    ):
+        fine_res = _refine_fine_level_staged(
+            tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg, ckpt=ckpt
+        )
+    else:
+        # The fused single-program refine has no host seams to checkpoint
+        # at — below the staged threshold the whole refine is one short
+        # device step, so the coarse checkpoint is the useful one anyway.
+        fine_res = _refine_fine_level(
+            tg, sg, jnp.asarray(init_fine, jnp.int32), fine_cfg
+        )
     return fine_res, coarse_res

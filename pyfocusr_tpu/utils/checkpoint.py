@@ -10,13 +10,21 @@ serialization: ``save_results``/``load_results`` round-trip any result pytree
 
 from __future__ import annotations
 
+import os
 import re
+import tempfile
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["save_results", "load_results", "focusr_state_dict", "restore_focusr_state"]
+__all__ = [
+    "save_results",
+    "load_results",
+    "focusr_state_dict",
+    "restore_focusr_state",
+    "StageCheckpointer",
+]
 
 
 def save_results(path: str, tree) -> None:
@@ -39,6 +47,88 @@ def load_results(path: str) -> dict:
         return {
             k: data[f"leaf_{i}"] for i, k in enumerate(keys)
         }
+
+
+class StageCheckpointer:
+    """Fingerprinted stage-level checkpoint store for long multi-stage runs
+    (e.g. multi-million-vertex multires registrations, where the remote
+    device link can fault mid-run — ROADMAP "axon tunnel" note — and a
+    retry would otherwise redo hundreds of seconds of finished stages).
+
+    Each stage is one ``<dir>/<stage>.npz`` holding an array pytree (via
+    :func:`save_results`) plus the RUN fingerprint — a caller-computed hash
+    of every input that determines the stage outputs.  ``get_or(stage, fn)``
+    returns the saved pytree when the file exists AND its fingerprint
+    matches; otherwise it computes ``fn()``, saves atomically (tmp +
+    ``os.replace``, so a crash mid-write never leaves a half checkpoint),
+    and returns the fresh value.  A mismatched fingerprint is simply a
+    miss: the stale file is overwritten after recompute.
+
+    Loaded leaves come back as device arrays; only dict-shaped pytrees (or
+    single arrays) round-trip — enough for the pipeline's result dicts.
+    """
+
+    def __init__(self, directory: str, fingerprint: str):
+        self.dir = directory
+        self.fingerprint = str(fingerprint)
+        os.makedirs(directory, exist_ok=True)
+        self.loaded: list = []  # stage names served from disk (observability)
+
+    def _path(self, stage: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_.-]+", stage):
+            raise ValueError(f"invalid checkpoint stage name {stage!r}")
+        return os.path.join(self.dir, f"{stage}.npz")
+
+    def load(self, stage: str):
+        """The stage's saved pytree, or None on miss/fingerprint mismatch
+        (or an unreadable/corrupt file — a torn download is a miss, not an
+        error)."""
+        path = self._path(stage)
+        if not os.path.exists(path):
+            return None
+        try:
+            flat = load_results(path)
+        except Exception:
+            return None
+        out: dict = {}
+        fp = None
+        for key, val in flat.items():
+            attr = _attr_from_path(key)
+            if attr == "__fingerprint__":
+                fp = str(val)
+            else:
+                out[attr] = jnp.asarray(val)
+        if fp != self.fingerprint:
+            return None
+        self.loaded.append(stage)
+        if set(out) == {"__value__"}:
+            return out["__value__"]
+        return out
+
+    def save(self, stage: str, tree) -> None:
+        if not isinstance(tree, dict):
+            tree = {"__value__": tree}
+        tree = dict(tree)
+        tree["__fingerprint__"] = np.array(self.fingerprint)
+        path = self._path(stage)
+        # The suffix MUST end in ".npz": np.savez appends it otherwise and
+        # the rename would promote the empty mkstemp file instead.
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp.npz")
+        os.close(fd)
+        try:
+            save_results(tmp, tree)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def get_or(self, stage: str, fn):
+        val = self.load(stage)
+        if val is not None:
+            return val
+        val = fn()
+        self.save(stage, jax.block_until_ready(val))
+        return val
 
 
 _FOCUSR_RESULT_ATTRS = (

@@ -730,3 +730,34 @@ def test_features_width_mismatch_between_meshes(tmp_path):
     )
     assert proc.returncode == 2, proc.stderr[-500:]
     assert "feature columns" in proc.stderr
+
+
+def test_checkpoint_dir_requires_multires(tmp_path):
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(tmp_path), "--checkpoint-dir", str(tmp_path / "ck")]
+    )
+    assert proc.returncode == 2
+    assert "--checkpoint-dir requires --multires" in proc.stderr
+
+
+@pytest.mark.slow
+def test_register_multires_checkpoint_resume(tmp_path):
+    """--checkpoint-dir: the second identical invocation resumes from the
+    saved coarse stage and reproduces the first run's correspondences."""
+    args = [
+        "register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+        "-o", str(tmp_path), "--multires", "1500",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--non-rigid-max-iterations", "30",
+        "--graph-smoothing-iterations", "30",
+        "--n-coords-spectral-registration", "500",
+    ]
+    proc = _run_cli(args)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert (tmp_path / "ck" / "coarse.npz").exists()
+    corr1 = np.load(tmp_path / "correspondences.npy")
+    proc = _run_cli(args)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    corr2 = np.load(tmp_path / "correspondences.npy")
+    np.testing.assert_array_equal(corr1, corr2)

@@ -404,3 +404,108 @@ def test_multires_landmarks_exceeding_coarse_subsample_rejected():
         register_pair_multires(
             m, m, cfg, jax.random.PRNGKey(0), coarse_n=40, landmark_pairs=lm
         )
+
+
+class TestCheckpointResume:
+    """checkpoint_dir: stage-level resume of multires runs (fingerprinted
+    coarse + staged-refine smoothing checkpoints)."""
+
+    def _pair(self):
+        return subdivide(_sphere(warp=0.0)), subdivide(_sphere(warp=0.05))
+
+    def test_resume_skips_coarse_and_matches(self, tmp_path, monkeypatch):
+        t, s = self._pair()
+        ck = str(tmp_path / "ck")
+        a, ca = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        import os
+
+        assert os.path.exists(os.path.join(ck, "coarse.npz"))
+
+        # Resume: the coarse solve (and decimation) must NOT run again —
+        # poison register_pair to prove it — and results must match the
+        # first run exactly.
+        import pyfocusr_tpu.multires as mr
+
+        def boom(*a, **k):
+            raise AssertionError("coarse stage re-ran on resume")
+
+        monkeypatch.setattr(mr, "register_pair", boom)
+        b, cb = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        for k in ca:
+            np.testing.assert_array_equal(np.asarray(ca[k]), np.asarray(cb[k]))
+
+    def test_fingerprint_mismatch_recomputes(self, tmp_path):
+        t, s = self._pair()
+        ck = str(tmp_path / "ck")
+        register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        # A different key is a different run: the stale coarse checkpoint
+        # must be ignored (recomputed), not served.
+        from pyfocusr_tpu.utils.checkpoint import StageCheckpointer
+        from pyfocusr_tpu.multires import _run_fingerprint
+
+        fp2 = _run_fingerprint(
+            t, s, TINY, jax.random.PRNGKey(1), t.n_points // 4, 0, None, None
+        )
+        assert StageCheckpointer(ck, fp2).load("coarse") is None
+        fine2, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(1), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        assert np.all(np.isfinite(np.asarray(fine2["weighted_points"])))
+
+    def test_staged_refine_checkpoints_smoothings(self, tmp_path, monkeypatch):
+        import pyfocusr_tpu.multires as mr
+
+        t, s = self._pair()
+        monkeypatch.setattr(mr, "_STAGED_REFINE_N", 1)  # force staged path
+        ck = str(tmp_path / "ck")
+        a, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        import os
+
+        for stage in ("coarse", "refine_smoothed_target", "refine_projected"):
+            assert os.path.exists(os.path.join(ck, f"{stage}.npz")), stage
+
+        def boom(*a, **k):
+            raise AssertionError("smoothing re-ran on resume")
+
+        monkeypatch.setattr(mr, "register_pair", boom)
+        monkeypatch.setattr(mr, "_smooth_graph_jit", boom)
+        b, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=ck,
+        )
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_staged_equals_fused_with_checkpoints(self, tmp_path, monkeypatch):
+        """The checkpointed staged refine stays numerically identical to
+        the plain staged refine (same programs, just persisted)."""
+        import pyfocusr_tpu.multires as mr
+
+        t, s = self._pair()
+        monkeypatch.setattr(mr, "_STAGED_REFINE_N", 1)
+        plain, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4
+        )
+        ckpt, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=t.n_points // 4,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        for k in plain:
+            np.testing.assert_array_equal(
+                np.asarray(plain[k]), np.asarray(ckpt[k])
+            )
