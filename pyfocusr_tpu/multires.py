@@ -433,9 +433,51 @@ def _refine_fine_level_staged(
     }
 
 
+def _aggregate_features(feats, label, nc):
+    """Cluster-mean aggregation of per-vertex features onto the coarse
+    mesh (features are already normalized; the mean preserves scale).
+    Per-column np.bincount, not np.add.at — unbuffered-ufunc indexing
+    was the measured decimation hotspot at 240k (see _luby_mis_numpy)."""
+    acc = np.stack(
+        [
+            np.bincount(
+                label, weights=feats[:, k].astype(np.float64), minlength=nc
+            )
+            for k in range(feats.shape[1])
+        ],
+        axis=1,
+    )
+    cnt = np.bincount(label, minlength=nc).astype(np.float64)[:, None]
+    return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
+
+
+def _map_landmarks(landmark_pairs, map_t, map_s, target_mesh, source_mesh):
+    """Validate FINE (source_vertex, target_vertex) pins and map them
+    through the decimation cluster labels; several fine pins landing in
+    one coarse cluster keep the first (consistent picks agree at cluster
+    scale anyway).  Returns deduplicated i64 [L, 2] coarse pairs."""
+    lm = np.asarray(landmark_pairs, np.int64)
+    if lm.ndim != 2 or lm.shape[1] != 2:
+        raise ValueError(f"landmark_pairs must be [L, 2], got {lm.shape}")
+    if lm.size and (
+        lm[:, 0].min() < 0
+        or lm[:, 0].max() >= source_mesh.n_points
+        or lm[:, 1].min() < 0
+        or lm[:, 1].max() >= target_mesh.n_points
+    ):
+        raise ValueError(
+            "landmark_pairs index out of range for the FINE meshes "
+            f"(source {source_mesh.n_points}, target "
+            f"{target_mesh.n_points} vertices)"
+        )
+    c = np.stack([map_s[lm[:, 0]], map_t[lm[:, 1]]], axis=1)
+    _, first = np.unique(c[:, 0], return_index=True)
+    return c[np.sort(first)]
+
+
 def _run_fingerprint(
     target_mesh, source_mesh, cfg, key, coarse_n, seed,
-    landmark_pairs, node_features,
+    landmark_pairs, node_features, level_ratio,
 ) -> str:
     """Hash of every register_pair_multires input that determines its
     outputs — the validity token for stage checkpoints.  Mesh point_data is
@@ -454,7 +496,7 @@ def _run_fingerprint(
         h.update(a.tobytes())
     h.update(repr(cfg).encode())
     h.update(np.asarray(key).tobytes())
-    h.update(str((int(coarse_n), int(seed))).encode())
+    h.update(str((int(coarse_n), int(seed), float(level_ratio or 0))).encode())
     if landmark_pairs is not None:
         h.update(np.asarray(landmark_pairs, np.int64).tobytes())
     if node_features is not None:
@@ -477,6 +519,7 @@ def register_pair_multires(
     node_features=None,
     topologies=None,
     checkpoint_dir: str | None = None,
+    level_ratio: float = 100.0,
 ):
     """Full-resolution registration of arbitrarily large mesh pairs.
 
@@ -515,6 +558,20 @@ def register_pair_multires(
     The fine refinement uses 'kd' final correspondences; an O(N^2)-memory
     'hungarian' assignment is exactly what multi-resolution exists to avoid
     at this scale, so that configuration is rejected explicitly.
+
+    ``level_ratio``: maximum per-level contraction before an intermediate
+    resolution is inserted at the geometric mean (recursively — e.g. a
+    3.84M pair with coarse_n=12000, ratio 320, runs 12k -> ~215k -> 3.84M
+    with ~18x jumps).  A single extreme jump leaves the prolonged init
+    piecewise-constant over ratio-sized clusters AND forces the
+    ratio-scaled projection-smoothing budget below; intermediate levels
+    start each refine closer and smooth less.  Set 0/None for the old
+    single-jump behavior.  The default 100 is measured (v5e, bundled-pair
+    subdivisions): at ratio 80 (960k/12k) the extra level changed NOTHING
+    (unique 0.8662 both ways) and cost ~25% more wall time, while at
+    ratio 107 (1.28M/12k) it lifted uniqueness 0.854 -> 0.872 at slightly
+    better surface distance — so levels are inserted only beyond the
+    ratio where they demonstrably pay.
 
     ``checkpoint_dir``: persist finished stages so a faulted run (the
     remote TPU link can kill long steps — a real hazard at multi-million
@@ -602,7 +659,7 @@ def register_pair_multires(
             checkpoint_dir,
             _run_fingerprint(
                 target_mesh, source_mesh, cfg, key, coarse_n, seed,
-                landmark_pairs, node_features,
+                landmark_pairs, node_features, level_ratio,
             ),
         )
         coarse_saved = ckpt.load("coarse")
@@ -615,27 +672,68 @@ def register_pair_multires(
                 topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
             )
 
+    # --- Multi-level V-cycle: at extreme contraction ratios a single
+    # coarse jump leaves the prolonged init piecewise-constant over huge
+    # clusters (ratio fine vertices per coarse vertex) and forces a
+    # ratio-scaled projection-smoothing budget to separate them.  Insert
+    # an intermediate level at the geometric mean whenever the jump
+    # exceeds ``level_ratio``: each level then prolongs from an init only
+    # ~sqrt(ratio) coarse, so every refine starts closer and smooths less.
+    n_fine = max(target_mesh.n_points, source_mesh.n_points)
+    if level_ratio and n_fine > level_ratio * max(coarse_n, 1):
+        import math as _math
+
+        mid_n = int(round(_math.sqrt(float(n_fine) * coarse_n)))
+        mt_mesh, mmap_t, mrep_t = decimate(
+            target_mesh, mid_n, seed, edges=topo_t.edges
+        )
+        ms_mesh, mmap_s, _ = decimate(
+            source_mesh, mid_n, seed + 1, edges=topo_s.edges
+        )
+        mid_feats = None
+        if feats_t is not None:
+            mid_feats = (
+                _aggregate_features(feats_t, mmap_t, mt_mesh.n_points),
+                _aggregate_features(feats_s, mmap_s, ms_mesh.n_points),
+            )
+        mid_lm = None
+        if landmark_pairs is not None:
+            mid_lm = _map_landmarks(
+                landmark_pairs, mmap_t, mmap_s, target_mesh, source_mesh
+            )
+        # The recursion inserts further levels until each jump is small;
+        # its own checkpoints live in a per-level subdirectory (same
+        # "coarse" stage name, different fingerprint — they must not
+        # overwrite each other's files).
+        mid_res, _ = register_pair_multires(
+            mt_mesh, ms_mesh, cfg, key, coarse_n=coarse_n, seed=seed,
+            landmark_pairs=mid_lm, node_features=mid_feats,
+            checkpoint_dir=(
+                None if checkpoint_dir is None
+                else os.path.join(checkpoint_dir, f"level_{mt_mesh.n_points}")
+            ),
+            level_ratio=level_ratio,
+        )
+        mid_corr = np.asarray(mid_res["correspondences"], np.int64)
+        init_fine = mrep_t[mid_corr[mmap_s]]
+        if ckpt is not None:
+            ckpt.save(
+                "coarse",
+                {
+                    **mid_res,
+                    "__init_fine__": np.asarray(init_fine, np.int64),
+                    "__coarse_source_n__": np.int64(ms_mesh.n_points),
+                },
+            )
+        return _finish_multires(
+            target_mesh, source_mesh, cfg, init_fine, ms_mesh.n_points,
+            mid_res, topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+        )
+
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed, edges=topo_t.edges)
     cs_mesh, map_s, rep_s = decimate(
         source_mesh, coarse_n, seed + 1, edges=topo_s.edges
     )
-    def _aggregate_features(feats, label, nc):
-        """Cluster-mean aggregation of per-vertex features onto the coarse
-        mesh (features are already normalized; the mean preserves scale).
-        Per-column np.bincount, not np.add.at — unbuffered-ufunc indexing
-        was the measured decimation hotspot at 240k (see _luby_mis_numpy)."""
-        acc = np.stack(
-            [
-                np.bincount(
-                    label, weights=feats[:, k].astype(np.float64), minlength=nc
-                )
-                for k in range(feats.shape[1])
-            ],
-            axis=1,
-        )
-        cnt = np.bincount(label, minlength=nc).astype(np.float64)[:, None]
-        return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
-
     cf_t = cf_s = None
     if feats_t is not None:
         cf_t = _aggregate_features(feats_t, map_t, ct_mesh.n_points)
@@ -644,25 +742,9 @@ def register_pair_multires(
     cs = mesh_to_graph_arrays(cs_mesh, node_features=cf_s)
     lm_coarse = None
     if landmark_pairs is not None:
-        lm = np.asarray(landmark_pairs, np.int64)
-        if lm.ndim != 2 or lm.shape[1] != 2:
-            raise ValueError(f"landmark_pairs must be [L, 2], got {lm.shape}")
-        if lm.size and (
-            lm[:, 0].min() < 0
-            or lm[:, 0].max() >= source_mesh.n_points
-            or lm[:, 1].min() < 0
-            or lm[:, 1].max() >= target_mesh.n_points
-        ):
-            raise ValueError(
-                "landmark_pairs index out of range for the FINE meshes "
-                f"(source {source_mesh.n_points}, target "
-                f"{target_mesh.n_points} vertices)"
-            )
-        c = np.stack([map_s[lm[:, 0]], map_t[lm[:, 1]]], axis=1)
-        # Several fine pins can land in one coarse cluster; keep the first
-        # (consistent picks agree at cluster scale anyway).
-        _, first = np.unique(c[:, 0], return_index=True)
-        c = c[np.sort(first)]
+        c = _map_landmarks(
+            landmark_pairs, map_t, map_s, target_mesh, source_mesh
+        )
         # The coarse CPD subsample must exceed the pin count (pipeline
         # guard) — at aggressive coarse_n every cluster can end up pinned.
         n_reg_coarse = min(

@@ -455,7 +455,8 @@ class TestCheckpointResume:
         from pyfocusr_tpu.multires import _run_fingerprint
 
         fp2 = _run_fingerprint(
-            t, s, TINY, jax.random.PRNGKey(1), t.n_points // 4, 0, None, None
+            t, s, TINY, jax.random.PRNGKey(1), t.n_points // 4, 0, None,
+            None, 100.0,
         )
         assert StageCheckpointer(ck, fp2).load("coarse") is None
         fine2, _ = register_pair_multires(
@@ -509,3 +510,99 @@ class TestCheckpointResume:
             np.testing.assert_array_equal(
                 np.asarray(plain[k]), np.asarray(ckpt[k])
             )
+
+
+class TestMultiLevel:
+    """level_ratio: automatic intermediate resolutions (V-cycle) when the
+    fine->coarse contraction is extreme."""
+
+    def _pair(self):
+        return subdivide(_sphere(warp=0.0)), subdivide(_sphere(warp=0.05))
+
+    def test_intermediate_level_engages_and_registers(self, monkeypatch):
+        import pyfocusr_tpu.multires as mr
+
+        t, s = self._pair()
+        coarse_n = t.n_points // 16  # ratio 16
+        calls = []
+        real_decimate = mr.decimate
+
+        def spy(mesh, n, seed=0, edges=None):
+            calls.append(n)
+            return real_decimate(mesh, n, seed, edges=edges)
+
+        monkeypatch.setattr(mr, "decimate", spy)
+        fine, mid = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=8.0,
+        )
+        # The first decimation targets the geometric mean, then the
+        # recursion decimates mid -> coarse.
+        import math
+
+        gm = int(round(math.sqrt(t.n_points * coarse_n)))
+        assert calls[0] == gm and calls[2] == coarse_n, calls
+        corr = np.asarray(fine["correspondences"])
+        assert corr.shape == (s.n_points,)
+        assert np.all((corr >= 0) & (corr < t.n_points))
+        assert np.all(np.isfinite(np.asarray(fine["weighted_points"])))
+        from pyfocusr_tpu.ops.knn import nn_query
+
+        d, _ = nn_query(t.points, jnp.asarray(fine["weighted_points"]))
+        assert float(jnp.mean(d)) < 0.1
+        # The returned "coarse" result is the intermediate level's fine
+        # result — sized to the mid mesh, not the 12k-style coarse one.
+        assert mid["correspondences"].shape[0] >= gm * 0.5
+
+    def test_quality_not_worse_than_single_jump(self):
+        t, s = self._pair()
+        coarse_n = t.n_points // 16
+        multi, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=8.0,
+        )
+        single, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=0,
+        )
+
+        def uniq(r):
+            c = np.asarray(r["correspondences"])
+            return len(np.unique(c)) / c.shape[0]
+
+        from pyfocusr_tpu.ops.knn import nn_query
+
+        def surf(r):
+            d, _ = nn_query(t.points, jnp.asarray(r["weighted_points"]))
+            return float(jnp.mean(d))
+
+        assert uniq(multi) >= uniq(single) - 0.03
+        assert surf(multi) <= surf(single) * 1.25 + 1e-4
+
+    def test_checkpoint_subdirs_per_level(self, tmp_path, monkeypatch):
+        import os
+
+        import pyfocusr_tpu.multires as mr
+
+        t, s = self._pair()
+        coarse_n = t.n_points // 16
+        ck = str(tmp_path / "ck")
+        a, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=8.0, checkpoint_dir=ck,
+        )
+        assert os.path.exists(os.path.join(ck, "coarse.npz"))
+        subdirs = [d for d in os.listdir(ck) if d.startswith("level_")]
+        assert len(subdirs) == 1
+        assert os.path.exists(os.path.join(ck, subdirs[0], "coarse.npz"))
+
+        def boom(*a, **k):
+            raise AssertionError("coarse stage re-ran on resume")
+
+        monkeypatch.setattr(mr, "register_pair", boom)
+        b, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=8.0, checkpoint_dir=ck,
+        )
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
