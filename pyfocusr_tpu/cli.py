@@ -213,6 +213,16 @@ def main(argv=None):
         "(pyfocusr_tpu.multires)",
     )
     p_reg.add_argument(
+        "--level-ratio",
+        type=float,
+        default=100.0,
+        metavar="R",
+        help="with --multires: maximum per-level contraction before an "
+        "intermediate resolution is inserted at the geometric mean "
+        "(multi-level V-cycle; measured to lift correspondence uniqueness "
+        "beyond ~100x contraction).  0 = always a single coarse jump",
+    )
+    p_reg.add_argument(
         "--checkpoint-dir",
         metavar="DIR",
         default=None,
@@ -667,6 +677,7 @@ def main(argv=None):
                             else None
                         ),
                         checkpoint_dir=args.checkpoint_dir,
+                        level_ratio=args.level_ratio,
                     )
                 except ValueError as exc:
                     if lm_pairs is not None and "landmark" in str(exc):

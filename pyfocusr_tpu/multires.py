@@ -495,7 +495,11 @@ def _run_fingerprint(
         h.update(str((a.shape, a.dtype.str)).encode())
         h.update(a.tobytes())
     h.update(repr(cfg).encode())
-    h.update(np.asarray(key).tobytes())
+    try:  # new-style typed PRNG keys refuse np.asarray; hash the raw bits
+        key_bits = jax.random.key_data(key)
+    except TypeError:
+        key_bits = key
+    h.update(np.asarray(key_bits).tobytes())
     h.update(str((int(coarse_n), int(seed), float(level_ratio or 0))).encode())
     if landmark_pairs is not None:
         h.update(np.asarray(landmark_pairs, np.int64).tobytes())
@@ -683,52 +687,62 @@ def register_pair_multires(
     if level_ratio and n_fine > level_ratio * max(coarse_n, 1):
         import math as _math
 
-        mid_n = int(round(_math.sqrt(float(n_fine) * coarse_n)))
+        # Geometric mean, but never let the FINE-side jump itself exceed
+        # level_ratio (sqrt(ratio) > level_ratio once ratio > level_ratio^2
+        # — the mean alone would leave exactly the over-coarse init the
+        # levels exist to prevent); the coarse-side remainder recurses.
+        mid_n = max(
+            int(round(_math.sqrt(float(n_fine) * coarse_n))),
+            -(-n_fine // int(level_ratio)),
+        )
         mt_mesh, mmap_t, mrep_t = decimate(
             target_mesh, mid_n, seed, edges=topo_t.edges
         )
         ms_mesh, mmap_s, _ = decimate(
             source_mesh, mid_n, seed + 1, edges=topo_s.edges
         )
-        mid_feats = None
-        if feats_t is not None:
-            mid_feats = (
-                _aggregate_features(feats_t, mmap_t, mt_mesh.n_points),
-                _aggregate_features(feats_s, mmap_s, ms_mesh.n_points),
+        n_mid = max(mt_mesh.n_points, ms_mesh.n_points)
+        if n_mid < 0.8 * n_fine:
+            mid_feats = None
+            if feats_t is not None:
+                mid_feats = (
+                    _aggregate_features(feats_t, mmap_t, mt_mesh.n_points),
+                    _aggregate_features(feats_s, mmap_s, ms_mesh.n_points),
+                )
+            mid_lm = None
+            if landmark_pairs is not None:
+                mid_lm = _map_landmarks(
+                    landmark_pairs, mmap_t, mmap_s, target_mesh, source_mesh
+                )
+            # The recursion inserts further levels until each jump is
+            # small; its own checkpoints live in a per-level subdirectory
+            # (same "coarse" stage name, different fingerprint — they must
+            # not overwrite each other's files).  device_mesh passes
+            # through so a sharded run's intermediate refines scale too.
+            mid_res, _ = register_pair_multires(
+                mt_mesh, ms_mesh, cfg, key, coarse_n=coarse_n, seed=seed,
+                device_mesh=device_mesh,
+                landmark_pairs=mid_lm, node_features=mid_feats,
+                checkpoint_dir=(
+                    None if checkpoint_dir is None
+                    else os.path.join(
+                        checkpoint_dir, f"level_{mt_mesh.n_points}"
+                    )
+                ),
+                level_ratio=level_ratio,
             )
-        mid_lm = None
-        if landmark_pairs is not None:
-            mid_lm = _map_landmarks(
-                landmark_pairs, mmap_t, mmap_s, target_mesh, source_mesh
+            mid_corr = np.asarray(mid_res["correspondences"], np.int64)
+            init_fine = mrep_t[mid_corr[mmap_s]]
+            return _save_coarse_and_finish(
+                target_mesh, source_mesh, cfg, init_fine,
+                ms_mesh.n_points, mid_res, topo_t, topo_s, feats_t,
+                feats_s, device_mesh, ckpt,
             )
-        # The recursion inserts further levels until each jump is small;
-        # its own checkpoints live in a per-level subdirectory (same
-        # "coarse" stage name, different fingerprint — they must not
-        # overwrite each other's files).
-        mid_res, _ = register_pair_multires(
-            mt_mesh, ms_mesh, cfg, key, coarse_n=coarse_n, seed=seed,
-            landmark_pairs=mid_lm, node_features=mid_feats,
-            checkpoint_dir=(
-                None if checkpoint_dir is None
-                else os.path.join(checkpoint_dir, f"level_{mt_mesh.n_points}")
-            ),
-            level_ratio=level_ratio,
-        )
-        mid_corr = np.asarray(mid_res["correspondences"], np.int64)
-        init_fine = mrep_t[mid_corr[mmap_s]]
-        if ckpt is not None:
-            ckpt.save(
-                "coarse",
-                {
-                    **mid_res,
-                    "__init_fine__": np.asarray(init_fine, np.int64),
-                    "__coarse_source_n__": np.int64(ms_mesh.n_points),
-                },
-            )
-        return _finish_multires(
-            target_mesh, source_mesh, cfg, init_fine, ms_mesh.n_points,
-            mid_res, topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
-        )
+        # Decimation stalled short of a useful intermediate level (e.g. a
+        # fragment soup whose components each collapsed to one vertex and
+        # then stopped contracting): fall through to the single-jump path,
+        # which degrades gracefully instead of recursing on an
+        # equal-sized mesh forever.
 
     ct_mesh, map_t, rep_t = decimate(target_mesh, coarse_n, seed, edges=topo_t.edges)
     cs_mesh, map_s, rep_s = decimate(
@@ -762,21 +776,33 @@ def register_pair_multires(
     coarse_res = register_pair(ct, cs, cfg, key, landmark_pairs=lm_coarse)
     coarse_corr = np.asarray(coarse_res["correspondences"], np.int64)
     init_fine = rep_t[coarse_corr[map_s]]
+    return _save_coarse_and_finish(
+        target_mesh, source_mesh, cfg, init_fine, cs_mesh.n_points,
+        coarse_res, topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+    )
+
+
+def _save_coarse_and_finish(
+    target_mesh, source_mesh, cfg, init_fine, cs_n, coarse_res,
+    topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+):
+    """Persist the "coarse" stage (everything the fine stage needs: the
+    prolonged init, the coarse source size that sets the projection-
+    smoothing budget, and the returned coarse dict) and run the fine half
+    — shared by the single-jump and multi-level branches so the
+    checkpoint payload can never diverge between them."""
     if ckpt is not None:
-        # Everything the fine stage needs from the coarse solve, in one
-        # file: the prolonged init, the coarse source size (sets the
-        # projection-smoothing budget), and the returned coarse dict.
         ckpt.save(
             "coarse",
             {
                 **coarse_res,
                 "__init_fine__": np.asarray(init_fine, np.int64),
-                "__coarse_source_n__": np.int64(cs_mesh.n_points),
+                "__coarse_source_n__": np.int64(cs_n),
             },
         )
     return _finish_multires(
-        target_mesh, source_mesh, cfg, init_fine, cs_mesh.n_points,
-        coarse_res, topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
+        target_mesh, source_mesh, cfg, init_fine, cs_n, coarse_res,
+        topo_t, topo_s, feats_t, feats_s, device_mesh, ckpt,
     )
 
 

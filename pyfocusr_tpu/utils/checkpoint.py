@@ -90,16 +90,24 @@ class StageCheckpointer:
             flat = load_results(path)
         except Exception:
             return None
-        out: dict = {}
-        fp = None
-        for key, val in flat.items():
-            attr = _attr_from_path(key)
-            if attr == "__fingerprint__":
-                fp = str(val)
-            else:
-                out[attr] = jnp.asarray(val)
+        # Check the fingerprint BEFORE touching any array leaf: a stale
+        # multi-million-vertex checkpoint must cost a header read, not a
+        # full host->device upload of arrays about to be discarded.
+        fp = next(
+            (
+                str(v)
+                for k, v in flat.items()
+                if _attr_from_path(k) == "__fingerprint__"
+            ),
+            None,
+        )
         if fp != self.fingerprint:
             return None
+        out = {
+            _attr_from_path(k): jnp.asarray(v)
+            for k, v in flat.items()
+            if _attr_from_path(k) != "__fingerprint__"
+        }
         self.loaded.append(stage)
         if set(out) == {"__value__"}:
             return out["__value__"]

@@ -458,6 +458,12 @@ class TestCheckpointResume:
             t, s, TINY, jax.random.PRNGKey(1), t.n_points // 4, 0, None,
             None, 100.0,
         )
+        # New-style typed PRNG keys must hash (np.asarray would raise) and
+        # agree with the equivalent old-style key's fingerprint.
+        assert fp2 == _run_fingerprint(
+            t, s, TINY, jax.random.key(1), t.n_points // 4, 0, None,
+            None, 100.0,
+        )
         assert StageCheckpointer(ck, fp2).load("coarse") is None
         fine2, _ = register_pair_multires(
             t, s, TINY, jax.random.PRNGKey(1), coarse_n=t.n_points // 4,
@@ -606,3 +612,53 @@ class TestMultiLevel:
         )
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_stalled_decimation_falls_back_to_single_jump(self, monkeypatch):
+        # A mesh decimation cannot contract (fragment soups hit this) must
+        # fall through to the single-jump path instead of recursing on an
+        # equal-sized mesh until RecursionError.
+        import pyfocusr_tpu.multires as mr
+
+        t = _sphere(warp=0.0)
+        s = _sphere(warp=0.05)
+
+        def stalled(mesh, n, seed=0, edges=None):
+            idx = np.arange(mesh.n_points)
+            return mesh, idx, idx
+
+        monkeypatch.setattr(mr, "decimate", stalled)
+        fine, _ = register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=8, level_ratio=2.0
+        )
+        corr = np.asarray(fine["correspondences"])
+        assert corr.shape == (s.n_points,)
+        assert np.all((corr >= 0) & (corr < t.n_points))
+
+    def test_fine_side_jump_capped_at_level_ratio(self, monkeypatch):
+        # Beyond ratio > level_ratio^2 the geometric mean alone would leave
+        # a fine-side jump above level_ratio; the mid target must be
+        # raised to ceil(n_fine / level_ratio).
+        import math
+
+        import pyfocusr_tpu.multires as mr
+
+        t, s = self._pair()
+        coarse_n = 24
+        lr = 4.0  # ratio ~ 3458/24 = 144 >> lr^2 = 16
+        calls = []
+        real_decimate = mr.decimate
+
+        def spy(mesh, n, seed=0, edges=None):
+            calls.append(n)
+            return real_decimate(mesh, n, seed, edges=edges)
+
+        monkeypatch.setattr(mr, "decimate", spy)
+        register_pair_multires(
+            t, s, TINY, jax.random.PRNGKey(0), coarse_n=coarse_n,
+            level_ratio=lr,
+        )
+        want = max(
+            int(round(math.sqrt(t.n_points * coarse_n))),
+            -(-t.n_points // int(lr)),
+        )
+        assert calls[0] == want and want >= t.n_points / lr - 1, calls
