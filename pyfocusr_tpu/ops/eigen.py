@@ -251,6 +251,7 @@ def lanczos_shift_invert(
         "cut_index",
         "filter_op_factory",
         "quad_form",
+        "return_block",
     ),
 )
 @f32_matmuls
@@ -267,6 +268,8 @@ def chebyshev_eigpairs_wide(
     lam_max_bound=None,
     filter_op_factory=None,
     quad_form=None,
+    x0=None,
+    return_block: bool = False,
 ):
     """k smallest nonzero eigenpairs via a WIDE-block Chebyshev filter.
 
@@ -386,6 +389,14 @@ def chebyshev_eigpairs_wide(
 
     key, k0 = jax.random.split(key)
     X = jax.random.normal(k0, (n, b), dtype=jnp.float32)
+    if x0 is not None:
+        # Warm start: seed the leading columns with a caller-provided
+        # subspace (e.g. the other mesh's filtered block mapped through a
+        # spatial NN — see pipeline's cross-mesh warm start).  Column scale
+        # is irrelevant (the filter is linear; SVQB renormalizes); the
+        # mask/null projection below cleans the seeds like the random fill.
+        m = min(x0.shape[1], b)
+        X = X.at[:, :m].set(x0[:, :m].astype(jnp.float32))
     if subspace_mask is not None:
         X = X * subspace_mask[:, None]
     X = _project_out(v0, X)
@@ -404,6 +415,8 @@ def chebyshev_eigpairs_wide(
     resid = jnp.linalg.norm(Av - V * lams[None, :], axis=0)
     if quad_form is not None:
         lams = quad_form(V)
+    if return_block:
+        return lams, V, resid, X
     return lams, V, resid
 
 

@@ -191,6 +191,21 @@ class PipelineConfig:
     eig_wide_block: int = 128
     eig_wide_degree: int = 33
     eig_wide_chunks: int = 5
+    # Cross-mesh spectral WARM START: when a pair's spectra are computed in
+    # one program (or one side arrives precomputed via prepare_target /
+    # prepare_source), the second eigensolve is seeded with the first
+    # mesh's final filtered 128-block mapped through a spatial NN, and runs
+    # ``eig_wide_chunks_warm`` chunks instead of ``eig_wide_chunks`` —
+    # near-isometric pairs share their low-frequency subspace, so the
+    # second solve starts essentially converged.  Wide-chebyshev path only
+    # (both meshes >= 2048 vertices).  Exact-reproduction note: with the
+    # warm start on, prepare_source paths match the fused program to solver
+    # tolerance, not bit-for-bit (the fused source solve is warm-started;
+    # the prepared one ran cold) — set eig_warm_start=False to recover
+    # bit-identical prepared-source serving.  prepare_target serving stays
+    # bit-identical either way (the prepared block IS the fused block).
+    eig_warm_start: bool = True
+    eig_wide_chunks_warm: int = 2
 
     def __post_init__(self):
         # Validated at construction (SURVEY §5.6): fail fast on the knobs
@@ -239,6 +254,7 @@ class PipelineConfig:
             "eig_wide_block",
             "eig_wide_degree",
             "eig_wide_chunks",
+            "eig_wide_chunks_warm",
         ):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
@@ -426,13 +442,19 @@ def _masked_minmax_norm(vecs, mask):
     return out * mask[:, None]
 
 
-def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
+def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
+              x0=None, return_block: bool = False, chunks: int = None):
     """Laplacian spectrum of one mesh: k smallest nonzero eigenpairs,
     eigvecs min-max normalized to [-0.5, 0.5] (reference ``graph.py:228-257``).
 
     Padding rows are dead coordinates: the eigensolver's iteration is
     confined to the masked subspace (ops/eigen.py ``subspace_mask``), so the
     padded spectrum is identical to the unpadded one.
+
+    ``x0`` / ``return_block`` / ``chunks`` (wide Chebyshev path only): seed
+    the filter block with a caller subspace in the SYMMETRIZED coordinates
+    (A = S(D-W)S), return the final filtered block alongside the results,
+    and override ``cfg.eig_wide_chunks`` — the cross-mesh warm-start hooks.
     """
     mask = graph.valid_mask
     feats = graph.node_features  # [N, K] normalized extra features
@@ -519,16 +541,26 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
 
                 return op
 
-            lams, vecs_a, _ = chebyshev_eigpairs_wide(
+            out = chebyshev_eigpairs_wide(
                 matvec, null_basis, key, k,
                 block_width=cfg.eig_wide_block,
                 chunk_degree=cfg.eig_wide_degree,
-                chunks=cfg.eig_wide_chunks,
+                chunks=cfg.eig_wide_chunks if chunks is None else chunks,
                 subspace_mask=mask, lam_max_bound=lam_bound,
                 filter_op_factory=factory,
                 quad_form=quad_form,
+                x0=x0, return_block=return_block,
             )
+            if return_block:
+                lams, vecs_a, _, blk = out
+            else:
+                lams, vecs_a, _ = out
         else:
+            if return_block:
+                raise ValueError(
+                    "return_block/x0 need the wide Chebyshev path "
+                    "(eig_method='chebyshev', n_points >= 2048)"
+                )
             lams, vecs_a, _ = chebyshev_eigpairs(
                 matvec, null_basis, key, k,
                 degree=cfg.eig_cheb_degree, sweeps=cfg.eig_cheb_sweeps,
@@ -539,12 +571,19 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig):
         vecs = vecs_a * s[:, None]
         vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
     else:
+        if return_block:
+            raise ValueError(
+                "return_block/x0 need the wide Chebyshev path "
+                "(eig_method='chebyshev', n_points >= 2048)"
+            )
         lams, vecs, _ = smallest_nonzero_eigpairs(
             matvec, s, null_basis, k=k, key=key,
             cg_iters=cfg.eig_cg_iters, lanczos_iters=cfg.eig_lanczos_iters,
             subspace_mask=mask,
         )
     vecs = _masked_minmax_norm(vecs, mask)
+    if return_block:
+        return lams, vecs, (w, ov, ov_w), blk
     return lams, vecs, (w, ov, ov_w)
 
 
@@ -681,6 +720,28 @@ def _check_padding_hazards(target: GraphArrays, source: GraphArrays, cfg: Pipeli
                 )
 
 
+def _warm_supported(cfg: PipelineConfig, a: GraphArrays, b: GraphArrays) -> bool:
+    """Whether the cross-mesh spectral warm start applies to this pair:
+    wide-chebyshev path on both sides (see PipelineConfig.eig_warm_start)."""
+    return (
+        cfg.eig_warm_start
+        and cfg.eig_method == "chebyshev"
+        and a.n_points >= 2048
+        and b.n_points >= 2048
+    )
+
+
+def _warm_x0(block, from_points, to_points):
+    """Map a filtered eigensolver block between meshes: each ``to`` vertex
+    takes the block row of its spatially nearest ``from`` vertex.  The
+    piecewise-constant sampling noise this introduces is high-frequency —
+    exactly what the Chebyshev filter damps first."""
+    from .ops.knn import nn_query
+
+    _, idx = nn_query(from_points, to_points)
+    return block[idx]
+
+
 # Compiling BOTH eigensolves into one program is neutral-to-slightly-faster
 # below ~62k vertices but 3.4x SLOWER at 122k (measured fused 10.75 s vs
 # separate 3.15 s on v5e, fence-corrected; neutral 1.00x at 62k, 0.84x at
@@ -724,7 +785,15 @@ def register_pair(
             # program would use).
             pre = _prepare_target_jit(target, cfg, keys[0])
         if source_spectrum_hoistable(cfg):
-            pre_src = _prepare_source_jit(source, cfg, keys[1])
+            x0_s = None
+            if (pre is not None and pre.get("block") is not None
+                    and _warm_supported(cfg, target, source)
+                    and not cfg.icp_register_first):
+                # Warm-start the hoisted source solve from the target block
+                # (pre-ICP points only: with ICP the fused program maps
+                # through moved points, so skip to stay consistent).
+                x0_s = _warm_x0(pre["block"], target.points, source.points)
+            pre_src = _prepare_source_jit(source, cfg, keys[1], x0=x0_s)
     return _register_pair_jit(
         target, source, cfg, key, landmark_pairs, pre=pre, pre_src=pre_src
     )
@@ -733,7 +802,17 @@ def register_pair(
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
 def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key):
-    lams, vecs, w = _spectrum(target, cfg.n_total, key, cfg)
+    blk = None
+    if (cfg.eig_warm_start and cfg.eig_method == "chebyshev"
+            and target.n_points >= 2048):
+        # Keep the filtered block: it seeds the source eigensolve of every
+        # pair served from this prepared target (returning it does not
+        # perturb the solve — gated by test_spectrum_warm_start_block).
+        lams, vecs, w, blk = _spectrum(
+            target, cfg.n_total, key, cfg, return_block=True
+        )
+    else:
+        lams, vecs, w = _spectrum(target, cfg.n_total, key, cfg)
     if cfg.smooth_correspondences:
         smooth_fn = (
             graph_ops.mean_filter_chebyshev
@@ -746,9 +825,12 @@ def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key):
         )
     else:
         smoothed = target.points
-    return {
+    out = {
         "lams": lams, "vecs": vecs, "w": w, "smoothed_points": smoothed,
     }
+    if blk is not None:
+        out["block"] = blk
+    return out
 
 
 def prepare_target(target: GraphArrays, cfg: PipelineConfig, key):
@@ -806,7 +888,14 @@ def register_pair_prepared(
     if _want_split(target, source) and source_spectrum_hoistable(cfg):
         # Large meshes: keep the remaining (source) eigensolve out of the
         # fused program too (see _SPLIT_SPECTRA_N).
-        pre_src = _prepare_source_jit(source, cfg, jax.random.split(key, 8)[1])
+        x0_s = None
+        if (prep.get("block") is not None
+                and _warm_supported(cfg, target, source)
+                and not cfg.icp_register_first):
+            x0_s = _warm_x0(prep["block"], target.points, source.points)
+        pre_src = _prepare_source_jit(
+            source, cfg, jax.random.split(key, 8)[1], x0=x0_s
+        )
     return _register_pair_jit(
         target, source, cfg, key, landmark_pairs, pre=prep, pre_src=pre_src
     )
@@ -814,7 +903,25 @@ def register_pair_prepared(
 
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
-def _prepare_source_jit(source: GraphArrays, cfg: PipelineConfig, key):
+def _prepare_source_jit(source: GraphArrays, cfg: PipelineConfig, key, x0=None):
+    want_block = (
+        cfg.eig_warm_start and cfg.eig_method == "chebyshev"
+        and source.n_points >= 2048
+    )
+    if x0 is not None:
+        # Split-spectra path: this solve is itself warm-started from the
+        # already-prepared target block (register_pair above the split
+        # threshold) — no consumer for this side's block.
+        lams, vecs, w = _spectrum(
+            source, cfg.n_total, key, cfg,
+            x0=x0, chunks=cfg.eig_wide_chunks_warm,
+        )
+        return {"lams": lams, "vecs": vecs, "w": w}
+    if want_block:
+        lams, vecs, w, blk = _spectrum(
+            source, cfg.n_total, key, cfg, return_block=True
+        )
+        return {"lams": lams, "vecs": vecs, "w": w, "block": blk}
     lams, vecs, w = _spectrum(source, cfg.n_total, key, cfg)
     return {"lams": lams, "vecs": vecs, "w": w}
 
@@ -850,12 +957,15 @@ def prepare_source(source: GraphArrays, cfg: PipelineConfig, key):
     the mirror image of :func:`prepare_target` (which serves the
     target-fixed direction).
 
-    Exactness: with ``icp_register_first=False``, passing the same key the
-    fused program would use (``jax.random.split(key, 8)[1]``) reproduces
-    ``register_pair`` bit-for-bit.  With rigid ICP the hoisted spectrum is
-    computed from the unmoved source; since rigid motion preserves the
-    edge weights the spectra agree to solver tolerance (see
-    :func:`source_spectrum_hoistable`).
+    Exactness: with ``icp_register_first=False`` AND ``eig_warm_start=False``,
+    passing the same key the fused program would use
+    (``jax.random.split(key, 8)[1]``) reproduces ``register_pair``
+    bit-for-bit.  With the warm start on (the default) the fused program
+    seeds its source solve from the target block while this prepared one
+    runs cold, and with rigid ICP the hoisted spectrum is computed from
+    the unmoved source — in both cases the paths agree to solver
+    tolerance, not bit-level (see :func:`source_spectrum_hoistable`; gated
+    in tests/test_pipeline.py::test_prepared_source_matches_register_pair).
     """
     if not source_spectrum_hoistable(cfg):
         raise ValueError(
@@ -986,12 +1096,15 @@ def load_prepared_target(
     while f"['w']/[{i}]" in flat:
         w.append(jnp.asarray(flat[f"['w']/[{i}]"]))
         i += 1
-    return {
+    out = {
         "lams": jnp.asarray(flat["['lams']"]),
         "vecs": jnp.asarray(flat["['vecs']"]),
         "w": tuple(w),
         "smoothed_points": jnp.asarray(flat["['smoothed_points']"]),
     }
+    if "['block']" in flat:  # warm-start seed (absent in pre-warm-start saves)
+        out["block"] = jnp.asarray(flat["['block']"])
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -1059,12 +1172,38 @@ def _register_pair_jit(
     # neutral-or-slower measurements).  ``pre`` (from ``prepare_target``)
     # carries the target's spectrum/operators precomputed once for
     # template-serving reuse.
+    warm_ok = _warm_supported(cfg, target, source)
+    blk_t = None
     if pre is None:
-        lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
+        if warm_ok and pre_src is not None and pre_src.get("block") is not None:
+            # Cohort/SSM direction: the prepared SOURCE (template) block
+            # seeds the subject's eigensolve.
+            x0_t = _warm_x0(pre_src["block"], source.points, target.points)
+            lams_t, vecs_t, w_t = _spectrum(
+                target, k_total, keys[0], cfg,
+                x0=x0_t, chunks=cfg.eig_wide_chunks_warm,
+            )
+        elif warm_ok and pre_src is None:
+            # Both spectra inline: keep the target's filtered block to seed
+            # the source solve below.
+            lams_t, vecs_t, w_t, blk_t = _spectrum(
+                target, k_total, keys[0], cfg, return_block=True
+            )
+        else:
+            lams_t, vecs_t, w_t = _spectrum(target, k_total, keys[0], cfg)
     else:
         lams_t, vecs_t, w_t = pre["lams"], pre["vecs"], pre["w"]
+        if warm_ok:
+            blk_t = pre.get("block")
     if pre_src is None:
-        lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
+        if warm_ok and blk_t is not None:
+            x0_s = _warm_x0(blk_t, target.points, source.points)
+            lams_s, vecs_s, w_s = _spectrum(
+                source, k_total, keys[1], cfg,
+                x0=x0_s, chunks=cfg.eig_wide_chunks_warm,
+            )
+        else:
+            lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)
     else:
         # ``pre_src`` (from ``prepare_source``) carries the SOURCE spectrum
         # precomputed once — the cohort/SSM direction, where one template

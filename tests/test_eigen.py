@@ -128,3 +128,57 @@ def test_wide_matches_narrow_on_hub_mesh():
     M = vw.T @ vn
     sv = np.linalg.svd(M / np.linalg.norm(vw, axis=0)[:, None] / np.linalg.norm(vn, axis=0)[None, :], compute_uv=False)
     assert sv.min() > 0.99, (sv, cos)
+
+
+def test_spectrum_warm_start_block(mesh_5k_source):
+    """``_spectrum``'s warm-start hooks: ``return_block=True`` returns the
+    final filtered block without changing the eigenpairs, and re-seeding a
+    solve with that block (``x0=``) converges in a single chunk to the same
+    spectrum — the basis of the cross-mesh warm start."""
+    from functools import partial
+
+    from pyfocusr_tpu.pipeline import (
+        PipelineConfig,
+        _spectrum,
+        mesh_to_graph_arrays,
+    )
+
+    g = mesh_to_graph_arrays(mesh_5k_source)
+    cfg = PipelineConfig()
+    key = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, static_argnames=("k", "cfg"))
+    def eig_blk(gph, k, key, cfg):
+        lams, vecs, _, blk = _spectrum(gph, k, key, cfg, return_block=True)
+        return lams, vecs, blk
+
+    @partial(jax.jit, static_argnames=("k", "cfg", "chunks"))
+    def eig_warm(gph, k, key, cfg, x0, chunks):
+        lams, vecs, _ = _spectrum(gph, k, key, cfg, x0=x0, chunks=chunks)
+        return lams, vecs
+
+    lams_c, vecs_c, blk = eig_blk(g, 6, key, cfg)
+    assert blk.shape == (g.n_points, cfg.eig_wide_block)
+
+    # return_block must not perturb the solve itself
+    @partial(jax.jit, static_argnames=("k", "cfg"))
+    def eig_plain(gph, k, key, cfg):
+        lams, vecs, _ = _spectrum(gph, k, key, cfg)
+        return lams, vecs
+    lams_p, vecs_p = eig_plain(g, 6, key, cfg)
+    np.testing.assert_array_equal(np.asarray(lams_c), np.asarray(lams_p))
+    np.testing.assert_array_equal(np.asarray(vecs_c), np.asarray(vecs_p))
+
+    # Self warm start: one chunk from the converged block reproduces the
+    # spectrum (different key stream from the cold run, so compare loosely).
+    lams_w, vecs_w = eig_warm(g, 6, jax.random.PRNGKey(1), cfg, blk, 1)
+    np.testing.assert_allclose(
+        np.asarray(lams_w), np.asarray(lams_c), rtol=1e-3
+    )
+    vc = np.asarray(vecs_c, np.float64)
+    vw = np.asarray(vecs_w, np.float64)
+    cos = np.abs(
+        (vc * vw).sum(0)
+        / (np.linalg.norm(vc, axis=0) * np.linalg.norm(vw, axis=0))
+    )
+    assert cos.min() > 0.999, cos

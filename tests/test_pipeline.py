@@ -485,20 +485,38 @@ def test_prepared_target_config_fingerprint(tmp_path):
 def test_prepared_source_matches_register_pair(pair_5k):
     """prepare_source + register_pair_prepared_source (the cohort/SSM
     direction: template-as-source) must reproduce register_pair bit-for-bit
-    when ICP is off and the same key split is used."""
+    when ICP is off, the same key split is used, and the cross-mesh warm
+    start is disabled (with eig_warm_start=True — the default — the fused
+    program warm-starts the SOURCE solve from the target block while the
+    prepared one ran cold, so agreement is tolerance-level: asserted
+    separately below)."""
     from pyfocusr_tpu.pipeline import (
         prepare_source,
         register_pair_prepared_source,
     )
 
     tg, sg = pair_5k
-    cfg = PipelineConfig(icp_register_first=False, **FAST)
+    cfg = PipelineConfig(
+        icp_register_first=False, eig_warm_start=False, **FAST
+    )
     key = jax.random.PRNGKey(13)
     ref = register_pair(tg, sg, cfg, key)
     prep = prepare_source(sg, cfg, jax.random.split(key, 8)[1])
     out = register_pair_prepared_source(prep, tg, sg, cfg, key)
     for k in ("correspondences", "weighted_points", "eig_vals_source"):
         np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(out[k]))
+
+    # Default config (warm start on): the two paths agree to solver
+    # tolerance — different eigensolve inits, same basis.
+    cfg_w = PipelineConfig(icp_register_first=False, **FAST)
+    ref_w = register_pair(tg, sg, cfg_w, key)
+    prep_w = prepare_source(sg, cfg_w, jax.random.split(key, 8)[1])
+    out_w = register_pair_prepared_source(prep_w, tg, sg, cfg_w, key)
+    agree = np.mean(
+        np.asarray(ref_w["correspondences"])
+        == np.asarray(out_w["correspondences"])
+    )
+    assert agree > 0.9, agree
 
 
 def test_source_spectrum_hoistable_matrix():
