@@ -252,6 +252,8 @@ def lanczos_shift_invert(
         "filter_op_factory",
         "quad_form",
         "return_block",
+        "extra_chunks",
+        "extra_resid_tol",
     ),
 )
 @f32_matmuls
@@ -270,8 +272,20 @@ def chebyshev_eigpairs_wide(
     quad_form=None,
     x0=None,
     return_block: bool = False,
+    extra_chunks: int = 0,
+    extra_resid_tol: float = 3e-4,
 ):
     """k smallest nonzero eigenpairs via a WIDE-block Chebyshev filter.
+
+    ``extra_chunks`` / ``extra_resid_tol``: residual-gated TOP-UP for
+    truncated (warm-started) schedules.  After the fixed ``chunks`` loop,
+    if the max wanted-mode residual still exceeds ``extra_resid_tol *
+    lam_max``, up to ``extra_chunks`` additional filter chunks run inside a
+    ``while_loop`` (the chunk body is traced once — no program
+    duplication).  A GOOD warm start converges within the truncated
+    schedule and pays only one extra [N, k] matvec for the check; a BAD
+    one (non-isometric pair) self-heals toward the full-schedule result
+    instead of silently returning under-converged eigenvectors.
 
     ``quad_form(V) -> [k]`` (static closure): cancellation-free evaluation
     of the final Rayleigh quotients (see graph_ops.sym_laplacian_quad_form)
@@ -407,6 +421,37 @@ def chebyshev_eigpairs_wide(
         X = _project_out(v0, X)
         X, theta = svqb_rr(X, kc)
         a = jnp.clip(1.5 * theta[cut], lam_max * 1e-5, lam_max * 2e-2)
+
+    if extra_chunks > 0:
+        def wanted_resid(Xc):
+            V = Xc[:, :k]
+            V = V / jnp.maximum(
+                jnp.linalg.norm(V, axis=0, keepdims=True), 1e-30
+            )
+            Av = jax.vmap(matvec, in_axes=1, out_axes=1)(V)
+            th = jnp.einsum("nk,nk->k", V, Av)
+            return jnp.max(jnp.linalg.norm(Av - V * th[None, :], axis=0))
+
+        def topup_cond(carry):
+            i, _, _, _, r = carry
+            return jnp.logical_and(
+                i < extra_chunks, r > extra_resid_tol * lam_max
+            )
+
+        def topup_body(carry):
+            i, Xc, ac, kk, _ = carry
+            kk, kc = jax.random.split(kk)
+            Xc = cheb_filter(Xc, ac, chunk_degree)
+            Xc = _project_out(v0, Xc)
+            Xc, theta = svqb_rr(Xc, kc)
+            ac = jnp.clip(1.5 * theta[cut], lam_max * 1e-5, lam_max * 2e-2)
+            return i + 1, Xc, ac, kk, wanted_resid(Xc)
+
+        _, X, a, key, _ = jax.lax.while_loop(
+            topup_cond,
+            topup_body,
+            (jnp.int32(0), X, a, key, wanted_resid(X)),
+        )
 
     V = X[:, :k]
     V = V / jnp.linalg.norm(V, axis=0, keepdims=True)

@@ -206,6 +206,19 @@ class PipelineConfig:
     # bit-identical either way (the prepared block IS the fused block).
     eig_warm_start: bool = True
     eig_wide_chunks_warm: int = 2
+    # Residual SAFEGUARD for the truncated warm schedule: after the
+    # eig_wide_chunks_warm chunks, if the max wanted-mode residual exceeds
+    # eig_warm_resid_tol * lam_max the solver runs up to (eig_wide_chunks -
+    # eig_wide_chunks_warm) extra chunks inside a while_loop (traced once).
+    # Calibration (synthetic 5k bone pair): a GOOD cross-mesh warm start
+    # reaches 2.4e-5 * lam_max after 2 chunks, a USELESS seed (random x0,
+    # or a cold truncated run) sits at 4.5e-3, and the full 5-chunk cold
+    # solve at 3.7e-7 — 3e-4 separates good from bad by an order of
+    # magnitude on each side.  Near-isometric pairs therefore pay only one
+    # extra [N, k] matvec for the check; a dissimilar pair self-heals
+    # toward the full schedule instead of silently returning
+    # under-converged eigenvectors.
+    eig_warm_resid_tol: float = 3e-4
 
     def __post_init__(self):
         # Validated at construction (SURVEY §5.6): fail fast on the knobs
@@ -443,7 +456,8 @@ def _masked_minmax_norm(vecs, mask):
 
 
 def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
-              x0=None, return_block: bool = False, chunks: int = None):
+              x0=None, return_block: bool = False, chunks: int = None,
+              extra_chunks: int = 0):
     """Laplacian spectrum of one mesh: k smallest nonzero eigenpairs,
     eigvecs min-max normalized to [-0.5, 0.5] (reference ``graph.py:228-257``).
 
@@ -550,15 +564,17 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
                 filter_op_factory=factory,
                 quad_form=quad_form,
                 x0=x0, return_block=return_block,
+                extra_chunks=extra_chunks,
+                extra_resid_tol=cfg.eig_warm_resid_tol,
             )
             if return_block:
                 lams, vecs_a, _, blk = out
             else:
                 lams, vecs_a, _ = out
         else:
-            if return_block:
+            if return_block or x0 is not None or chunks is not None:
                 raise ValueError(
-                    "return_block/x0 need the wide Chebyshev path "
+                    "return_block/x0/chunks need the wide Chebyshev path "
                     "(eig_method='chebyshev', n_points >= 2048)"
                 )
             lams, vecs_a, _ = chebyshev_eigpairs(
@@ -571,9 +587,9 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
         vecs = vecs_a * s[:, None]
         vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
     else:
-        if return_block:
+        if return_block or x0 is not None or chunks is not None:
             raise ValueError(
-                "return_block/x0 need the wide Chebyshev path "
+                "return_block/x0/chunks need the wide Chebyshev path "
                 "(eig_method='chebyshev', n_points >= 2048)"
             )
         lams, vecs, _ = smallest_nonzero_eigpairs(
@@ -731,14 +747,26 @@ def _warm_supported(cfg: PipelineConfig, a: GraphArrays, b: GraphArrays) -> bool
     )
 
 
-def _warm_x0(block, from_points, to_points):
+def _warm_x0(block, from_graph: GraphArrays, to_graph: GraphArrays):
     """Map a filtered eigensolver block between meshes: each ``to`` vertex
     takes the block row of its spatially nearest ``from`` vertex.  The
     piecewise-constant sampling noise this introduces is high-frequency —
-    exactly what the Chebyshev filter damps first."""
+    exactly what the Chebyshev filter damps first.
+
+    Padded ``from`` rows are masked to SENTINEL before the query (the
+    NN-query convention used everywhere else, e.g. the ICP/correspondence
+    sites): padding rows sit at the origin after _pad_graph_arrays, so a
+    real ``to`` vertex near the origin would otherwise seed from a dead
+    all-zero block row.  Padded ``to`` rows receive whatever real row is
+    nearest — harmless, the solver's subspace_mask zeroes them."""
     from .ops.knn import nn_query
 
-    _, idx = nn_query(from_points, to_points)
+    _, idx = nn_query(
+        jnp.where(
+            from_graph.valid_mask[:, None] > 0, from_graph.points, SENTINEL
+        ),
+        to_graph.points,
+    )
     return block[idx]
 
 
@@ -792,7 +820,7 @@ def register_pair(
                 # Warm-start the hoisted source solve from the target block
                 # (pre-ICP points only: with ICP the fused program maps
                 # through moved points, so skip to stay consistent).
-                x0_s = _warm_x0(pre["block"], target.points, source.points)
+                x0_s = _warm_x0(pre["block"], target, source)
             pre_src = _prepare_source_jit(source, cfg, keys[1], x0=x0_s)
     return _register_pair_jit(
         target, source, cfg, key, landmark_pairs, pre=pre, pre_src=pre_src
@@ -892,7 +920,7 @@ def register_pair_prepared(
         if (prep.get("block") is not None
                 and _warm_supported(cfg, target, source)
                 and not cfg.icp_register_first):
-            x0_s = _warm_x0(prep["block"], target.points, source.points)
+            x0_s = _warm_x0(prep["block"], target, source)
         pre_src = _prepare_source_jit(
             source, cfg, jax.random.split(key, 8)[1], x0=x0_s
         )
@@ -915,6 +943,9 @@ def _prepare_source_jit(source: GraphArrays, cfg: PipelineConfig, key, x0=None):
         lams, vecs, w = _spectrum(
             source, cfg.n_total, key, cfg,
             x0=x0, chunks=cfg.eig_wide_chunks_warm,
+            extra_chunks=max(
+                cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
+            ),
         )
         return {"lams": lams, "vecs": vecs, "w": w}
     if want_block:
@@ -1027,15 +1058,27 @@ def _graph_fingerprint(graph: GraphArrays) -> str:
 def _cfg_fingerprint(cfg: PipelineConfig) -> str:
     """Canonical config string for prepared-state fingerprints.
 
-    ``landmark_weight`` is normalized to its default: it is a per-run CPD
-    prior knob that never enters :func:`prepare_target`'s spectrum or
-    smoothing, so one prepared state legitimately serves runs with
-    different landmark weights (the CLI passes --landmark-weight per
-    invocation)."""
+    Knobs that never change the prepared state itself are normalized to
+    their defaults so saves remain loadable across them:
+
+    * ``landmark_weight`` — a per-run CPD prior knob that never enters
+      :func:`prepare_target`'s spectrum or smoothing (the CLI passes
+      --landmark-weight per invocation);
+    * ``eig_warm_start`` / ``eig_wide_chunks_warm`` /
+      ``eig_warm_resid_tol`` — they decide whether the filtered block is
+      ATTACHED to the prepared state and how a warm PAIR solve consumes
+      it, not the prepared spectrum/smoothing values (gated by
+      test_spectrum_warm_start_block).  A state saved without the block
+      loads fine under eig_warm_start=True (the pair solve just runs
+      cold), and pre-warm-start-era saves stay loadable."""
     import dataclasses
 
-    default_w = PipelineConfig.__dataclass_fields__["landmark_weight"].default
-    return repr(dataclasses.replace(cfg, landmark_weight=default_w))
+    fields = PipelineConfig.__dataclass_fields__
+    return repr(dataclasses.replace(cfg, **{
+        name: fields[name].default
+        for name in ("landmark_weight", "eig_warm_start",
+                     "eig_wide_chunks_warm", "eig_warm_resid_tol")
+    }))
 
 
 def save_prepared_target(
@@ -1178,10 +1221,13 @@ def _register_pair_jit(
         if warm_ok and pre_src is not None and pre_src.get("block") is not None:
             # Cohort/SSM direction: the prepared SOURCE (template) block
             # seeds the subject's eigensolve.
-            x0_t = _warm_x0(pre_src["block"], source.points, target.points)
+            x0_t = _warm_x0(pre_src["block"], source, target)
             lams_t, vecs_t, w_t = _spectrum(
                 target, k_total, keys[0], cfg,
                 x0=x0_t, chunks=cfg.eig_wide_chunks_warm,
+                extra_chunks=max(
+                    cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
+                ),
             )
         elif warm_ok and pre_src is None:
             # Both spectra inline: keep the target's filtered block to seed
@@ -1197,10 +1243,13 @@ def _register_pair_jit(
             blk_t = pre.get("block")
     if pre_src is None:
         if warm_ok and blk_t is not None:
-            x0_s = _warm_x0(blk_t, target.points, source.points)
+            x0_s = _warm_x0(blk_t, target, source)
             lams_s, vecs_s, w_s = _spectrum(
                 source, k_total, keys[1], cfg,
                 x0=x0_s, chunks=cfg.eig_wide_chunks_warm,
+                extra_chunks=max(
+                    cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
+                ),
             )
         else:
             lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)

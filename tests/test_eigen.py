@@ -182,3 +182,71 @@ def test_spectrum_warm_start_block(mesh_5k_source):
         / (np.linalg.norm(vc, axis=0) * np.linalg.norm(vw, axis=0))
     )
     assert cos.min() > 0.999, cos
+
+
+def test_warm_start_residual_safeguard(lap_setup):
+    """ADVICE r3 (medium): a truncated warm schedule fed a USELESS seed must
+    not silently return under-converged eigenvectors.  The wide solver's
+    residual-gated top-up (``extra_chunks``) detects the high residual
+    (~4.5e-3 * lam_max after 2 cold chunks vs 2.4e-5 for a good warm seed —
+    see PipelineConfig.eig_warm_resid_tol calibration) and runs extra filter
+    chunks until it passes the tolerance."""
+    from pyfocusr_tpu.ops.eigen import chebyshev_eigpairs_wide
+
+    nbrs, w, g, _ = lap_setup
+    s = jnp.sqrt(g)
+    n = int(s.shape[0])
+
+    def matvec(x):
+        return G.sym_laplacian_matvec(nbrs, w, g, x)
+
+    k = 6
+    key = jax.random.PRNGKey(0)
+
+    # Reference: full cold schedule.
+    l_full, v_full, r_full = chebyshev_eigpairs_wide(
+        matvec, 1.0 / s, key, k, chunks=5
+    )
+    # Garbage warm seed (no shared subspace), truncated schedule, NO top-up:
+    # under-converged.
+    x0_bad = jax.random.normal(jax.random.PRNGKey(9), (n, 128))
+    l_bad, v_bad, r_bad = chebyshev_eigpairs_wide(
+        matvec, 1.0 / s, jax.random.PRNGKey(1), k, chunks=2, x0=x0_bad
+    )
+
+    # Same garbage seed WITH the top-up: self-heals to full-schedule quality.
+    l_fix, v_fix, r_fix = chebyshev_eigpairs_wide(
+        matvec, 1.0 / s, jax.random.PRNGKey(1), k, chunks=2, x0=x0_bad,
+        extra_chunks=3,
+    )
+
+    assert float(jnp.max(r_fix)) < 0.2 * float(jnp.max(r_bad)), (
+        np.asarray(r_bad), np.asarray(r_fix)
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_fix), np.asarray(l_full), rtol=1e-3
+    )
+    vf = np.asarray(v_full, np.float64)
+    vx = np.asarray(v_fix, np.float64)
+    vf /= np.linalg.norm(vf, axis=0)
+    vx /= np.linalg.norm(vx, axis=0)
+    sv = np.linalg.svd(vf.T @ vx, compute_uv=False)
+    assert sv.min() > 0.999, sv
+
+    # A GOOD warm seed (the converged eigvecs themselves padded to block
+    # width) must PASS the residual gate immediately — the top-up loop's
+    # condition is already false at entry, so results match the no-top-up
+    # call bit-for-bit (the while_loop body never executes).
+    x0_good = jnp.concatenate(
+        [v_full, jax.random.normal(jax.random.PRNGKey(3), (n, 128 - k))],
+        axis=1,
+    )
+    l_w0, v_w0, _ = chebyshev_eigpairs_wide(
+        matvec, 1.0 / s, jax.random.PRNGKey(1), k, chunks=2, x0=x0_good
+    )
+    l_w1, v_w1, _ = chebyshev_eigpairs_wide(
+        matvec, 1.0 / s, jax.random.PRNGKey(1), k, chunks=2, x0=x0_good,
+        extra_chunks=3,
+    )
+    np.testing.assert_array_equal(np.asarray(l_w0), np.asarray(l_w1))
+    np.testing.assert_array_equal(np.asarray(v_w0), np.asarray(v_w1))

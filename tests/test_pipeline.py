@@ -612,3 +612,47 @@ def test_split_spectra_matches_fused(monkeypatch):
     # tests/test_cohort.py::test_register_cohort_prepared_template_agrees —
     # a perfect sphere's degenerate eigenspace rotates freely between
     # solves, so correspondence agreement is not a meaningful check here.)
+
+
+def test_warm_x0_masks_padding_rows(mesh_5k_source, mesh_5k_target):
+    """ADVICE r3 (medium): _warm_x0 must mask padded 'from' rows to SENTINEL
+    before the NN query.  Padding rows sit at the origin after
+    _pad_graph_arrays, so a real 'to' vertex near the origin would otherwise
+    seed from a dead all-zero block row."""
+    import jax.numpy as jnp
+
+    from pyfocusr_tpu.pipeline import (
+        _pad_graph_arrays,
+        _warm_x0,
+        mesh_to_graph_arrays,
+    )
+
+    g_from = mesh_to_graph_arrays(mesh_5k_source)
+    g_to = mesh_to_graph_arrays(mesh_5k_target)
+
+    # Center the 'to' mesh on the origin so some real query point lands
+    # nearer the padding cluster (origin) than most real 'from' vertices,
+    # and shift the 'from' mesh away from the origin.
+    shift = jnp.asarray([100.0, 0.0, 0.0])
+    g_from = dataclasses_replace_points(g_from, g_from.points + shift)
+    n = g_from.points.shape[0]
+    g_from_pad = _pad_graph_arrays(g_from, n + 512, g_from.neighbors.shape[1],
+                                   g_from.null_indicators.shape[1])
+
+    # Block rows: row i of the block = i (so the gathered seed identifies
+    # which 'from' row each 'to' vertex sampled).
+    blk = jnp.arange(n + 512, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+    seeded = _warm_x0(blk, g_from_pad, g_to)
+    # Every real 'to' vertex must seed from a REAL 'from' row (< n), never
+    # from the origin padding cluster (rows >= n).
+    mask = np.asarray(g_to.valid_mask) > 0
+    src_rows = np.asarray(seeded[:, 0])[mask]
+    assert np.all(src_rows < n), (
+        f"{np.sum(src_rows >= n)} real vertices seeded from padding rows"
+    )
+
+
+def dataclasses_replace_points(g, pts):
+    import dataclasses as _dc
+
+    return _dc.replace(g, points=pts * g.valid_mask[:, None])
