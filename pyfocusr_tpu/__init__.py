@@ -31,6 +31,7 @@ from .pipeline import (  # noqa: F401
     register_pair,
     register_pair_prepared,
     register_pair_prepared_source,
+    warm_block_from_prepared,
 )
 from .metrics import registration_quality, surface_distance  # noqa: F401
 from .spectral.eigsort import eigsort  # noqa: F401

@@ -267,6 +267,17 @@ def main(argv=None):
         "(include_features_in_adj_matrix); requires --features",
     )
     p_reg.add_argument(
+        "--aot",
+        metavar="FILE",
+        default=None,
+        help="serve through an ahead-of-time exported program "
+        "(utils/aot.py): if FILE exists it is loaded — no tracing or "
+        "lowering on the serving path, sidecar-validated against the "
+        "config and mesh shapes — otherwise the program is exported to "
+        "FILE first.  One artifact serves one (config, shape-class); "
+        "incompatible with --multires/--prepared/--landmarks",
+    )
+    p_reg.add_argument(
         "--quality",
         action="store_true",
         help="include registration-quality metrics in the JSON summary "
@@ -476,6 +487,15 @@ def main(argv=None):
         if args.landmark_weight is not None and not args.landmarks:
             print("--landmark-weight requires --landmarks", file=sys.stderr)
             return 2
+        if args.aot and (args.multires or args.prepared
+                         or args.save_prepared or args.landmarks):
+            print(
+                "--aot is incompatible with --multires/--prepared/"
+                "--save-prepared/--landmarks (the exported program pins "
+                "the plain register_pair path)",
+                file=sys.stderr,
+            )
+            return 2
         if args.features_in_adjacency and not args.features:
             print("--features-in-adjacency requires --features", file=sys.stderr)
             return 2
@@ -565,7 +585,7 @@ def main(argv=None):
             from .pipeline import load_prepared_target
 
             prep = load_prepared_target(args.prepared, cfg, target=tg)
-        elif multi or args.save_prepared:
+        elif (multi and not args.aot) or args.save_prepared:
             from .pipeline import prepare_target
 
             key8 = jax.random.split(jax.random.PRNGKey(args.seed), 8)
@@ -686,6 +706,29 @@ def main(argv=None):
                         print(f"--landmarks: {exc}", file=sys.stderr)
                         return 2
                     raise
+            elif args.aot:
+                from .utils.aot import export_registration, load_registration
+
+                sg_arr = mesh_to_graph_arrays(
+                    source, node_features=feats_source, topology=topo_source
+                )
+                if not os.path.exists(args.aot):
+                    try:
+                        export_registration(cfg, tg, sg_arr, args.aot)
+                    except ValueError as exc:  # e.g. above split threshold
+                        print(f"--aot: {exc}", file=sys.stderr)
+                        return 2
+                try:
+                    # Re-validated per source: the artifact pins ONE source
+                    # shape class, so a differently-shaped source must fail
+                    # loudly, not crash inside the compiled call.
+                    aot_runner = load_registration(
+                        args.aot, cfg=cfg, target=tg, source=sg_arr
+                    )
+                except ValueError as exc:
+                    print(f"--aot: {exc}", file=sys.stderr)
+                    return 2
+                res = aot_runner(tg, sg_arr, jax.random.PRNGKey(args.seed))
             elif prep is not None:
                 from .pipeline import register_pair_prepared
 

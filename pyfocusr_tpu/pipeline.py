@@ -747,7 +747,7 @@ def _warm_supported(cfg: PipelineConfig, a: GraphArrays, b: GraphArrays) -> bool
     )
 
 
-def _warm_x0(block, from_graph: GraphArrays, to_graph: GraphArrays):
+def _warm_x0(block, from_points, from_mask, to_points):
     """Map a filtered eigensolver block between meshes: each ``to`` vertex
     takes the block row of its spatially nearest ``from`` vertex.  The
     piecewise-constant sampling noise this introduces is high-frequency —
@@ -762,10 +762,8 @@ def _warm_x0(block, from_graph: GraphArrays, to_graph: GraphArrays):
     from .ops.knn import nn_query
 
     _, idx = nn_query(
-        jnp.where(
-            from_graph.valid_mask[:, None] > 0, from_graph.points, SENTINEL
-        ),
-        to_graph.points,
+        jnp.where(from_mask[:, None] > 0, from_points, SENTINEL),
+        to_points,
     )
     return block[idx]
 
@@ -796,13 +794,24 @@ def register_pair(
     cfg: PipelineConfig,
     key,
     landmark_pairs=None,
+    warm_block=None,
 ):
     """Pre-jit entry: runs the concrete-input padding guards (no-ops on
     tracers, e.g. under the cohort shard_map where ``check_cohort_config``
     already ran), then dispatches to the compiled pipeline — with the two
     eigensolves hoisted into separate programs above ``_SPLIT_SPECTRA_N``
     vertices (same math; target side bit-identical, source side identical
-    to solver tolerance under rigid ICP)."""
+    to solver tolerance under rigid ICP).
+
+    ``warm_block`` (beyond-reference, opt-in): a CLASS-TEMPLATE warm-start
+    seed from :func:`warm_block_from_prepared` — a previously prepared
+    mesh of the same anatomy, roughly aligned with this pair's frame.
+    When set, the TARGET eigensolve also starts from the template's
+    filtered block (mapped through a spatial NN) and runs the truncated
+    warm schedule, so BOTH solves of a never-seen pair run
+    ``eig_wide_chunks_warm`` chunks instead of one cold + one warm.  The
+    residual-gated top-up (``eig_warm_resid_tol``) self-heals when the
+    template turns out to be a poor match."""
     _check_padding_hazards(target, source, cfg)
     pre = pre_src = None
     if _want_split(target, source):
@@ -811,7 +820,8 @@ def register_pair(
             # Target never moves under this config: hoisting its spectrum
             # AND smoothed points is exact (same key split the fused
             # program would use).
-            pre = _prepare_target_jit(target, cfg, keys[0])
+            pre = _prepare_target_jit(target, cfg, keys[0],
+                                      warm_block=warm_block)
         if source_spectrum_hoistable(cfg):
             x0_s = None
             if (pre is not None and pre.get("block") is not None
@@ -820,25 +830,66 @@ def register_pair(
                 # Warm-start the hoisted source solve from the target block
                 # (pre-ICP points only: with ICP the fused program maps
                 # through moved points, so skip to stay consistent).
-                x0_s = _warm_x0(pre["block"], target, source)
+                x0_s = _warm_x0(pre["block"], target.points,
+                                target.valid_mask, source.points)
             pre_src = _prepare_source_jit(source, cfg, keys[1], x0=x0_s)
     return _register_pair_jit(
-        target, source, cfg, key, landmark_pairs, pre=pre, pre_src=pre_src
+        target, source, cfg, key, landmark_pairs, pre=pre, pre_src=pre_src,
+        warm_block=warm_block,
     )
+
+
+def warm_block_from_prepared(prep, template: GraphArrays):
+    """Build the ``register_pair(warm_block=...)`` seed from a prepared
+    template: the template's geometry plus its converged filtered
+    eigensolver block (:func:`prepare_target` with the default
+    ``eig_warm_start=True`` attaches it; persisted saves carry it too).
+
+    Use case: a serving fleet registering many never-seen pairs of one
+    anatomy class prepares ONE representative mesh, persists it with
+    :func:`save_prepared_target`, and seeds every pair's BOTH eigensolves
+    from it — each pair then runs 2+2 warm chunks instead of 5+2
+    (measured headline impact in bench.py ``class_template_15k``).  The
+    template must be roughly aligned with the pairs' coordinate frame
+    (the seed maps through a spatial nearest-neighbor query)."""
+    if prep.get("block") is None:
+        raise ValueError(
+            "prepared state carries no filtered block — re-run "
+            "prepare_target with eig_warm_start=True (wide-chebyshev path)"
+        )
+    return {
+        "points": template.points,
+        "valid_mask": template.valid_mask,
+        "block": prep["block"],
+    }
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 @f32_matmuls
-def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key):
+def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key,
+                        warm_block=None):
     blk = None
     if (cfg.eig_warm_start and cfg.eig_method == "chebyshev"
             and target.n_points >= 2048):
         # Keep the filtered block: it seeds the source eigensolve of every
         # pair served from this prepared target (returning it does not
         # perturb the solve — gated by test_spectrum_warm_start_block).
-        lams, vecs, w, blk = _spectrum(
-            target, cfg.n_total, key, cfg, return_block=True
-        )
+        if warm_block is not None:
+            # Class-template seed (see register_pair warm_block): this
+            # solve itself starts warm and runs the truncated schedule.
+            x0_t = _warm_x0(warm_block["block"], warm_block["points"],
+                            warm_block["valid_mask"], target.points)
+            lams, vecs, w, blk = _spectrum(
+                target, cfg.n_total, key, cfg, return_block=True,
+                x0=x0_t, chunks=cfg.eig_wide_chunks_warm,
+                extra_chunks=max(
+                    cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
+                ),
+            )
+        else:
+            lams, vecs, w, blk = _spectrum(
+                target, cfg.n_total, key, cfg, return_block=True
+            )
     else:
         lams, vecs, w = _spectrum(target, cfg.n_total, key, cfg)
     if cfg.smooth_correspondences:
@@ -920,7 +971,8 @@ def register_pair_prepared(
         if (prep.get("block") is not None
                 and _warm_supported(cfg, target, source)
                 and not cfg.icp_register_first):
-            x0_s = _warm_x0(prep["block"], target, source)
+            x0_s = _warm_x0(prep["block"], target.points,
+                            target.valid_mask, source.points)
         pre_src = _prepare_source_jit(
             source, cfg, jax.random.split(key, 8)[1], x0=x0_s
         )
@@ -1160,6 +1212,7 @@ def _register_pair_jit(
     landmark_pairs=None,
     pre=None,
     pre_src=None,
+    warm_block=None,
 ):
     """Full registration of one mesh pair.  Returns a dict pytree (all sized
     to the padded source/target shapes; rows where ``source.valid_mask == 0``
@@ -1221,9 +1274,27 @@ def _register_pair_jit(
         if warm_ok and pre_src is not None and pre_src.get("block") is not None:
             # Cohort/SSM direction: the prepared SOURCE (template) block
             # seeds the subject's eigensolve.
-            x0_t = _warm_x0(pre_src["block"], source, target)
+            x0_t = _warm_x0(pre_src["block"], source.points,
+                            source.valid_mask, target.points)
             lams_t, vecs_t, w_t = _spectrum(
                 target, k_total, keys[0], cfg,
+                x0=x0_t, chunks=cfg.eig_wide_chunks_warm,
+                extra_chunks=max(
+                    cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
+                ),
+            )
+        elif (warm_ok and warm_block is not None
+              and not (cfg.icp_register_first
+                       and cfg.icp_reg_target_to_source)):
+            # Class-template seed (register_pair warm_block): the TARGET
+            # solve also starts warm from the template's block and runs
+            # the truncated schedule, keeping its own block for the
+            # source's warm start below.  Gated off when ICP moves the
+            # target (the template frame would no longer match).
+            x0_t = _warm_x0(warm_block["block"], warm_block["points"],
+                            warm_block["valid_mask"], target.points)
+            lams_t, vecs_t, w_t, blk_t = _spectrum(
+                target, k_total, keys[0], cfg, return_block=True,
                 x0=x0_t, chunks=cfg.eig_wide_chunks_warm,
                 extra_chunks=max(
                     cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
@@ -1243,7 +1314,8 @@ def _register_pair_jit(
             blk_t = pre.get("block")
     if pre_src is None:
         if warm_ok and blk_t is not None:
-            x0_s = _warm_x0(blk_t, target, source)
+            x0_s = _warm_x0(blk_t, target.points,
+                            target.valid_mask, source.points)
             lams_s, vecs_s, w_s = _spectrum(
                 source, k_total, keys[1], cfg,
                 x0=x0_s, chunks=cfg.eig_wide_chunks_warm,

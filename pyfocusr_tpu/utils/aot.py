@@ -26,12 +26,26 @@ compile cache for a list of mesh sizes (see cli.py).
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["export_registration", "load_registration"]
+
+
+def _meta_path(path: str) -> str:
+    return path + ".meta.json"
+
+
+def _shape_sig(g) -> dict:
+    return {
+        "points": list(g.points.shape),
+        "neighbors": list(g.neighbors.shape),
+        "overflow": list(g.overflow.shape),
+        "node_features": list(g.node_features.shape),
+    }
 
 _REGISTERED = False
 
@@ -111,14 +125,67 @@ def export_registration(cfg, target_example, source_example, path: str) -> str:
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+    # Sidecar metadata: the artifact itself carries no record of the config
+    # or shapes it was exported under; the sidecar lets load_registration
+    # fail loudly instead of serving a stale program on mismatched inputs.
+    from ..pipeline import _cfg_fingerprint
+
+    meta = {
+        "cfg_fingerprint": _cfg_fingerprint(cfg),
+        "target": _shape_sig(target_example),
+        "source": _shape_sig(source_example),
+        "platform": jax.default_backend(),
+    }
+    tmpm = f"{_meta_path(path)}.tmp.{os.getpid()}"
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, _meta_path(path))
     return path
 
 
-def load_registration(path: str):
+def load_registration(path: str, cfg=None, target=None, source=None):
     """Load an exported registration program; returns
     ``runner(target, source, key) -> results dict`` (no tracing, no
-    Python-level pipeline code on the serving path)."""
+    Python-level pipeline code on the serving path).
+
+    With ``cfg`` / ``target`` / ``source`` given, validates them against
+    the artifact's sidecar metadata (written by :func:`export_registration`)
+    and raises ``ValueError`` on mismatch — a serving process must not
+    silently run a program exported under a different config or shape
+    class.  Sidecar-less artifacts (pre-metadata exports) skip validation."""
     _ensure_serializable()
+    mp = _meta_path(path)
+    if os.path.exists(mp) and (cfg is not None or target is not None
+                               or source is not None):
+        with open(mp) as f:
+            meta = json.load(f)
+        if cfg is not None:
+            from ..pipeline import _cfg_fingerprint
+
+            if meta.get("cfg_fingerprint") != _cfg_fingerprint(cfg):
+                raise ValueError(
+                    f"AOT artifact {path} was exported under a different "
+                    "PipelineConfig; re-export (delete the artifact or "
+                    "pass a matching config)"
+                )
+        for name, g in (("target", target), ("source", source)):
+            if g is not None and meta.get(name) != _shape_sig(g):
+                raise ValueError(
+                    f"AOT artifact {path} was exported for {name} shapes "
+                    f"{meta.get(name)} but got {_shape_sig(g)}; re-export "
+                    "for this shape class"
+                )
+    if jax.default_backend() == "cpu":
+        # XLA:CPU jaxlib hazard (bisected on this toolchain): executing a
+        # DESERIALIZED exported program whose LAPACK custom calls (eigh /
+        # svd lowerings) were never lowered in THIS process segfaults —
+        # the FFI targets register lazily at lowering time, and a fresh
+        # serving process that only deserializes never lowers them.
+        # Priming one tiny eigh lowering (no compile, no execute)
+        # registers the whole LAPACK family and makes cross-process
+        # serving safe.  TPU backends lower these ops natively and are
+        # unaffected.
+        jax.jit(jnp.linalg.eigh).lower(jnp.eye(2, dtype=jnp.float32))
     with open(path, "rb") as f:
         exp = jax.export.deserialize(f.read())
 

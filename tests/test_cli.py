@@ -761,3 +761,60 @@ def test_register_multires_checkpoint_resume(tmp_path):
     assert proc.returncode == 0, proc.stderr[-800:]
     corr2 = np.load(tmp_path / "correspondences.npy")
     np.testing.assert_array_equal(corr1, corr2)
+
+
+def test_register_aot_flag(tmp_path):
+    """`register --aot FILE`: first invocation exports the program, second
+    serves through the loaded artifact (no re-tracing) with identical
+    outputs; incompatible-flag combinations are rejected up front."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    import jax.numpy as jnp
+    from test_curvature_icp import make_sphere
+
+    from pyfocusr_tpu.mesh import TriMesh, save_mesh
+
+    pts, tris = make_sphere(n_theta=10, n_phi=20)
+    t = tmp_path / "t.vtk"; s = tmp_path / "s.vtk"
+    save_mesh(str(t), TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+    w = pts * (1.0 + 0.05 * np.sin(3 * pts[:, [1]]))
+    save_mesh(str(s), TriMesh(jnp.asarray(w, jnp.float32), jnp.asarray(tris)))
+    art = tmp_path / "reg.jaxexp"
+    fast = [
+        "--non-rigid-max-iterations", "10",
+        "--graph-smoothing-iterations", "10",
+        "--n-coords-spectral-registration", "100",
+        "--n-coords-spectral-ordering", "150",
+    ]
+
+    proc = _run_cli(
+        ["register", str(t), str(s), "-o", str(tmp_path / "o1"),
+         "--aot", str(art)] + fast
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert art.exists() and (tmp_path / "reg.jaxexp.meta.json").exists()
+
+    proc2 = _run_cli(
+        ["register", str(t), str(s), "-o", str(tmp_path / "o2"),
+         "--aot", str(art)] + fast
+    )
+    assert proc2.returncode == 0, proc2.stderr[-800:]
+    c1 = np.load(tmp_path / "o1" / "correspondences.npy")
+    c2 = np.load(tmp_path / "o2" / "correspondences.npy")
+    np.testing.assert_array_equal(c1, c2)
+
+    # Mismatched config -> loud failure, exit 2.
+    proc3 = _run_cli(
+        ["register", str(t), str(s), "-o", str(tmp_path / "o3"),
+         "--aot", str(art), "--non-rigid-max-iterations", "11"] + fast[2:]
+    )
+    assert proc3.returncode == 2
+    assert "different PipelineConfig" in proc3.stderr
+
+    # Incompatible flags rejected before any mesh I/O.
+    proc4 = _run_cli(
+        ["register", str(t), str(s), "--aot", str(art), "--multires", "100"]
+    )
+    assert proc4.returncode == 2
+    assert "incompatible" in proc4.stderr

@@ -642,7 +642,8 @@ def test_warm_x0_masks_padding_rows(mesh_5k_source, mesh_5k_target):
     # Block rows: row i of the block = i (so the gathered seed identifies
     # which 'from' row each 'to' vertex sampled).
     blk = jnp.arange(n + 512, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
-    seeded = _warm_x0(blk, g_from_pad, g_to)
+    seeded = _warm_x0(blk, g_from_pad.points, g_from_pad.valid_mask,
+                      g_to.points)
     # Every real 'to' vertex must seed from a REAL 'from' row (< n), never
     # from the origin padding cluster (rows >= n).
     mask = np.asarray(g_to.valid_mask) > 0
@@ -656,3 +657,57 @@ def dataclasses_replace_points(g, pts):
     import dataclasses as _dc
 
     return _dc.replace(g, points=pts * g.valid_mask[:, None])
+
+
+def test_class_template_warm_block(mesh_5k_source, mesh_5k_target):
+    """Class-template warm start (register_pair warm_block=): a THIRD mesh
+    of the same shape class, prepared once, seeds BOTH eigensolves of a
+    never-seen pair.  Correspondences must closely agree with the cold run
+    and eigenvalues must match to solver tolerance."""
+    import sys as _sys
+
+    from pyfocusr_tpu.pipeline import (
+        prepare_target,
+        warm_block_from_prepared,
+    )
+
+    _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from conftest import _synthetic_bone
+
+    tg = mesh_to_graph_arrays(mesh_5k_target)
+    sg = mesh_to_graph_arrays(mesh_5k_source)
+    template = mesh_to_graph_arrays(_synthetic_bone(3))
+
+    cfg = PipelineConfig(**FAST)
+    prep = prepare_target(template, cfg, jax.random.PRNGKey(5))
+    wb = warm_block_from_prepared(prep, template)
+    assert wb["block"].shape == (template.points.shape[0],
+                                 cfg.eig_wide_block)
+
+    cold = register_pair(tg, sg, cfg, jax.random.PRNGKey(0))
+    warm = register_pair(tg, sg, cfg, jax.random.PRNGKey(0), warm_block=wb)
+
+    np.testing.assert_allclose(
+        np.asarray(warm["eig_vals_target"]),
+        np.asarray(cold["eig_vals_target"]), rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(warm["eig_vals_source"]),
+        np.asarray(cold["eig_vals_source"]), rtol=5e-3,
+    )
+    cc = np.asarray(cold["correspondences"])
+    cw = np.asarray(warm["correspondences"])
+    # Exact index agreement fluctuates with any eigvector perturbation at
+    # coincident-cost vertices; gate on physical pick distance instead.
+    tp = np.asarray(tg.points)
+    d = np.linalg.norm(tp[cc] - tp[cw], axis=1)
+    # Mesh scale ~ tens of mm; the two runs must pick (near-)identical spots.
+    assert np.median(d) < 1e-6, np.median(d)
+    assert d.mean() < 0.5, d.mean()
+
+    # A prepared state WITHOUT a block raises loudly.
+    import dataclasses as _dc
+    cfg_noblk = _dc.replace(cfg, eig_warm_start=False)
+    prep2 = prepare_target(template, cfg_noblk, jax.random.PRNGKey(5))
+    with pytest.raises(ValueError, match="no filtered block"):
+        warm_block_from_prepared(prep2, template)

@@ -145,6 +145,57 @@ class TestAOTExport:
             atol=1e-6,
         )
 
+    def test_sidecar_validation(self, tmp_path):
+        """The .meta.json sidecar: loading with a mismatched config or
+        shape class fails loudly instead of serving a stale program
+        (VERDICT r3 task #2 — deployed AOT serving needs auditability)."""
+        import dataclasses
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        import jax.numpy as jnp
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+        from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+        from pyfocusr_tpu.utils.aot import export_registration, load_registration
+
+        pts, tris = make_sphere(n_theta=10, n_phi=20)
+        m = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+        g = mesh_to_graph_arrays(m)
+        cfg = PipelineConfig(
+            icp_iterations=5,
+            n_coords_spectral_ordering=100,
+            n_coords_spectral_registration=80,
+            non_rigid_max_iterations=5,
+            non_rigid_n_eigens=20,
+            graph_smoothing_iterations=5,
+            projection_smooth_iterations=1,
+            eig_cg_iters=40,
+        )
+        path = export_registration(cfg, g, g, str(tmp_path / "reg.jaxexp"))
+        assert _os.path.exists(path + ".meta.json")
+
+        # Matching inputs validate cleanly.
+        load_registration(path, cfg=cfg, target=g, source=g)
+        # landmark_weight is fingerprint-normalized: still valid.
+        load_registration(
+            path, cfg=dataclasses.replace(cfg, landmark_weight=7.0)
+        )
+        # A config that changes the program is rejected.
+        with pytest.raises(ValueError, match="different PipelineConfig"):
+            load_registration(
+                path, cfg=dataclasses.replace(cfg, non_rigid_beta=10.0)
+            )
+        # A different shape class is rejected.
+        g_pad = mesh_to_graph_arrays(m, pad_n_points=m.n_points + 64)
+        with pytest.raises(ValueError, match="shapes"):
+            load_registration(path, source=g_pad)
+        # Sidecar-less artifacts (pre-metadata exports) skip validation.
+        _os.remove(path + ".meta.json")
+        load_registration(path, cfg=cfg, target=g, source=g_pad)
+
     def test_export_rejects_padded_hungarian(self, tmp_path):
         """Review regression: exporting a padded-graph 'hungarian' program
         must raise like register_pair does, not serve corrupt assignments."""
