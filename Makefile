@@ -1,13 +1,25 @@
 .PHONY: test test-slow bench lint build docs clean
 
-test:
-	python -m pytest tests/ -q
+# warm-cache first: conftest disables persistent-cache WRITES inside
+# pytest (a jaxlib XLA:CPU executable.serialize() segfault fires late in
+# long-lived processes); the short-lived warmer pre-populates the cache
+# for the heavy golden-gate programs so they never compile under pytest.
+# Two process shards for the READ-path sibling of the same upstream bug:
+# cache deserialization also segfaults late in long-lived processes
+# (observed at ~70% of the unsharded suite in compilation_cache.
+# get_executable_and_time with 128 GB free — not memory pressure), while
+# every shard passes in isolation.  Sharding bounds process lifetime.
+test: warm-cache
+	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 1') -q
+	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 0') -q
 
-# Two process shards: a jaxlib 0.9 bug segfaults in XLA:CPU
-# executable.serialize() (persistent-cache write) late in a single
-# long-running process — deterministic at the same test, absent when the
-# suite is split.  Sharding bounds process lifetime and the blast radius.
-test-slow:
+warm-cache:
+	python tools/warm_test_cache.py
+
+# Two process shards: bounds process lifetime for the same jaxlib bug
+# (belt on top of the conftest write-disable suspenders) and halves the
+# peak memory of the slow 15k/multires gates.
+test-slow: warm-cache
 	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 1') -q --run-slow
 	python -m pytest $$(ls tests/test_*.py | awk 'NR % 2 == 0') -q --run-slow
 
@@ -25,8 +37,10 @@ lint:
 build:
 	python -m pip wheel . -w dist --no-deps --no-build-isolation
 
+# Generated per-module HTML API tree (docs/api/ — the reference ships the
+# pdoc equivalent in its docs/); plus the handwritten guides in docs/.
 docs:
-	python -m pydoc -w pyfocusr_tpu
+	python tools/make_api_docs.py
 
 clean:
 	rm -rf build dist *.egg-info .pytest_cache

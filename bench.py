@@ -438,6 +438,55 @@ def main():
                 diag["aot_serving_15k"]["cold_process_error"] = (
                     p.stderr[-300:] if p.stderr else f"rc={p.returncode}"
                 )
+
+            # EXECUTABLE-format artifact (zero-compile serving): the real
+            # production startup number — a fresh process deserializes the
+            # compiled XLA executable and runs, no StableHLO re-compile.
+            from pyfocusr_tpu.utils.aot import (
+                export_registration_exec,
+                load_registration_exec,
+            )
+
+            arte = os.path.join(aot_dir, "reg_15k.jaxexec")
+            t0 = time.perf_counter()
+            export_registration_exec(cfg, tg, sg, arte)
+            exe_export_s = time.perf_counter() - t0
+            script2 = (
+                "import time,sys; t00=time.perf_counter(); "
+                "import jax,numpy as np; sys.path.insert(0,'.');\n"
+                "import os\n"
+                "from pyfocusr_tpu import load_mesh\n"
+                "from pyfocusr_tpu.pipeline import mesh_to_graph_arrays\n"
+                "from pyfocusr_tpu.utils.aot import load_registration_exec\n"
+                f"t=load_mesh('{DATA}/target_mesh_15k.vtk'); "
+                f"s=load_mesh('{DATA}/source_mesh_15k.vtk')\n"
+                "tg=mesh_to_graph_arrays(t); sg=mesh_to_graph_arrays(s)\n"
+                f"run=load_registration_exec('{arte}')\n"
+                "r=run(tg,sg,jax.random.PRNGKey(7))\n"
+                "_=np.asarray(r['correspondences'])[:4]\n"
+                "t1=time.perf_counter()\n"
+                "r=run(tg,sg,jax.random.PRNGKey(8))\n"
+                "_=np.asarray(r['correspondences'])[:4]\n"
+                "print('EXEC_COLD_SERVE_S=%.3f'%(t1-t00))\n"
+                "print('EXEC_STEADY_S=%.3f'%(time.perf_counter()-t1))\n"
+            )
+            p2 = subprocess.run(
+                [sys.executable, "-c", script2], capture_output=True,
+                text=True, timeout=600, cwd=os.path.dirname(
+                    os.path.abspath(__file__)),
+            )
+            exe = {"artifact_mb": round(os.path.getsize(arte) / 1e6, 1),
+                   "export_s": round(exe_export_s, 3)}
+            for line in p2.stdout.splitlines():
+                if line.startswith("EXEC_COLD_SERVE_S="):
+                    exe["cold_process_serve_s"] = float(line.split("=")[1])
+                elif line.startswith("EXEC_STEADY_S="):
+                    exe["steady_s"] = float(line.split("=")[1])
+            if "cold_process_serve_s" not in exe:
+                exe["cold_process_error"] = (
+                    p2.stderr[-300:] if p2.stderr else f"rc={p2.returncode}"
+                )
+            diag["aot_serving_15k"]["executable_format"] = exe
         except Exception as e:
             print(f"aot diagnostic failed: {e}", file=sys.stderr)
             diag["aot_serving_15k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -631,6 +680,36 @@ def main():
         except Exception as e:
             print(f"feature diagnostic failed: {e}", file=sys.stderr)
             diag["features_15k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # (e) sharded-vs-single fine refine at 960k on the VIRTUAL 8-device
+    # CPU mesh (VERDICT r3 task #6: bigmesh must be a driven, measured
+    # path, not test-only).  Subprocess: this process owns the TPU
+    # backend and cannot re-init as multi-device CPU.  On a single-core
+    # host the number measures coordination overhead; on multi-core, real
+    # scale-out.
+    if os.environ.get("BENCH_SKIP_SHARDED_REFINE") != "1":
+        try:
+            import subprocess
+
+            p = subprocess.run(
+                [sys.executable, "tools/bench_sharded_refine.py"],
+                capture_output=True, text=True, timeout=2400,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("{")),
+                None,
+            )
+            if line:
+                diag["sharded_refine_960k"] = json.loads(line)
+            else:
+                diag["sharded_refine_960k"] = {
+                    "error": (p.stderr[-300:] if p.stderr
+                              else f"rc={p.returncode}")
+                }
+        except Exception as e:
+            print(f"sharded-refine diagnostic failed: {e}", file=sys.stderr)
+            diag["sharded_refine_960k"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # (d) 122k-vertex DIRECT registration (no multires): a hub-rich
     # LAST diagnostic: a large first compile has tripped the remote

@@ -267,6 +267,28 @@ def main(argv=None):
         "(include_features_in_adj_matrix); requires --features",
     )
     p_reg.add_argument(
+        "--feature-mode",
+        choices=("coords", "g-matrix", "both"),
+        default="coords",
+        help="how --features enter the registration: 'coords' appends "
+        "them to the spectral coordinates (reference focusr.py:218-269; "
+        "trades uniqueness for feature alignment — measured 0.63 unique "
+        "on the 15k thickness channel, reference-identical), 'g-matrix' "
+        "weights the Laplacian's G matrix instead (reference "
+        "feature_weights mechanism, graph.py:180-214; keeps uniqueness "
+        "~0.86 at --feature-weight 0.1 — docs/tuning.md), 'both' does "
+        "both",
+    )
+    p_reg.add_argument(
+        "--feature-weight",
+        type=float,
+        default=0.1,
+        metavar="W",
+        help="per-feature diagonal weight for --feature-mode "
+        "g-matrix/both (cfg.feature_weights_diag; default 0.1, the "
+        "measured sweet spot on the bundled thickness channel)",
+    )
+    p_reg.add_argument(
         "--aot",
         metavar="FILE",
         default=None,
@@ -274,8 +296,12 @@ def main(argv=None):
         "(utils/aot.py): if FILE exists it is loaded — no tracing or "
         "lowering on the serving path, sidecar-validated against the "
         "config and mesh shapes — otherwise the program is exported to "
-        "FILE first.  One artifact serves one (config, shape-class); "
-        "incompatible with --multires/--prepared/--landmarks",
+        "FILE first.  A .jaxexec extension selects the fully-COMPILED "
+        "executable format (zero-compile load, ~1.6 s vs ~45 s per fresh "
+        "process at 15k; pinned to this device kind + jax version); any "
+        "other extension is portable StableHLO.  One artifact serves one "
+        "(config, shape-class); incompatible with "
+        "--multires/--prepared/--landmarks",
     )
     p_reg.add_argument(
         "--quality",
@@ -570,8 +596,14 @@ def main(argv=None):
 
             cfg = _dc.replace(
                 cfg,
-                use_features_as_coords=True,
+                use_features_as_coords=args.feature_mode in ("coords", "both"),
                 include_features_in_adj_matrix=args.features_in_adjacency,
+                use_features_in_graph=args.feature_mode in ("g-matrix", "both"),
+                feature_weights_diag=(
+                    (args.feature_weight,) * feats_target.shape[1]
+                    if args.feature_mode in ("g-matrix", "both")
+                    else cfg.feature_weights_diag
+                ),
             )
         tg = (
             None
@@ -707,14 +739,22 @@ def main(argv=None):
                         return 2
                     raise
             elif args.aot:
-                from .utils.aot import export_registration, load_registration
+                from .utils import aot as _aot
 
+                # Extension dispatch: .jaxexec = fully-COMPILED executable
+                # (zero-compile serving, device-pinned); anything else =
+                # portable StableHLO (re-compiled per process).
+                exec_fmt = args.aot.endswith(".jaxexec")
+                _export = (_aot.export_registration_exec if exec_fmt
+                           else _aot.export_registration)
+                _load = (_aot.load_registration_exec if exec_fmt
+                         else _aot.load_registration)
                 sg_arr = mesh_to_graph_arrays(
                     source, node_features=feats_source, topology=topo_source
                 )
                 if not os.path.exists(args.aot):
                     try:
-                        export_registration(cfg, tg, sg_arr, args.aot)
+                        _export(cfg, tg, sg_arr, args.aot)
                     except ValueError as exc:  # e.g. above split threshold
                         print(f"--aot: {exc}", file=sys.stderr)
                         return 2
@@ -722,7 +762,7 @@ def main(argv=None):
                     # Re-validated per source: the artifact pins ONE source
                     # shape class, so a differently-shaped source must fail
                     # loudly, not crash inside the compiled call.
-                    aot_runner = load_registration(
+                    aot_runner = _load(
                         args.aot, cfg=cfg, target=tg, source=sg_arr
                     )
                 except ValueError as exc:

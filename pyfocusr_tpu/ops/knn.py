@@ -155,41 +155,72 @@ def _pallas_chunked(ref, query, k):
 # Route large UNTRACED 3-D queries to the O(N) voxel-grid path
 # (ops/grid_knn.py) instead of the O(Nq*Nr) brute kernels.  The grid is
 # exact (certified per row with brute fallback), so routing is purely a
-# perf decision.  Measured crossover vs the Pallas brute kernel on v5e
-# (noisy-sphere, Nq = Nr = N): the grid pays ~1 s of fixed cost (build +
-# spacing probe + staged dispatches) and then scales ~O(N), so brute wins
-# below ~600k (k=1) / ~450k (k=3) and the grid wins above — at 300k brute
-# leads 0.41 vs 1.00 s (nn), at 500k they cross (knn3 2.08 vs 1.70 s;
-# nn still 1.08 vs 1.49), at 960k the grid leads 3.9 -> 1.3 s (nn) /
-# 7.6 -> 1.6 s (knn3) and at 3.84M ~122 -> ~6.5 s.  The k >= 2 threshold
-# is halved because brute cost grows with k while the grid's is flat.
-_GRID_MIN_PAIRS_DEFAULT = 4e11
+# perf decision.  Measured on v5e (noisy-sphere, Nq = Nr = N): the grid
+# pays ~1 s of fixed cost (build + spacing probe + staged dispatches)
+# and then scales ~O(N); brute is ~4.3e-12 s/pair — at 300k brute leads
+# 0.41 vs 1.00 s (nn), at 500k they cross (knn3 2.08 vs 1.70 s), at
+# 960k the grid leads 3.9 -> 1.3 s (nn) / 7.6 -> 1.6 s (knn3) and at
+# 3.84M ~122 -> ~6.5 s.  Between the two SURE bounds below the winner
+# is device-dependent (the r3 static threshold silently cost up to 2.4x
+# in the 300-500k band) — those calls are settled by a MEASURED
+# race-once-per-bucket planner (ops/knn_routing.py) instead of a
+# constant.  The k >= 2 bounds are halved because brute cost grows with
+# k while the grid's is flat.
+_GRID_MIN_PAIRS_DEFAULT = 1.2e11  # below: brute surely wins (< grid fixed cost)
+_GRID_SURE_PAIRS_DEFAULT = 2.4e12  # above: grid surely wins (brute >= ~10 s)
 
 
-def _use_grid(ref, query, k: int) -> bool:
-    """Grid path applies only outside jit (its per-row fallback needs
-    dynamic shapes), in 3-D, for small k.  ``PYFOCUSR_TPU_KNN_GRID``
-    = off|auto|on and ``PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS`` override
-    (both read per call, like the sibling PYFOCUSR_TPU_KNN dial)."""
+def _backend_pair_scale() -> float:
+    """The band bounds above are v5e-calibrated (brute ~2.3e11 pairs/s).
+    A CPU backend is ~2 orders slower at brute, so both bounds shrink —
+    without this, a 'race' at 1e12 pairs on CPU would spend minutes on
+    the brute arm it was meant to avoid."""
+    try:
+        return 0.01 if jax.default_backend() == "cpu" else 1.0
+    except Exception:
+        return 1.0
+
+
+def _grid_decision(ref, query, k: int) -> str:
+    """'brute' | 'grid' | 'race'.  Grid path applies only outside jit
+    (its per-row fallback needs dynamic shapes), in 3-D, for small k.
+    ``PYFOCUSR_TPU_KNN_GRID`` = off|auto|on plus
+    ``PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS`` / ``_SURE_PAIRS`` override (all
+    read per call, like the sibling PYFOCUSR_TPU_KNN dial); setting
+    MIN_PAIRS == SURE_PAIRS recovers a pure static threshold."""
     mode = os.environ.get("PYFOCUSR_TPU_KNN_GRID", "auto").lower()
     if mode in ("off", "0"):
-        return False
+        return "brute"
     if isinstance(ref, jax.core.Tracer) or isinstance(query, jax.core.Tracer):
-        return False
+        return "brute"
     if ref.ndim != 2 or query.ndim != 2:
-        return False
+        return "brute"
     if ref.shape[1] != 3 or query.shape[1] != 3 or k > 8:
-        return False
+        return "brute"
     if mode in ("on", "1", "force"):
-        return True
+        return "grid"
+    scale = _backend_pair_scale()
     min_pairs = float(
         os.environ.get(
-            "PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", _GRID_MIN_PAIRS_DEFAULT
+            "PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS",
+            _GRID_MIN_PAIRS_DEFAULT * scale,
+        )
+    )
+    sure_pairs = float(
+        os.environ.get(
+            "PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS",
+            _GRID_SURE_PAIRS_DEFAULT * scale,
         )
     )
     if k > 1:
         min_pairs /= 2.0
-    return float(query.shape[0]) * float(ref.shape[0]) >= min_pairs
+        sure_pairs /= 2.0
+    pairs = float(query.shape[0]) * float(ref.shape[0])
+    if pairs < min_pairs:
+        return "brute"
+    if pairs >= max(sure_pairs, min_pairs):
+        return "grid"
+    return "race"
 
 
 def _brute_knn(ref, query, k: int, tile: int = 8192,
@@ -214,15 +245,32 @@ def nn_query(ref: jnp.ndarray, query: jnp.ndarray, tile: int = 8192,
     and Pallas routes compute direct f32 differences — at least as
     accurate as any requested ``precision`` (which only tunes the XLA
     matmul-identity path; grid fallback rows run at HIGHEST)."""
-    if _use_grid(ref, query, 1):
+    dec = _grid_decision(ref, query, 1)
+    if dec != "brute":
         from .grid_knn import knn_grid
 
-        d, i = knn_grid(
-            ref, query, 1,
-            brute=lambda r, q, kk: _brute_knn(
-                r, q, kk, tile=tile, use_pallas=use_pallas
-            ),
-        )
+        def _run_grid():
+            return knn_grid(
+                ref, query, 1,
+                brute=lambda r, q, kk: _brute_knn(
+                    r, q, kk, tile=tile, use_pallas=use_pallas
+                ),
+            )
+
+        if dec == "race":
+            from .knn_routing import bucket_key, routed
+
+            d, i = routed(
+                bucket_key(query.shape[0], ref.shape[0], 1),
+                {
+                    "grid": _run_grid,
+                    "brute": lambda: _brute_knn(
+                        ref, query, 1, tile=tile, use_pallas=use_pallas
+                    ),
+                },
+            )
+        else:
+            d, i = _run_grid()
         return d[:, 0], i[:, 0]
     if _use_pallas(query.shape[1], ref.shape[0], 1, use_pallas):
         d, i = _pallas_chunked(ref, query, 1)
@@ -286,15 +334,31 @@ def knn_query(ref: jnp.ndarray, query: jnp.ndarray, k: int, tile: int = 8192,
     """k nearest neighbors of each query among ref (see _knn_query_impl);
     large query sets chunked like nn_query; Pallas kernel on TPU; very
     large untraced 3-D queries via the O(N) voxel grid."""
-    if _use_grid(ref, query, k):
+    dec = _grid_decision(ref, query, k)
+    if dec != "brute":
         from .grid_knn import knn_grid
 
-        return knn_grid(
-            ref, query, k,
-            brute=lambda r, q, kk: _brute_knn(
-                r, q, kk, tile=tile, use_pallas=use_pallas
-            ),
-        )
+        def _run_grid():
+            return knn_grid(
+                ref, query, k,
+                brute=lambda r, q, kk: _brute_knn(
+                    r, q, kk, tile=tile, use_pallas=use_pallas
+                ),
+            )
+
+        if dec == "race":
+            from .knn_routing import bucket_key, routed
+
+            return routed(
+                bucket_key(query.shape[0], ref.shape[0], k),
+                {
+                    "grid": _run_grid,
+                    "brute": lambda: _brute_knn(
+                        ref, query, k, tile=tile, use_pallas=use_pallas
+                    ),
+                },
+            )
+        return _run_grid()
     return _brute_knn(ref, query, k, tile=tile, use_pallas=use_pallas)
 
 

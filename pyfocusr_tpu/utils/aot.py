@@ -32,7 +32,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["export_registration", "load_registration"]
+__all__ = [
+    "export_registration",
+    "load_registration",
+    "export_registration_exec",
+    "load_registration_exec",
+]
 
 
 def _meta_path(path: str) -> str:
@@ -191,5 +196,136 @@ def load_registration(path: str, cfg=None, target=None, source=None):
 
     def runner(target, source, key):
         return exp.call(target, source, key)
+
+    return runner
+
+
+def export_registration_exec(cfg, target_example, source_example,
+                             path: str) -> str:
+    """Serialize the fully-COMPILED registration executable to ``path``
+    (``jax.experimental.serialize_executable``) — the zero-compile serving
+    format.
+
+    Unlike :func:`export_registration` (StableHLO, portable across
+    processes but re-COMPILED on every load — measured 45 s per fresh
+    process at 15k on the remote v5e), this pickles the XLA executable
+    itself: a fresh process deserializes in ~1.6 s and runs immediately
+    (first call ~7 s on the remote tunnel — the device-side executable
+    upload — then steady state).  The artifact is pinned to the exact
+    (device kind, jaxlib version); the sidecar records both and
+    :func:`load_registration_exec` rejects mismatches.  Use this for
+    same-fleet serving; use the StableHLO format for portability.
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable as _se
+
+    from ..pipeline import (
+        _SPLIT_SPECTRA_N,
+        _cfg_fingerprint,
+        _check_padding_hazards,
+        _register_pair_jit,
+    )
+
+    n_max = max(target_example.n_points, source_example.n_points)
+    if _SPLIT_SPECTRA_N > 0 and n_max >= _SPLIT_SPECTRA_N:
+        raise ValueError(
+            "export_registration_exec serializes the fused single-program "
+            f"pipeline; at {n_max} vertices the split-spectra path is "
+            "~3.4x faster — serve large pairs through register_pair"
+        )
+    _check_padding_hazards(target_example, source_example, cfg)
+    fn = jax.jit(lambda tg, sg, key: _register_pair_jit(tg, sg, cfg, key))
+    # Commit the example inputs to ONE device: on multi-device hosts an
+    # uncommitted input can lower as replicated-across-all-devices, and
+    # the serialized executable would then demand N-sharded inputs at
+    # serve time ("expected args ... to have 8 shards").
+    dev = jax.devices()[0]
+    compiled = fn.lower(
+        jax.device_put(target_example, dev),
+        jax.device_put(source_example, dev),
+        jax.device_put(jax.random.PRNGKey(0), dev),
+    ).compile()
+    payload, in_tree, out_tree = _se.serialize(compiled)
+    blob = pickle.dumps((payload, in_tree, out_tree))
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    meta = {
+        "format": "executable",
+        "cfg_fingerprint": _cfg_fingerprint(cfg),
+        "target": _shape_sig(target_example),
+        "source": _shape_sig(source_example),
+        "platform": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "jax_version": jax.__version__,
+    }
+    tmpm = f"{_meta_path(path)}.tmp.{os.getpid()}"
+    with open(tmpm, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmpm, _meta_path(path))
+    return path
+
+
+def load_registration_exec(path: str, cfg=None, target=None, source=None):
+    """Load an executable-format artifact (see
+    :func:`export_registration_exec`); returns the same
+    ``runner(target, source, key)`` contract as :func:`load_registration`.
+    Validates the sidecar (config fingerprint, shapes, device kind, jax
+    version) when present."""
+    import pickle
+
+    from jax.experimental import serialize_executable as _se
+
+    mp = _meta_path(path)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            meta = json.load(f)
+        if cfg is not None:
+            from ..pipeline import _cfg_fingerprint
+
+            if meta.get("cfg_fingerprint") != _cfg_fingerprint(cfg):
+                raise ValueError(
+                    f"AOT executable {path} was exported under a different "
+                    "PipelineConfig; re-export"
+                )
+        for name, g in (("target", target), ("source", source)):
+            if g is not None and meta.get(name) != _shape_sig(g):
+                raise ValueError(
+                    f"AOT executable {path} was exported for {name} shapes "
+                    f"{meta.get(name)} but got {_shape_sig(g)}; re-export"
+                )
+        kind = jax.devices()[0].device_kind
+        if meta.get("device_kind") not in (None, kind):
+            raise ValueError(
+                f"AOT executable {path} targets device kind "
+                f"{meta.get('device_kind')!r} but this host has {kind!r}; "
+                "re-export (executables are device-pinned — use the "
+                "StableHLO format for portability)"
+            )
+        if meta.get("jax_version") not in (None, jax.__version__):
+            raise ValueError(
+                f"AOT executable {path} was serialized under jax "
+                f"{meta.get('jax_version')} but this is {jax.__version__}; "
+                "re-export"
+            )
+    with open(path, "rb") as f:
+        payload, in_tree, out_tree = pickle.loads(f.read())
+    dev = jax.devices()[0]
+    # Pin execution to ONE device: the default rebinds the executable to
+    # every local device ("expected args ... to have 8 shards" on
+    # multi-device hosts), but the program was compiled single-device.
+    loaded = _se.deserialize_and_load(
+        payload, in_tree, out_tree, execution_devices=[dev]
+    )
+
+    def runner(target, source, key):
+        # Committed single-device inputs, matching the export-side pin.
+        return loaded(
+            jax.device_put(target, dev),
+            jax.device_put(source, dev),
+            jax.device_put(key, dev),
+        )
 
     return runner

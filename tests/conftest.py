@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+# Persistent-cache WRITES are disabled during tests (reads stay on): this
+# jaxlib's XLA:CPU `executable.serialize()` segfaults deterministically
+# late in long-lived processes (ROADMAP "Infrastructure"; observed killing
+# the default suite at the first new-program compile after ~10 min).
+# `make test` pre-populates the cache via tools/warm_test_cache.py — a
+# short-lived process that sets PYFOCUSR_TPU_CACHE_WRITES=1 to opt back in.
+if os.environ.get("PYFOCUSR_TPU_CACHE_WRITES") != "1":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

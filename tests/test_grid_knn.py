@@ -4,6 +4,9 @@ large untraced 3-D queries — every contract detail (tie rule, masked
 rows, missing neighbors, out-of-bbox queries) must match the brute path
 it replaces (SURVEY §2.3 cKDTree row)."""
 
+import json
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -205,3 +208,100 @@ class TestGridKNN:
         d, i = f(jnp.asarray(r), jnp.asarray(q))
         db, ib = _brute_knn(jnp.asarray(r), jnp.asarray(q), 3)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ib))
+
+
+class TestMeasuredRouting:
+    """Race-once-per-bucket planner (ops/knn_routing.py, VERDICT r3 #5):
+    inside the ambiguous pair-count band both paths run once, get timed,
+    and the winner is persisted per device kind."""
+
+    def _mk(self, n, nq, seed):
+        rng = np.random.default_rng(seed)
+        r = _surface_cloud(n, seed)
+        q = _surface_cloud(nq, seed + 1)
+        return jnp.asarray(r), jnp.asarray(q)
+
+    def test_race_records_winner_and_reuses_it(self, tmp_path, monkeypatch):
+        import pyfocusr_tpu.ops.knn_routing as kr
+        from pyfocusr_tpu.ops.knn import knn_query
+
+        monkeypatch.setenv("PYFOCUSR_TPU_CAL_DIR", str(tmp_path))
+        # Shrink the band so a small query lands inside it: 4000*1000 =
+        # 4e6 pairs; band = [1e6, 1e12).
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "1e6")
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS", "1e12")
+        kr._MEM.clear()
+
+        r, q = self._mk(4000, 1000, 3)
+        d1, i1 = knn_query(r, q, 3)
+        path = kr.cache_file()
+        assert os.path.dirname(path) == str(tmp_path)
+        with open(path) as f:
+            cache = json.load(f)
+        bucket = kr.bucket_key(1000, 4000, 3)
+        assert cache[bucket]["winner"] in ("grid", "brute")
+        assert set(cache[bucket]["times_s"]) == {"grid", "brute"}
+
+        # Second call must NOT re-race: only the recorded winner runs.
+        calls = []
+        orig = kr.routed
+
+        def spy(bucket_, runners):
+            calls.append(sorted(runners))
+            return orig(bucket_, runners)
+
+        monkeypatch.setattr(kr, "routed", spy)
+        d2, i2 = knn_query(r, q, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        assert calls == [["brute", "grid"]]  # routed() consulted the cache
+
+        # The cached decision survives a fresh in-memory state (process
+        # restart simulation).
+        kr._MEM.clear()
+        d3, i3 = knn_query(r, q, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+        with open(path) as f:
+            assert json.load(f) == cache  # no re-race, no rewrite churn
+
+    def test_static_bounds_bypass_race(self, tmp_path, monkeypatch):
+        import pyfocusr_tpu.ops.knn_routing as kr
+        from pyfocusr_tpu.ops.knn import _grid_decision
+
+        monkeypatch.setenv("PYFOCUSR_TPU_CAL_DIR", str(tmp_path))
+        r, q = self._mk(2000, 500, 11)
+        # Below min: brute, no race, no cache file.
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "1e9")
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS", "1e10")
+        assert _grid_decision(r, q, 1) == "brute"
+        # Above sure: grid directly.
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "1e3")
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS", "1e4")
+        assert _grid_decision(r, q, 1) == "grid"
+        # Between: race.
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "1e3")
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS", "1e12")
+        assert _grid_decision(r, q, 1) == "race"
+        # MIN == SURE recovers a pure static threshold (no race band).
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS", "1e6")
+        monkeypatch.setenv("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS", "1e6")
+        assert _grid_decision(r, q, 1) == "grid"
+        assert not os.path.exists(kr.cache_file())
+
+    def test_unwritable_cache_dir_still_works(self, tmp_path, monkeypatch):
+        import pyfocusr_tpu.ops.knn_routing as kr
+
+        # A cache dir nested under a regular FILE cannot be created.
+        blocker = tmp_path / "blocker"
+        blocker.write_text("x")
+        monkeypatch.setenv(
+            "PYFOCUSR_TPU_CAL_DIR", str(blocker / "sub")
+        )
+        kr._MEM.clear()
+        out = kr.routed("bkt", {"a": lambda: jnp.ones(3),
+                                "b": lambda: jnp.zeros(3)})
+        assert out.shape == (3,)
+        # In-memory cache prevents a second race even without the file.
+        seen = []
+        out2 = kr.routed("bkt", {"a": lambda: (seen.append("a"), jnp.ones(3))[1],
+                                 "b": lambda: (seen.append("b"), jnp.zeros(3))[1]})
+        assert len(seen) == 1  # only the winner ran

@@ -313,3 +313,22 @@ def test_all_pairs_multi_axis_mesh_and_axis_validation():
         meshes, cfg, jax.random.PRNGKey(0), device_mesh=multi
     )
     assert np.asarray(corr).shape[:2] == (3, 3) and len(pair_index) == 6
+
+
+@pytest.mark.slow
+def test_all_pairs_pad_to_device_count():
+    """6 ordered pairs over an 8-device 'pairs' axis: the batch pads with
+    dummy pairs so every device is active (MULTICHIP r3: the old
+    divisibility guard left 2 of 8 idle), and results match unsharded."""
+    meshes = _tiny_cohort(3)
+    corr0, idx0, _ = register_all_pairs(meshes, TINY, jax.random.PRNGKey(4))
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("pairs",))
+    corr1, idx1, res = register_all_pairs(
+        meshes, TINY, jax.random.PRNGKey(4), device_mesh=mesh
+    )
+    assert idx0 == idx1 and len(idx1) == 6
+    # Results keep exactly the real pairs (padding dropped).
+    assert np.asarray(res["correspondences"]).shape[0] == 6
+    agree = (corr0 == corr1).mean()
+    assert agree > 0.95  # identical program, device-order reductions only

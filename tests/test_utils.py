@@ -230,3 +230,72 @@ def test_stage_timer_records_on_exception():
         with t.span("exploding"):
             raise RuntimeError("boom")
     assert "exploding" in t.totals()
+
+
+class TestAOTExecutableFormat:
+    """Executable-level AOT (round 4): the compiled XLA executable itself
+    round-trips through serialization — zero-compile serving (the
+    StableHLO format re-compiles per process; measured 45 s vs ~2 s at
+    15k on v5e)."""
+
+    def _mesh_pair_cfg(self):
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        import jax.numpy as jnp
+        from test_curvature_icp import make_sphere
+
+        from pyfocusr_tpu.mesh import TriMesh
+        from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+
+        pts, tris = make_sphere(n_theta=10, n_phi=20)
+        t = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
+        s = TriMesh(jnp.asarray(pts * 1.03, jnp.float32), jnp.asarray(tris))
+        cfg = PipelineConfig(
+            icp_iterations=5,
+            n_coords_spectral_ordering=100,
+            n_coords_spectral_registration=80,
+            non_rigid_max_iterations=5,
+            non_rigid_n_eigens=20,
+            graph_smoothing_iterations=5,
+            projection_smooth_iterations=1,
+            eig_cg_iters=40,
+        )
+        return mesh_to_graph_arrays(t), mesh_to_graph_arrays(s), cfg
+
+    def test_exec_roundtrip_and_validation(self, tmp_path):
+        import dataclasses
+
+        import jax
+
+        from pyfocusr_tpu.pipeline import register_pair
+        from pyfocusr_tpu.utils.aot import (
+            export_registration_exec,
+            load_registration_exec,
+        )
+
+        tg, sg, cfg = self._mesh_pair_cfg()
+        path = export_registration_exec(
+            cfg, tg, sg, str(tmp_path / "reg.jaxexec")
+        )
+        assert (tmp_path / "reg.jaxexec.meta.json").exists()
+        runner = load_registration_exec(path, cfg=cfg, target=tg, source=sg)
+        key = jax.random.PRNGKey(3)
+        out = runner(tg, sg, key)
+        ref = register_pair(tg, sg, cfg, key)
+        np.testing.assert_array_equal(
+            np.asarray(out["correspondences"]),
+            np.asarray(ref["correspondences"]),
+        )
+        # Validation: wrong config / wrong device kind are rejected.
+        with pytest.raises(ValueError, match="different PipelineConfig"):
+            load_registration_exec(
+                path, cfg=dataclasses.replace(cfg, non_rigid_beta=9.0)
+            )
+        import json as _json
+
+        meta = _json.loads((tmp_path / "reg.jaxexec.meta.json").read_text())
+        meta["device_kind"] = "TPU v9"
+        (tmp_path / "reg.jaxexec.meta.json").write_text(_json.dumps(meta))
+        with pytest.raises(ValueError, match="device kind"):
+            load_registration_exec(path)

@@ -115,6 +115,77 @@ def run_weighted():
     print(f"[5k/weighted] {time.time()-t0:.1f}s  unique {uniq}/5000  -> {out}")
 
 
+def run_weighted_ensemble(n_seeds: int = 5):
+    """Multi-seed oracle ENSEMBLE for the weighted config (VERDICT r3 task
+    #7): the weighted path is chaotic in exact-index terms (see
+    tests/test_golden_parity.py TestGoldenParityWeighted), so its gate is
+    calibrated statistically — n_seeds independent oracle realizations,
+    gated at ensemble mean +/- 3 sigma on the robust metrics instead of
+    the old 'within ~2x one seed's self-noise' margin.  Stores raw
+    correspondences + weighted_points per seed so the test derives any
+    calibration it needs."""
+    tgt_p, tgt_t, _ = read_vtk_polydata(f"{DATA}/target_mesh.vtk")
+    src_p, src_t, _ = read_vtk_polydata(f"{DATA}/source_mesh.vtk")
+    cfg = dict(NOTEBOOK_CONFIG, get_weighted_spectral_coords=True)
+    corrs, wpts = [], []
+    for seed in range(n_seeds):
+        cfg["seed"] = seed
+        t0 = time.time()
+        res = run_reference_pipeline(
+            tgt_p, tgt_t, src_p, src_t,
+            initial_correspondence_type="kd", **cfg,
+        )
+        corrs.append(np.asarray(res["correspondences"]))
+        wpts.append(np.asarray(res["weighted_points"]))
+        uniq = len(np.unique(corrs[-1]))
+        print(f"[5k/weighted seed {seed}] {time.time()-t0:.1f}s  "
+              f"unique {uniq}/5000", flush=True)
+    out = os.path.join(OUT_DIR, "reference_weighted_ensemble.npz")
+    np.savez_compressed(
+        out,
+        correspondences=np.stack(corrs),
+        weighted_points=np.stack(wpts).astype(np.float32),
+        seeds=np.arange(n_seeds),
+    )
+    print(f"ensemble -> {out}")
+
+
+def run_feature_e2e(seeds=(0, 1)):
+    """FULL feature-weighted 15k end-to-end goldens (VERDICT r3 task #4):
+    the bundled thickness scalar appended as a registration coordinate AND
+    weighted into the graph edges — the exact config bench.py's
+    features_15k measures — run through the oracle at TWO seeds so the
+    gate carries its own self-noise calibration.  Answers whether the
+    TPU path's unique fraction on this config is reference-equivalent."""
+    tgt_p, tgt_t, tgt_pd = read_vtk_polydata(f"{DATA}/target_mesh_15k.vtk")
+    src_p, src_t, src_pd = read_vtk_polydata(f"{DATA}/source_mesh_15k.vtk")
+    cfg = dict(
+        NOTEBOOK_CONFIG,
+        use_features_as_coords=True,
+        include_features_in_adj_matrix=True,
+        feature_smoothing_iterations=10,
+        target_features=tgt_pd["thickness_change_(mm)"],
+        source_features=src_pd["thickness_change_(mm)"],
+    )
+    for seed in seeds:
+        cfg["seed"] = seed
+        t0 = time.time()
+        res = run_reference_pipeline(
+            tgt_p, tgt_t, src_p, src_t,
+            initial_correspondence_type="kd", **cfg,
+        )
+        out = os.path.join(OUT_DIR, f"reference_golden_15k_features_s{seed}.npz")
+        np.savez_compressed(
+            out,
+            correspondences=np.asarray(res["correspondences"]),
+            weighted_points=np.asarray(res["weighted_points"], np.float32),
+        )
+        uniq = len(np.unique(res["correspondences"]))
+        n = len(res["correspondences"])
+        print(f"[15k/features seed {seed}] {time.time()-t0:.1f}s  "
+              f"unique {uniq}/{n} ({100.0*uniq/n:.1f}%)  -> {out}", flush=True)
+
+
 def run_variant(name, **extra):
     """Trimmed-config golden for one config-space variant (round-3: the
     fused pipeline must cover the whole reference config space, each corner
@@ -148,6 +219,8 @@ def main():
     )
     run_trimmed()
     run_weighted()
+    run_weighted_ensemble()
+    run_feature_e2e()
     # Config-space variant goldens (round 3): reverse eigsort reference,
     # feature-weighted graph (thickness scalar in adjacency + G matrix),
     # reversed ICP direction.

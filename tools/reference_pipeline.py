@@ -448,6 +448,8 @@ def run_reference_pipeline(
     include_features_in_adj_matrix=False,
     G_matrix_p_function="exp",
     feature_weights=None,
+    use_features_as_coords=False,
+    feature_smoothing_iterations=40,
 ):
     """The whole reference registration, seeded.  Returns a dict of every
     stage output the parity tests gate on."""
@@ -514,6 +516,28 @@ def run_reference_pipeline(
         wts = np.exp(-(w**2) / (2 * sigma**2))
         src_coords *= wts[None, :]
         tgt_coords *= wts[None, :]
+
+    # Extra-feature appending (focusr.py:218-269): graph-smooth each
+    # NORMALIZED node feature on its own mesh, min-max to [0, 1], rescale
+    # by the scalar ptp of that mesh's (possibly weighted) spectral
+    # coords, concatenate as extra registration dimensions.
+    if use_features_as_coords and target_features is not None:
+
+        def _extra_cols(coords, features, W):
+            feats = np.atleast_2d(np.asarray(features, np.float64))  # [K, N]
+            cols = []
+            for f in feats:
+                fn = norm_node_features_ref(f)
+                sm = mean_filter_ref(W, fn, feature_smoothing_iterations)
+                sm = sm - sm.min()
+                sm = sm / sm.max()
+                cols.append(np.ptp(coords) * sm)
+            return np.stack(cols, axis=1)
+
+        src_extra = _extra_cols(src_coords, source_features, W_s)
+        tgt_extra = _extra_cols(tgt_coords, target_features, W_t)
+        src_coords = np.concatenate([src_coords, src_extra], axis=1)
+        tgt_coords = np.concatenate([tgt_coords, tgt_extra], axis=1)
 
     # CPD: TARGET cloud moves onto SOURCE (X = source fixed; focusr.py:297-334).
     def reg_sample(n_points):
