@@ -206,6 +206,15 @@ class PipelineConfig:
     # bit-identical either way (the prepared block IS the fused block).
     eig_warm_start: bool = True
     eig_wide_chunks_warm: int = 2
+    # Per-chunk filter degree for WARM solves.  Residual headroom exists
+    # (measured on the synthetic 5k pair, cross-mesh seed: 2x33 ->
+    # 2.4e-5, 2x25 -> 5.8e-5 — still 5x under the 3e-4 safeguard; 2x20
+    # -> 3.7e-4 trips the top-up), but a measured TPU A/B found NO
+    # end-to-end gain from 25 (15k headline 0.195 vs 0.197 s,
+    # class-template 0.161 vs 0.171 s — the ~4.5 ms/solve theory is
+    # below the tunnel's session noise), so the default stays at the
+    # full degree; the knob remains for slower-varying deployments.
+    eig_wide_degree_warm: int = 33
     # Residual SAFEGUARD for the truncated warm schedule: after the
     # eig_wide_chunks_warm chunks, if the max wanted-mode residual exceeds
     # eig_warm_resid_tol * lam_max the solver runs up to (eig_wide_chunks -
@@ -268,6 +277,7 @@ class PipelineConfig:
             "eig_wide_degree",
             "eig_wide_chunks",
             "eig_wide_chunks_warm",
+            "eig_wide_degree_warm",
         ):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
@@ -457,7 +467,7 @@ def _masked_minmax_norm(vecs, mask):
 
 def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
               x0=None, return_block: bool = False, chunks: int = None,
-              extra_chunks: int = 0):
+              extra_chunks: int = 0, degree: int = None):
     """Laplacian spectrum of one mesh: k smallest nonzero eigenpairs,
     eigvecs min-max normalized to [-0.5, 0.5] (reference ``graph.py:228-257``).
 
@@ -558,7 +568,7 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
             out = chebyshev_eigpairs_wide(
                 matvec, null_basis, key, k,
                 block_width=cfg.eig_wide_block,
-                chunk_degree=cfg.eig_wide_degree,
+                chunk_degree=cfg.eig_wide_degree if degree is None else degree,
                 chunks=cfg.eig_wide_chunks if chunks is None else chunks,
                 subspace_mask=mask, lam_max_bound=lam_bound,
                 filter_op_factory=factory,
@@ -572,10 +582,11 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
             else:
                 lams, vecs_a, _ = out
         else:
-            if return_block or x0 is not None or chunks is not None:
+            if (return_block or x0 is not None or chunks is not None
+                    or degree is not None):
                 raise ValueError(
-                    "return_block/x0/chunks need the wide Chebyshev path "
-                    "(eig_method='chebyshev', n_points >= 2048)"
+                    "return_block/x0/chunks/degree need the wide Chebyshev "
+                    "path (eig_method='chebyshev', n_points >= 2048)"
                 )
             lams, vecs_a, _ = chebyshev_eigpairs(
                 matvec, null_basis, key, k,
@@ -587,10 +598,11 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
         vecs = vecs_a * s[:, None]
         vecs = vecs / jnp.linalg.norm(vecs, axis=0, keepdims=True)
     else:
-        if return_block or x0 is not None or chunks is not None:
+        if (return_block or x0 is not None or chunks is not None
+                or degree is not None):
             raise ValueError(
-                "return_block/x0/chunks need the wide Chebyshev path "
-                "(eig_method='chebyshev', n_points >= 2048)"
+                "return_block/x0/chunks/degree need the wide Chebyshev "
+                "path (eig_method='chebyshev', n_points >= 2048)"
             )
         lams, vecs, _ = smallest_nonzero_eigpairs(
             matvec, s, null_basis, k=k, key=key,
@@ -885,6 +897,7 @@ def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key,
                 extra_chunks=max(
                     cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
                 ),
+                degree=cfg.eig_wide_degree_warm,
             )
         else:
             lams, vecs, w, blk = _spectrum(
@@ -998,6 +1011,7 @@ def _prepare_source_jit(source: GraphArrays, cfg: PipelineConfig, key, x0=None):
             extra_chunks=max(
                 cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
             ),
+            degree=cfg.eig_wide_degree_warm,
         )
         return {"lams": lams, "vecs": vecs, "w": w}
     if want_block:
@@ -1129,7 +1143,8 @@ def _cfg_fingerprint(cfg: PipelineConfig) -> str:
     return repr(dataclasses.replace(cfg, **{
         name: fields[name].default
         for name in ("landmark_weight", "eig_warm_start",
-                     "eig_wide_chunks_warm", "eig_warm_resid_tol")
+                     "eig_wide_chunks_warm", "eig_wide_degree_warm",
+                     "eig_warm_resid_tol")
     }))
 
 
@@ -1282,6 +1297,7 @@ def _register_pair_jit(
                 extra_chunks=max(
                     cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
                 ),
+                degree=cfg.eig_wide_degree_warm,
             )
         elif (warm_ok and warm_block is not None
               and not (cfg.icp_register_first
@@ -1299,6 +1315,7 @@ def _register_pair_jit(
                 extra_chunks=max(
                     cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
                 ),
+                degree=cfg.eig_wide_degree_warm,
             )
         elif warm_ok and pre_src is None:
             # Both spectra inline: keep the target's filtered block to seed
@@ -1322,6 +1339,7 @@ def _register_pair_jit(
                 extra_chunks=max(
                     cfg.eig_wide_chunks - cfg.eig_wide_chunks_warm, 0
                 ),
+                degree=cfg.eig_wide_degree_warm,
             )
         else:
             lams_s, vecs_s, w_s = _spectrum(source, k_total, keys[1], cfg)

@@ -74,6 +74,9 @@ def main() -> int:
     # Prepend a backend guard so a TPU-pinned env (JAX_PLATFORMS=axon)
     # cannot leak into the CI run.
     nb.cells.insert(0, nbformat.v4.new_code_cell(
+        # Repo path first: locally the package may not be pip-installed
+        # (CI does `pip install -e .`, but the tool must work both ways).
+        f"import sys; sys.path.insert(0, {ROOT!r})\n"
         "import jax\n"
         "try:\n"
         "    jax.config.update('jax_platforms', 'cpu')\n"
