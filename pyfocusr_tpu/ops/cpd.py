@@ -219,6 +219,21 @@ def low_rank_gaussian(Y, beta, num_eig: int, key):
             return gaussian_matvec_tiled(Y, beta, V)
 
     p = min(num_eig + 16, M)
+
+    # NEGATIVE RESULT (round 4): replacing these Householder QRs (serial
+    # on TPU, ~10 ms per [1000, 116] pass — the profiler shows this
+    # stage at ~35 ms, ~18% of the 15k headline) with SVQB-style Gram
+    # orthonormalization does NOT work here.  The Gaussian Gram collapses
+    # the block to condition ~1e5+, which SQUARES to ~1e10+ in the
+    # [p, p] Gram — beyond f32: single SVQB corrupts the small-eigenvalue
+    # tail 1.1x (the tail carries warp detail, see the num_eig note
+    # below), double SVQB still misses 3% tolerance, and clamp-instead-
+    # of-zero hybrids with a final QR get within 6% on 2/40 modes but
+    # degrade non-monotonically with extra passes (clamped noise
+    # directions don't re-sharpen predictably).  QR operates on V
+    # directly at condition ~1e5 (f32-representable) and is the only
+    # scheme that preserves the tail; the ~20 ms saving is not worth the
+    # documented ~6 mm parity cost of a corrupted tail.
     omega = jax.random.normal(key, (M, p), dtype=Y.dtype)
     Z = gmat(omega)
     Qb, _ = jnp.linalg.qr(Z)
