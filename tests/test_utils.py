@@ -236,64 +236,89 @@ class TestAOTExecutableFormat:
     """Executable-level AOT (round 4): the compiled XLA executable itself
     round-trips through serialization — zero-compile serving (the
     StableHLO format re-compiles per process; measured 45 s vs ~2 s at
-    15k on v5e)."""
+    15k on v5e).
 
-    def _mesh_pair_cfg(self):
+    The serialize/deserialize round-trip runs in a SUBPROCESS: this
+    jaxlib's XLA:CPU ``executable.serialize()`` / cache-deserialize pair
+    segfaults late in long-lived processes (the same upstream bug the
+    Makefile shards around), and this suite position is exactly that
+    regime.  Production serving is TPU, where the bug does not manifest.
+    Sidecar-REJECTION checks raise before any executable bytes are
+    touched and stay in-process."""
+
+    def _write_pair(self, tmp_path):
         import sys as _sys
 
         _sys.path.insert(0, __file__.rsplit("/", 1)[0])
         import jax.numpy as jnp
         from test_curvature_icp import make_sphere
 
-        from pyfocusr_tpu.mesh import TriMesh
-        from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays
+        from pyfocusr_tpu.mesh import TriMesh, save_mesh
 
         pts, tris = make_sphere(n_theta=10, n_phi=20)
-        t = TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris))
-        s = TriMesh(jnp.asarray(pts * 1.03, jnp.float32), jnp.asarray(tris))
-        cfg = PipelineConfig(
-            icp_iterations=5,
-            n_coords_spectral_ordering=100,
-            n_coords_spectral_registration=80,
-            non_rigid_max_iterations=5,
-            non_rigid_n_eigens=20,
-            graph_smoothing_iterations=5,
-            projection_smooth_iterations=1,
-            eig_cg_iters=40,
-        )
-        return mesh_to_graph_arrays(t), mesh_to_graph_arrays(s), cfg
+        save_mesh(str(tmp_path / "t.vtk"),
+                  TriMesh(jnp.asarray(pts, jnp.float32), jnp.asarray(tris)))
+        save_mesh(str(tmp_path / "s.vtk"),
+                  TriMesh(jnp.asarray(pts * 1.03, jnp.float32),
+                          jnp.asarray(tris)))
+
+    CFG = (
+        "PipelineConfig(icp_iterations=5, n_coords_spectral_ordering=100, "
+        "n_coords_spectral_registration=80, non_rigid_max_iterations=5, "
+        "non_rigid_n_eigens=20, graph_smoothing_iterations=5, "
+        "projection_smooth_iterations=1, eig_cg_iters=40)"
+    )
 
     def test_exec_roundtrip_and_validation(self, tmp_path):
+        import json as _json
+        import os as _os
+        import subprocess
+        import sys as _sys
+
+        self._write_pair(tmp_path)
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        code = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import sys; sys.path.insert(0, {repo!r})
+import numpy as np
+from pyfocusr_tpu.mesh import load_mesh
+from pyfocusr_tpu.pipeline import PipelineConfig, mesh_to_graph_arrays, register_pair
+from pyfocusr_tpu.utils.aot import export_registration_exec, load_registration_exec
+tg = mesh_to_graph_arrays(load_mesh({str(tmp_path / 't.vtk')!r}))
+sg = mesh_to_graph_arrays(load_mesh({str(tmp_path / 's.vtk')!r}))
+cfg = {self.CFG}
+path = export_registration_exec(cfg, tg, sg, {str(tmp_path / 'reg.jaxexec')!r})
+runner = load_registration_exec(path, cfg=cfg, target=tg, source=sg)
+key = jax.random.PRNGKey(3)
+out = runner(tg, sg, key)
+ref = register_pair(tg, sg, cfg, key)
+np.testing.assert_array_equal(np.asarray(out['correspondences']),
+                              np.asarray(ref['correspondences']))
+print('ROUNDTRIP_OK')
+"""
+        env = dict(_os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        assert "ROUNDTRIP_OK" in proc.stdout
+        assert (tmp_path / "reg.jaxexec.meta.json").exists()
+
+        # Sidecar rejections raise BEFORE any executable bytes are read —
+        # safe in-process.
         import dataclasses
 
-        import jax
+        from pyfocusr_tpu.pipeline import PipelineConfig
+        from pyfocusr_tpu.utils.aot import load_registration_exec
 
-        from pyfocusr_tpu.pipeline import register_pair
-        from pyfocusr_tpu.utils.aot import (
-            export_registration_exec,
-            load_registration_exec,
-        )
-
-        tg, sg, cfg = self._mesh_pair_cfg()
-        path = export_registration_exec(
-            cfg, tg, sg, str(tmp_path / "reg.jaxexec")
-        )
-        assert (tmp_path / "reg.jaxexec.meta.json").exists()
-        runner = load_registration_exec(path, cfg=cfg, target=tg, source=sg)
-        key = jax.random.PRNGKey(3)
-        out = runner(tg, sg, key)
-        ref = register_pair(tg, sg, cfg, key)
-        np.testing.assert_array_equal(
-            np.asarray(out["correspondences"]),
-            np.asarray(ref["correspondences"]),
-        )
-        # Validation: wrong config / wrong device kind are rejected.
+        cfg = eval(self.CFG)
+        path = str(tmp_path / "reg.jaxexec")
         with pytest.raises(ValueError, match="different PipelineConfig"):
             load_registration_exec(
                 path, cfg=dataclasses.replace(cfg, non_rigid_beta=9.0)
             )
-        import json as _json
-
         meta = _json.loads((tmp_path / "reg.jaxexec.meta.json").read_text())
         meta["device_kind"] = "TPU v9"
         (tmp_path / "reg.jaxexec.meta.json").write_text(_json.dumps(meta))
