@@ -241,11 +241,22 @@ def export_registration_exec(cfg, target_example, source_example,
     # the serialized executable would then demand N-sharded inputs at
     # serve time ("expected args ... to have 8 shards").
     dev = jax.devices()[0]
-    compiled = fn.lower(
-        jax.device_put(target_example, dev),
-        jax.device_put(source_example, dev),
-        jax.device_put(jax.random.PRNGKey(0), dev),
-    ).compile()
+    # Compile FRESH, never from the persistent cache: serializing an
+    # executable that was itself loaded from the compilation cache
+    # produces a payload that fails at execute time on this toolchain
+    # ("Buffer Definition Event: Function ... not found" on XLA:CPU).
+    # Export is a rare offline step; paying the full compile here keeps
+    # the artifact deterministic.
+    prev_cache = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        compiled = fn.lower(
+            jax.device_put(target_example, dev),
+            jax.device_put(source_example, dev),
+            jax.device_put(jax.random.PRNGKey(0), dev),
+        ).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev_cache)
     payload, in_tree, out_tree = _se.serialize(compiled)
     blob = pickle.dumps((payload, in_tree, out_tree))
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -273,7 +284,14 @@ def load_registration_exec(path: str, cfg=None, target=None, source=None):
     :func:`export_registration_exec`); returns the same
     ``runner(target, source, key)`` contract as :func:`load_registration`.
     Validates the sidecar (config fingerprint, shapes, device kind, jax
-    version) when present."""
+    version) when present.
+
+    XLA:CPU caveat (upstream, this toolchain): a process that mixes a
+    DESERIALIZED executable with persistent-cache-loaded executables can
+    fail at execute time ("Buffer Definition Event: Function ... not
+    found") — CPU serving processes should disable the compilation cache
+    (``jax.config.update('jax_enable_compilation_cache', False)``).  TPU
+    serving is unaffected (validated on v5e)."""
     import pickle
 
     from jax.experimental import serialize_executable as _se

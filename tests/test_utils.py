@@ -279,6 +279,12 @@ class TestAOTExecutableFormat:
         repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         code = f"""
 import jax; jax.config.update('jax_platforms', 'cpu')
+# Whole-process cache OFF: an XLA:CPU executable DESERIALIZED into a
+# process that also loads cache-hit executables fails at execute time
+# ("Buffer Definition Event: Function ... not found" — observed on the
+# second run, once the sibling register_pair program became a cache
+# hit).  TPU serving does not exhibit this; CPU tests sidestep it.
+jax.config.update('jax_enable_compilation_cache', False)
 import sys; sys.path.insert(0, {repo!r})
 import numpy as np
 from pyfocusr_tpu.mesh import load_mesh
