@@ -57,10 +57,12 @@ Measured (v5e, 960k x 960k noisy-sphere, warm): knn3 7.55 s brute ->
 ~122 s -> ~6.5 s.  Below the crossover the grid's ~1 s fixed cost
 (build + spacing probe + staged dispatches) loses to the brute kernel:
 at 300k x 300k it trails 1.00 vs 0.41 s (nn) and at 500k the two paths
-cross (knn3 1.70 vs 2.08 s, nn 1.49 vs 1.08) — hence knn.py's routing
-thresholds (~600k^2 pairs for k=1, half that for k >= 2).  Cell size
-1.25x the median d_k, run cap 12 (per-query max-run occupancy p99 = 9
-on the subdivided bone mesh).
+cross (knn3 1.70 vs 2.08 s, nn 1.49 vs 1.08).  Since round 4 the
+crossover band is settled by MEASUREMENT, not a constant: knn.py routes
+sure-win sizes statically and races both exact paths once per
+shape-class bucket in between, persisting the winner per device kind
+(ops/knn_routing.py).  Cell size 1.25x the median d_k, run cap 12
+(per-query max-run occupancy p99 = 9 on the subdivided bone mesh).
 """
 
 from __future__ import annotations
