@@ -627,6 +627,7 @@ def main(argv=None):
 
             save_prepared_target(args.save_prepared, prep, cfg, target=tg)
         summaries = []
+        aot_runner = None
         for src_path, src_stem in zip(args.source, _output_stems(args.source)):
             source = load_mesh(src_path)
             lm_pairs, lm_snap = None, None
@@ -759,12 +760,21 @@ def main(argv=None):
                         print(f"--aot: {exc}", file=sys.stderr)
                         return 2
                 try:
-                    # Re-validated per source: the artifact pins ONE source
-                    # shape class, so a differently-shaped source must fail
-                    # loudly, not crash inside the compiled call.
-                    aot_runner = _load(
-                        args.aot, cfg=cfg, target=tg, source=sg_arr
-                    )
+                    # Loaded ONCE; each further source pays only the
+                    # sidecar validation (the artifact pins one source
+                    # shape class, so a differently-shaped source must
+                    # fail loudly, not crash inside the compiled call) —
+                    # re-deserializing the multi-MB executable per source
+                    # would multiply exactly the startup cost --aot
+                    # exists to remove (review finding r4).
+                    if aot_runner is None:
+                        aot_runner = _load(
+                            args.aot, cfg=cfg, target=tg, source=sg_arr
+                        )
+                    else:
+                        _aot.validate_artifact(
+                            args.aot, cfg=cfg, target=tg, source=sg_arr
+                        )
                 except ValueError as exc:
                     print(f"--aot: {exc}", file=sys.stderr)
                     return 2

@@ -200,18 +200,23 @@ def _grid_decision(ref, query, k: int) -> str:
     if mode in ("on", "1", "force"):
         return "grid"
     scale = _backend_pair_scale()
+    min_env = os.environ.get("PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS")
+    sure_env = os.environ.get("PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS")
     min_pairs = float(
-        os.environ.get(
-            "PYFOCUSR_TPU_KNN_GRID_MIN_PAIRS",
-            _GRID_MIN_PAIRS_DEFAULT * scale,
-        )
+        min_env if min_env is not None else _GRID_MIN_PAIRS_DEFAULT * scale
     )
-    sure_pairs = float(
-        os.environ.get(
-            "PYFOCUSR_TPU_KNN_GRID_SURE_PAIRS",
-            _GRID_SURE_PAIRS_DEFAULT * scale,
-        )
-    )
+    if sure_env is not None:
+        sure_pairs = float(sure_env)
+    elif min_env is not None:
+        # Back-compat: before the race planner, MIN_PAIRS alone meant
+        # "grid at/above this".  A user who tuned it (typically because
+        # brute is slow on their backend) must not suddenly get races
+        # that EXECUTE the brute path; an explicit MIN without SURE
+        # recovers the old pure-threshold semantics.  Set SURE too to
+        # opt into a race band.
+        sure_pairs = min_pairs
+    else:
+        sure_pairs = _GRID_SURE_PAIRS_DEFAULT * scale
     if k > 1:
         min_pairs /= 2.0
         sure_pairs /= 2.0

@@ -60,10 +60,16 @@ def cache_file() -> str:
 
 def bucket_key(nq: int, nr: int, k: int) -> str:
     """Shape-class bucket: k-class (1 vs >=2 — brute cost grows with k,
-    grid cost is flat) x log2 of the pair count.  Factor-of-2 buckets
-    span the ~1.2e11..2e12 ambiguous band in ~5 buckets per class."""
+    grid cost is flat) x log2 of the pair count x log2 of the SMALLER
+    side.  Factor-of-2 buckets span the ~1.2e11..2e12 ambiguous band in
+    ~5 buckets per class; the min-side component keeps extreme aspect
+    ratios apart — grid cost scales with the REFERENCE size while brute
+    scales with the product, so a winner raced at 1e4 x 1e8 must not be
+    misapplied to 1e6 x 1e6 (review finding r4)."""
     pairs = max(float(nq) * float(nr), 1.0)
-    return f"k{1 if k == 1 else 'n'}_p{int(math.log2(pairs))}"
+    side = max(float(min(nq, nr)), 1.0)
+    return (f"k{1 if k == 1 else 'n'}_p{int(math.log2(pairs))}"
+            f"_m{int(math.log2(side))}")
 
 
 def _load(path: str) -> dict:

@@ -825,6 +825,19 @@ def register_pair(
     residual-gated top-up (``eig_warm_resid_tol``) self-heals when the
     template turns out to be a poor match."""
     _check_padding_hazards(target, source, cfg)
+    if warm_block is not None and not isinstance(
+        warm_block.get("points"), jax.core.Tracer
+    ):
+        # Same hand-built-dict hazard as warm_block_from_prepared guards:
+        # a block/points row mismatch would clamp-gather silently.
+        n_t, n_b = warm_block["points"].shape[0], warm_block["block"].shape[0]
+        if n_t != n_b or warm_block["valid_mask"].shape[0] != n_t:
+            raise ValueError(
+                f"warm_block is inconsistent: points has {n_t} rows, "
+                f"block {n_b}, valid_mask "
+                f"{warm_block['valid_mask'].shape[0]} — build it with "
+                "warm_block_from_prepared"
+            )
     pre = pre_src = None
     if _want_split(target, source):
         keys = jax.random.split(key, 8)
@@ -868,6 +881,15 @@ def warm_block_from_prepared(prep, template: GraphArrays):
         raise ValueError(
             "prepared state carries no filtered block — re-run "
             "prepare_target with eig_warm_start=True (wide-chebyshev path)"
+        )
+    if prep["block"].shape[0] != template.points.shape[0]:
+        # jax gather CLAMPS out-of-range rows silently, so a mismatched
+        # prep/template pair would corrupt the warm seed instead of
+        # erroring (review finding r4).
+        raise ValueError(
+            f"prepared block has {prep['block'].shape[0]} rows but the "
+            f"template mesh has {template.points.shape[0]} vertices — "
+            "the prepared state belongs to a different mesh"
         )
     return {
         "points": template.points,

@@ -37,6 +37,7 @@ __all__ = [
     "load_registration",
     "export_registration_exec",
     "load_registration_exec",
+    "validate_artifact",
 ]
 
 
@@ -76,6 +77,64 @@ def _specs_like(tree):
     return jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree
     )
+
+
+def _program_fingerprint(cfg) -> str:
+    """Config fingerprint for AOT artifacts — the FULL config modulo
+    ``landmark_weight`` only.  ``pipeline._cfg_fingerprint`` additionally
+    normalizes the eig warm-start knobs, which is correct for PREPARED
+    STATE (they don't change the prepared spectrum) but wrong here: they
+    change the compiled ``_register_pair_jit`` program baked into the
+    artifact (review finding r4), and the exported program also carries
+    no landmarks, so landmark_weight is the one genuinely dead knob."""
+    import dataclasses
+
+    from ..pipeline import PipelineConfig
+
+    default_w = PipelineConfig.__dataclass_fields__["landmark_weight"].default
+    return repr(dataclasses.replace(cfg, landmark_weight=default_w))
+
+
+def validate_artifact(path: str, cfg=None, target=None, source=None) -> None:
+    """Validate an artifact's sidecar metadata against the given config /
+    graph shapes (and, for executable-format sidecars, this host's device
+    kind + jax version) WITHOUT touching the artifact bytes.  Raises
+    ``ValueError`` on mismatch; sidecar-less artifacts skip validation.
+    Shared by both loaders and by callers that hold a loaded runner and
+    only need to re-check a new input (e.g. the CLI's per-source loop)."""
+    mp = _meta_path(path)
+    if not os.path.exists(mp):
+        return
+    with open(mp) as f:
+        meta = json.load(f)
+    if cfg is not None and meta.get("cfg_fingerprint") != _program_fingerprint(cfg):
+        raise ValueError(
+            f"AOT artifact {path} was exported under a different "
+            "PipelineConfig; re-export (delete the artifact or pass a "
+            "matching config)"
+        )
+    for name, g in (("target", target), ("source", source)):
+        if g is not None and meta.get(name) != _shape_sig(g):
+            raise ValueError(
+                f"AOT artifact {path} was exported for {name} shapes "
+                f"{meta.get(name)} but got {_shape_sig(g)}; re-export "
+                "for this shape class"
+            )
+    if meta.get("format") == "executable":
+        kind = jax.devices()[0].device_kind
+        if meta.get("device_kind") not in (None, kind):
+            raise ValueError(
+                f"AOT executable {path} targets device kind "
+                f"{meta.get('device_kind')!r} but this host has {kind!r}; "
+                "re-export (executables are device-pinned — use the "
+                "StableHLO format for portability)"
+            )
+        if meta.get("jax_version") not in (None, jax.__version__):
+            raise ValueError(
+                f"AOT executable {path} was serialized under jax "
+                f"{meta.get('jax_version')} but this is {jax.__version__}; "
+                "re-export"
+            )
 
 
 def export_registration(cfg, target_example, source_example, path: str) -> str:
@@ -133,10 +192,8 @@ def export_registration(cfg, target_example, source_example, path: str) -> str:
     # Sidecar metadata: the artifact itself carries no record of the config
     # or shapes it was exported under; the sidecar lets load_registration
     # fail loudly instead of serving a stale program on mismatched inputs.
-    from ..pipeline import _cfg_fingerprint
-
     meta = {
-        "cfg_fingerprint": _cfg_fingerprint(cfg),
+        "cfg_fingerprint": _program_fingerprint(cfg),
         "target": _shape_sig(target_example),
         "source": _shape_sig(source_example),
         "platform": jax.default_backend(),
@@ -159,27 +216,7 @@ def load_registration(path: str, cfg=None, target=None, source=None):
     silently run a program exported under a different config or shape
     class.  Sidecar-less artifacts (pre-metadata exports) skip validation."""
     _ensure_serializable()
-    mp = _meta_path(path)
-    if os.path.exists(mp) and (cfg is not None or target is not None
-                               or source is not None):
-        with open(mp) as f:
-            meta = json.load(f)
-        if cfg is not None:
-            from ..pipeline import _cfg_fingerprint
-
-            if meta.get("cfg_fingerprint") != _cfg_fingerprint(cfg):
-                raise ValueError(
-                    f"AOT artifact {path} was exported under a different "
-                    "PipelineConfig; re-export (delete the artifact or "
-                    "pass a matching config)"
-                )
-        for name, g in (("target", target), ("source", source)):
-            if g is not None and meta.get(name) != _shape_sig(g):
-                raise ValueError(
-                    f"AOT artifact {path} was exported for {name} shapes "
-                    f"{meta.get(name)} but got {_shape_sig(g)}; re-export "
-                    "for this shape class"
-                )
+    validate_artifact(path, cfg=cfg, target=target, source=source)
     if jax.default_backend() == "cpu":
         # XLA:CPU jaxlib hazard (bisected on this toolchain): executing a
         # DESERIALIZED exported program whose LAPACK custom calls (eigh /
@@ -222,7 +259,6 @@ def export_registration_exec(cfg, target_example, source_example,
 
     from ..pipeline import (
         _SPLIT_SPECTRA_N,
-        _cfg_fingerprint,
         _check_padding_hazards,
         _register_pair_jit,
     )
@@ -265,7 +301,7 @@ def export_registration_exec(cfg, target_example, source_example,
     os.replace(tmp, path)
     meta = {
         "format": "executable",
-        "cfg_fingerprint": _cfg_fingerprint(cfg),
+        "cfg_fingerprint": _program_fingerprint(cfg),
         "target": _shape_sig(target_example),
         "source": _shape_sig(source_example),
         "platform": jax.default_backend(),
@@ -296,38 +332,7 @@ def load_registration_exec(path: str, cfg=None, target=None, source=None):
 
     from jax.experimental import serialize_executable as _se
 
-    mp = _meta_path(path)
-    if os.path.exists(mp):
-        with open(mp) as f:
-            meta = json.load(f)
-        if cfg is not None:
-            from ..pipeline import _cfg_fingerprint
-
-            if meta.get("cfg_fingerprint") != _cfg_fingerprint(cfg):
-                raise ValueError(
-                    f"AOT executable {path} was exported under a different "
-                    "PipelineConfig; re-export"
-                )
-        for name, g in (("target", target), ("source", source)):
-            if g is not None and meta.get(name) != _shape_sig(g):
-                raise ValueError(
-                    f"AOT executable {path} was exported for {name} shapes "
-                    f"{meta.get(name)} but got {_shape_sig(g)}; re-export"
-                )
-        kind = jax.devices()[0].device_kind
-        if meta.get("device_kind") not in (None, kind):
-            raise ValueError(
-                f"AOT executable {path} targets device kind "
-                f"{meta.get('device_kind')!r} but this host has {kind!r}; "
-                "re-export (executables are device-pinned — use the "
-                "StableHLO format for portability)"
-            )
-        if meta.get("jax_version") not in (None, jax.__version__):
-            raise ValueError(
-                f"AOT executable {path} was serialized under jax "
-                f"{meta.get('jax_version')} but this is {jax.__version__}; "
-                "re-export"
-            )
+    validate_artifact(path, cfg=cfg, target=target, source=source)
     with open(path, "rb") as f:
         payload, in_tree, out_tree = pickle.loads(f.read())
     dev = jax.devices()[0]
