@@ -37,6 +37,8 @@ def iter_module_names() -> list[str]:
     for info in pkgutil.walk_packages(
         pyfocusr_tpu.__path__, prefix="pyfocusr_tpu."
     ):
+        if info.name.endswith("._native"):
+            continue  # the C++ shared object is not an importable module
         names.append(info.name)
     return names
 
