@@ -23,6 +23,13 @@ it to re-calibrate (e.g. after a toolchain upgrade).  Both paths are
 exact (grid rows are certified with brute fallback — grid_knn.py), so
 racing is purely a performance decision and the two results are
 interchangeable.
+
+Determinism note: at exactly-equidistant points the brute and grid paths
+may break NN-index ties differently, so which *index* a tied query
+returns can depend on the recorded winner — i.e. on the host's cache
+state.  Distances (and everything derived from them) are identical
+either way; pin the cache file (or delete it and let one process race)
+when bit-identical indices across hosts matter.
 """
 
 from __future__ import annotations
@@ -59,16 +66,19 @@ def cache_file() -> str:
 
 
 def bucket_key(nq: int, nr: int, k: int) -> str:
-    """Shape-class bucket: k-class (1 vs >=2 — brute cost grows with k,
-    grid cost is flat) x log2 of the pair count x log2 of the SMALLER
-    side.  Factor-of-2 buckets span the ~1.2e11..2e12 ambiguous band in
-    ~5 buckets per class; the min-side component keeps extreme aspect
-    ratios apart — grid cost scales with the REFERENCE size while brute
-    scales with the product, so a winner raced at 1e4 x 1e8 must not be
-    misapplied to 1e6 x 1e6 (review finding r4)."""
+    """Shape-class bucket: log2 k-class x log2 of the pair count x log2
+    of the SMALLER side.  Factor-of-2 buckets span the ~1.2e11..2e12
+    ambiguous band in ~5 buckets per class; the min-side component keeps
+    extreme aspect ratios apart — grid cost scales with the REFERENCE
+    size while brute scales with the product, so a winner raced at
+    1e4 x 1e8 must not be misapplied to 1e6 x 1e6 (review finding r4).
+    The k-class is log2-bucketed rather than the earlier 1-vs->=2 split:
+    brute cost grows ~linearly with k while grid cost is flat, so a
+    'brute' winner raced at k=2 must not be reused at k=8 (advisor
+    finding r4 — perf-only, both paths are exact)."""
     pairs = max(float(nq) * float(nr), 1.0)
     side = max(float(min(nq, nr)), 1.0)
-    return (f"k{1 if k == 1 else 'n'}_p{int(math.log2(pairs))}"
+    return (f"k{int(math.log2(max(k, 1)))}_p{int(math.log2(pairs))}"
             f"_m{int(math.log2(side))}")
 
 
@@ -88,15 +98,32 @@ def _load(path: str) -> dict:
 
 
 def _store(path: str, data: dict) -> None:
-    _MEM[path] = data
+    """Persist ``data``, merging with whatever is on disk right now:
+    two processes racing DIFFERENT buckets concurrently each write their
+    own snapshot, and without the merge the last writer would drop the
+    other's entry (advisor finding r4 — the loser only re-races later,
+    so the cost was wasted work, not wrong results).  The merge prefers
+    our own entries on key collision (same bucket raced twice: either
+    winner is valid — see the tie-break note below)."""
     try:
+        disk = {}
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+            if not isinstance(disk, dict):
+                disk = {}
+        except (OSError, ValueError):
+            disk = {}
+        data = {**disk, **data}
+        _MEM[path] = data
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
     except OSError:
-        pass  # unwritable cache dir: the in-memory copy still avoids re-races
+        _MEM[path] = data
+        # unwritable cache dir: the in-memory copy still avoids re-races
 
 
 def routed(bucket: str, runners: dict):

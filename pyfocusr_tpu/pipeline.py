@@ -829,7 +829,16 @@ def register_pair(
         warm_block.get("points"), jax.core.Tracer
     ):
         # Same hand-built-dict hazard as warm_block_from_prepared guards:
-        # a block/points row mismatch would clamp-gather silently.
+        # a block/points row mismatch would clamp-gather silently.  Check
+        # key presence first so a hand-built dict missing one raises the
+        # same guided error, not a bare KeyError (advisor finding r4).
+        missing = [k for k in ("points", "block", "valid_mask")
+                   if k not in warm_block]
+        if missing:
+            raise ValueError(
+                f"warm_block is missing key(s) {missing}: build it with "
+                "warm_block_from_prepared"
+            )
         n_t, n_b = warm_block["points"].shape[0], warm_block["block"].shape[0]
         if n_t != n_b or warm_block["valid_mask"].shape[0] != n_t:
             raise ValueError(
@@ -1143,31 +1152,82 @@ def _graph_fingerprint(graph: GraphArrays) -> str:
     return h.hexdigest()
 
 
+# Knobs that never change the prepared state itself, excluded from the
+# fingerprint so saves remain loadable across them:
+#
+# * ``landmark_weight`` — a per-run CPD prior knob that never enters
+#   :func:`prepare_target`'s spectrum or smoothing (the CLI passes
+#   --landmark-weight per invocation);
+# * ``eig_warm_start`` / ``eig_wide_chunks_warm`` / ``eig_wide_degree_warm``
+#   / ``eig_warm_resid_tol`` — they decide whether the filtered block is
+#   ATTACHED to the prepared state and how a warm PAIR solve consumes it,
+#   not the prepared spectrum/smoothing values (gated by
+#   test_spectrum_warm_start_block).  A state saved without the block loads
+#   fine under eig_warm_start=True (the pair solve just runs cold).
+_FP_SKIP = frozenset((
+    "landmark_weight", "eig_warm_start", "eig_wide_chunks_warm",
+    "eig_wide_degree_warm", "eig_warm_resid_tol",
+))
+
+
 def _cfg_fingerprint(cfg: PipelineConfig) -> str:
     """Canonical config string for prepared-state fingerprints.
 
-    Knobs that never change the prepared state itself are normalized to
-    their defaults so saves remain loadable across them:
+    Only fields that DIFFER from their defaults appear (sorted by name),
+    so adding a new PipelineConfig knob — normalized to its default —
+    does not change existing fingerprints and persisted templates stay
+    loadable across upgrades.  Fields in ``_FP_SKIP`` are excluded
+    entirely (see the comment above).  Saves written by older versions
+    carry the previous format (the full dataclass ``repr``);
+    :func:`load_prepared_target` accepts those via
+    :func:`_fingerprint_matches`, which parses and reduces both sides to
+    this canonical form before comparing."""
+    fields = PipelineConfig.__dataclass_fields__
+    parts = [
+        f"{name}={getattr(cfg, name)!r}"
+        for name in sorted(fields)
+        if name not in _FP_SKIP and getattr(cfg, name) != fields[name].default
+    ]
+    return "PipelineConfig(" + ", ".join(parts) + ")"
 
-    * ``landmark_weight`` — a per-run CPD prior knob that never enters
-      :func:`prepare_target`'s spectrum or smoothing (the CLI passes
-      --landmark-weight per invocation);
-    * ``eig_warm_start`` / ``eig_wide_chunks_warm`` /
-      ``eig_warm_resid_tol`` — they decide whether the filtered block is
-      ATTACHED to the prepared state and how a warm PAIR solve consumes
-      it, not the prepared spectrum/smoothing values (gated by
-      test_spectrum_warm_start_block).  A state saved without the block
-      loads fine under eig_warm_start=True (the pair solve just runs
-      cold), and pre-warm-start-era saves stay loadable."""
-    import dataclasses
+
+def _fingerprint_matches(stored: str, cfg: PipelineConfig) -> bool:
+    """True when a stored fingerprint denotes the same prepared state as
+    ``cfg``.  Fast path: exact match against the canonical form.  Slow
+    path (legacy saves): parse the stored string as ``name=literal``
+    keywords and reduce it the same way — skip ``_FP_SKIP`` fields and
+    drop fields sitting at their current defaults — so full-``repr``-era
+    fingerprints (which baked in every field and thus broke whenever a
+    knob was added) keep matching.  A field name the current
+    PipelineConfig does not define mismatches conservatively (its
+    default is unknowable)."""
+    if stored == _cfg_fingerprint(cfg):
+        return True
+    import ast
 
     fields = PipelineConfig.__dataclass_fields__
-    return repr(dataclasses.replace(cfg, **{
-        name: fields[name].default
-        for name in ("landmark_weight", "eig_warm_start",
-                     "eig_wide_chunks_warm", "eig_wide_degree_warm",
-                     "eig_warm_resid_tol")
-    }))
+    try:
+        call = ast.parse(stored.strip(), mode="eval").body
+        if not isinstance(call, ast.Call) or any(
+            kw.arg is None for kw in call.keywords
+        ):
+            return False
+        kept = {}
+        for kw in call.keywords:
+            val = ast.literal_eval(kw.value)
+            if kw.arg in _FP_SKIP:
+                continue
+            if kw.arg in fields and val == fields[kw.arg].default:
+                continue
+            kept[kw.arg] = val
+    except (SyntaxError, ValueError):
+        return False
+    current = {
+        name: getattr(cfg, name)
+        for name in fields
+        if name not in _FP_SKIP and getattr(cfg, name) != fields[name].default
+    }
+    return kept == current
 
 
 def save_prepared_target(
@@ -1208,7 +1268,7 @@ def load_prepared_target(
     flat = load_results(path)
     if cfg is not None and "['cfg_fingerprint']" in flat:
         stored = bytes(flat["['cfg_fingerprint']"]).decode()
-        if stored != _cfg_fingerprint(cfg):
+        if not _fingerprint_matches(stored, cfg):
             raise ValueError(
                 "prepared-target state was saved under a different "
                 "PipelineConfig; re-run prepare_target (stored: "

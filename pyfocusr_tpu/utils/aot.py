@@ -22,6 +22,18 @@ Usage:
 
 The CLI ``warmup`` command uses the same machinery to pre-populate the
 compile cache for a list of mesh sizes (see cli.py).
+
+.. warning:: **Trust boundary.**  The executable format
+   (``export_registration_exec`` / ``load_registration_exec``,
+   conventionally ``.jaxexec``) is a *pickle* payload: loading one
+   executes arbitrary code embedded in the file.  Only load ``.jaxexec``
+   artifacts you exported yourself or received over a channel you trust
+   end-to-end (same fleet, authenticated storage).  A magic header is
+   checked before unpickling so a swapped/corrupt file fails fast, but
+   the header is no integrity protection — an attacker who can write the
+   artifact can write the header.  For artifacts crossing a trust
+   boundary use the **StableHLO format** (``export_registration`` /
+   ``load_registration``): it deserializes declarative IR, not pickle.
 """
 
 from __future__ import annotations
@@ -43,6 +55,15 @@ __all__ = [
 
 def _meta_path(path: str) -> str:
     return path + ".meta.json"
+
+
+# Leading bytes of every executable-format artifact, written before the
+# pickle payload.  Checked BEFORE unpickling so a file that is not a
+# pyfocusr_tpu executable artifact (wrong path, truncated copy, StableHLO
+# artifact passed to the wrong loader) fails fast with a clear error
+# instead of feeding arbitrary bytes to pickle.  NOT an integrity or
+# authenticity mechanism — see the module-level trust-boundary warning.
+_EXEC_MAGIC = b"#pyfocusr_tpu.jaxexec.v1\n"
 
 
 def _shape_sig(g) -> dict:
@@ -297,6 +318,7 @@ def export_registration_exec(cfg, target_example, source_example,
     blob = pickle.dumps((payload, in_tree, out_tree))
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
+        f.write(_EXEC_MAGIC)
         f.write(blob)
     os.replace(tmp, path)
     meta = {
@@ -322,6 +344,13 @@ def load_registration_exec(path: str, cfg=None, target=None, source=None):
     Validates the sidecar (config fingerprint, shapes, device kind, jax
     version) when present.
 
+    .. warning:: the artifact body is **pickle** — loading it executes
+       code from the file.  Only load artifacts from trusted sources
+       (see the module-level trust-boundary warning); the magic-header
+       check below rejects non-artifact files before unpickling but does
+       not authenticate the producer.  Use the StableHLO format
+       (:func:`load_registration`) across trust boundaries.
+
     XLA:CPU caveat (upstream, this toolchain): a process that mixes a
     DESERIALIZED executable with persistent-cache-loaded executables can
     fail at execute time ("Buffer Definition Event: Function ... not
@@ -334,6 +363,15 @@ def load_registration_exec(path: str, cfg=None, target=None, source=None):
 
     validate_artifact(path, cfg=cfg, target=target, source=source)
     with open(path, "rb") as f:
+        head = f.read(len(_EXEC_MAGIC))
+        if head != _EXEC_MAGIC:
+            raise ValueError(
+                f"{path} is not a pyfocusr_tpu executable artifact "
+                f"(missing {_EXEC_MAGIC!r} header): wrong file, a "
+                "truncated copy, a StableHLO artifact (use "
+                "load_registration), or an artifact from a pre-header "
+                "release — re-export with export_registration_exec"
+            )
         payload, in_tree, out_tree = pickle.loads(f.read())
     dev = jax.devices()[0]
     # Pin execution to ONE device: the default rebinds the executable to

@@ -448,6 +448,110 @@ def test_cfg_fingerprint_ignores_landmark_weight():
     )
 
 
+def test_cfg_fingerprint_stable_across_field_additions():
+    """Fingerprints saved under a PREVIOUS PipelineConfig field set must
+    stay loadable: the canonical form only records non-default fields,
+    and _fingerprint_matches parses legacy full-repr fingerprints
+    (which baked in every field, so adding a knob used to invalidate
+    every persisted template — advisor finding r4)."""
+    import dataclasses
+
+    from pyfocusr_tpu.pipeline import (
+        _FP_SKIP,
+        PipelineConfig,
+        _cfg_fingerprint,
+        _fingerprint_matches,
+    )
+
+    cfg = dataclasses.replace(
+        PipelineConfig(), non_rigid_beta=3.0, n_spectral_features=4
+    )
+
+    # A legacy (pre-r5) fingerprint: the full dataclass repr with the
+    # _FP_SKIP knobs normalized to defaults — exactly what r4 wrote.
+    fields = PipelineConfig.__dataclass_fields__
+    legacy = repr(dataclasses.replace(
+        cfg, **{n: fields[n].default for n in _FP_SKIP}
+    ))
+    assert legacy != _cfg_fingerprint(cfg)  # format changed...
+    assert _fingerprint_matches(legacy, cfg)  # ...but still accepted.
+
+    # An even OLDER save, from before eig_wide_degree_warm /
+    # eig_warm_resid_tol existed: simulate by textually removing those
+    # keywords from the repr (they sit at defaults in `legacy`).
+    for name in ("eig_wide_degree_warm", "eig_warm_resid_tol"):
+        val = fields[name].default
+        for sep in (f", {name}={val!r}", f"{name}={val!r}, "):
+            legacy_older = legacy.replace(sep, "", 1)
+            if legacy_older != legacy:
+                break
+        legacy = legacy_older
+    assert "eig_wide_degree_warm" not in legacy
+    assert _fingerprint_matches(legacy, cfg)
+
+    # Mismatches still mismatch, in both formats.
+    other = dataclasses.replace(cfg, non_rigid_beta=50.0)
+    assert not _fingerprint_matches(legacy, other)
+    assert not _fingerprint_matches(_cfg_fingerprint(cfg), other)
+    # Unknown field names (newer version / removed knob) are conservative.
+    assert not _fingerprint_matches(
+        "PipelineConfig(non_rigid_beta=3.0, n_spectral_features=4, "
+        "some_future_knob=1)", cfg
+    )
+    # Garbage never matches (and never raises).
+    assert not _fingerprint_matches("not a fingerprint (", cfg)
+
+
+def test_prepared_state_loads_across_fingerprint_format(tmp_path):
+    """End-to-end: a prepared-target .npz whose embedded fingerprint was
+    written in the legacy full-repr format still loads under the same
+    config (and still fails loudly under a different one)."""
+    import dataclasses
+
+    import numpy as np
+
+    from pyfocusr_tpu.mesh import load_mesh
+    from pyfocusr_tpu.pipeline import (
+        _FP_SKIP,
+        PipelineConfig,
+        load_prepared_target,
+        mesh_to_graph_arrays,
+        prepare_target,
+        save_prepared_target,
+    )
+
+    import jax
+
+    cfg = PipelineConfig()
+    mesh = load_mesh(f"{DATA}/target_mesh.vtk")
+    tgt = mesh_to_graph_arrays(mesh)
+    prep = prepare_target(tgt, cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "prep.npz")
+    save_prepared_target(path, prep, cfg=cfg, target=tgt)
+
+    # Rewrite the embedded fingerprint leaf to the legacy full-repr
+    # format, in place, preserving the npz key layout.
+    fields = PipelineConfig.__dataclass_fields__
+    legacy = repr(dataclasses.replace(
+        cfg, **{n: fields[n].default for n in _FP_SKIP}
+    ))
+    with np.load(path, allow_pickle=False) as data:
+        keys = [str(k) for k in data["__keys__"]]
+        leaves = {f"leaf_{i}": data[f"leaf_{i}"] for i in range(len(keys))}
+    idx = keys.index("['cfg_fingerprint']")
+    leaves[f"leaf_{idx}"] = np.frombuffer(
+        legacy.encode(), dtype=np.uint8
+    ).copy()
+    np.savez_compressed(path, __keys__=np.array(keys), **leaves)
+
+    loaded = load_prepared_target(path, cfg=cfg, target=tgt)
+    assert loaded is not None
+    with pytest.raises(ValueError, match="different PipelineConfig"):
+        load_prepared_target(
+            path, cfg=dataclasses.replace(cfg, non_rigid_beta=3.0)
+        )
+
+
 def test_register_landmark_fast_failures(tmp_path):
     """Bad landmark flags fail with a message and exit code 2 BEFORE any
     mesh is parsed (all run in well under a mesh-load)."""

@@ -287,6 +287,38 @@ class TestMeasuredRouting:
         assert _grid_decision(r, q, 1) == "grid"
         assert not os.path.exists(kr.cache_file())
 
+    def test_bucket_key_separates_k_classes(self):
+        """Brute cost grows ~linearly with k while grid cost is flat, so a
+        winner raced at k=2 must not be reused at k=8 (advisor finding
+        r4): log2 k-classes keep them apart."""
+        import pyfocusr_tpu.ops.knn_routing as kr
+
+        assert kr.bucket_key(1000, 4000, 2) != kr.bucket_key(1000, 4000, 8)
+        assert kr.bucket_key(1000, 4000, 2) == kr.bucket_key(1000, 4000, 3)
+        assert kr.bucket_key(1000, 4000, 4) == kr.bucket_key(1000, 4000, 7)
+        assert kr.bucket_key(1000, 4000, 1) != kr.bucket_key(1000, 4000, 2)
+
+    def test_store_merges_concurrent_writers(self, tmp_path, monkeypatch):
+        """Two processes racing DIFFERENT buckets each write their own
+        snapshot; _store must merge with the on-disk state so the last
+        writer does not drop the other's entry (advisor finding r4)."""
+        import pyfocusr_tpu.ops.knn_routing as kr
+
+        monkeypatch.setenv("PYFOCUSR_TPU_CAL_DIR", str(tmp_path))
+        kr._MEM.clear()
+        path = kr.cache_file()
+
+        # Process A wrote bucket "a" while our in-memory view was empty.
+        kr._store(path, {"a": {"winner": "grid"}})
+        # Simulate our process having loaded BEFORE A's write (stale
+        # in-memory view), then storing its own bucket "b".
+        kr._MEM.clear()
+        kr._store(path, {"b": {"winner": "brute"}})
+        with open(path) as f:
+            merged = json.load(f)
+        assert merged == {"a": {"winner": "grid"},
+                          "b": {"winner": "brute"}}
+
     def test_unwritable_cache_dir_still_works(self, tmp_path, monkeypatch):
         import pyfocusr_tpu.ops.knn_routing as kr
 

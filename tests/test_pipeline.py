@@ -711,3 +711,10 @@ def test_class_template_warm_block(mesh_5k_source, mesh_5k_target):
     prep2 = prepare_target(template, cfg_noblk, jax.random.PRNGKey(5))
     with pytest.raises(ValueError, match="no filtered block"):
         warm_block_from_prepared(prep2, template)
+
+    # A hand-built dict missing required keys gets the guided error
+    # naming warm_block_from_prepared, not a bare KeyError (advisor
+    # finding r4).
+    with pytest.raises(ValueError, match="warm_block_from_prepared"):
+        register_pair(tg, sg, cfg, jax.random.PRNGKey(0),
+                      warm_block={"points": wb["points"]})

@@ -330,3 +330,31 @@ print('ROUNDTRIP_OK')
         (tmp_path / "reg.jaxexec.meta.json").write_text(_json.dumps(meta))
         with pytest.raises(ValueError, match="device kind"):
             load_registration_exec(path)
+
+    def test_exec_magic_header_checked_before_unpickle(self, tmp_path):
+        """.jaxexec is a pickle payload (trust boundary — advisor finding
+        r4): a file without the magic header must be rejected BEFORE any
+        pickle bytes are read, so arbitrary files can never reach
+        pickle.loads through this loader."""
+        import pickle
+
+        from pyfocusr_tpu.utils.aot import _EXEC_MAGIC, load_registration_exec
+
+        class Boom:
+            def __reduce__(self):
+                return (pytest.fail, ("pickle payload was executed",))
+
+        bad = tmp_path / "evil.jaxexec"
+        bad.write_bytes(pickle.dumps(Boom()))
+        with pytest.raises(ValueError, match="missing .* header"):
+            load_registration_exec(str(bad))
+
+        # A headered artifact reaches the unpickle step (here: garbage
+        # after the header fails in pickle, proving the gate passed).
+        garbled = tmp_path / "garbled.jaxexec"
+        garbled.write_bytes(_EXEC_MAGIC + b"not a pickle")
+        with pytest.raises(Exception) as exc:
+            load_registration_exec(str(garbled))
+        assert not isinstance(exc.value, ValueError) or "header" not in str(
+            exc.value
+        )
