@@ -873,7 +873,7 @@ def register_pair(
     )
 
 
-def warm_block_from_prepared(prep, template: GraphArrays):
+def warm_block_from_prepared(prep, template: GraphArrays = None):
     """Build the ``register_pair(warm_block=...)`` seed from a prepared
     template: the template's geometry plus its converged filtered
     eigensolver block (:func:`prepare_target` with the default
@@ -885,12 +885,35 @@ def warm_block_from_prepared(prep, template: GraphArrays):
     from it — each pair then runs 2+2 warm chunks instead of 5+2
     (measured headline impact in bench.py ``class_template_15k``).  The
     template must be roughly aligned with the pairs' coordinate frame
-    (the seed maps through a spatial nearest-neighbor query)."""
+    (the seed maps through a spatial nearest-neighbor query).
+
+    ``template`` may be omitted when ``prep`` was loaded from a save
+    that embeds the template geometry (:func:`save_prepared_target`
+    with ``target=`` — the CLI's ``--warm-from`` path)."""
     if prep.get("block") is None:
         raise ValueError(
             "prepared state carries no filtered block — re-run "
             "prepare_target with eig_warm_start=True (wide-chebyshev path)"
         )
+    if template is None:
+        if prep.get("warm_points") is None:
+            raise ValueError(
+                "prepared state does not embed the template geometry — "
+                "pass the template GraphArrays, or re-save with "
+                "save_prepared_target(..., target=template)"
+            )
+        if prep["block"].shape[0] != prep["warm_points"].shape[0]:
+            raise ValueError(
+                f"prepared block has {prep['block'].shape[0]} rows but the "
+                f"embedded template geometry has "
+                f"{prep['warm_points'].shape[0]} — corrupt or hand-edited "
+                "save"
+            )
+        return {
+            "points": prep["warm_points"],
+            "valid_mask": prep["warm_valid_mask"],
+            "block": prep["block"],
+        }
     if prep["block"].shape[0] != template.points.shape[0]:
         # jax gather CLAMPS out-of-range rows silently, so a mismatched
         # prep/template pair would corrupt the warm seed instead of
@@ -956,7 +979,8 @@ def _prepare_target_jit(target: GraphArrays, cfg: PipelineConfig, key,
     return out
 
 
-def prepare_target(target: GraphArrays, cfg: PipelineConfig, key):
+def prepare_target(target: GraphArrays, cfg: PipelineConfig, key,
+                   warm_block=None):
     """Precompute the target-only pipeline state for template serving.
 
     Registering N subjects to ONE template recomputes the template's
@@ -977,13 +1001,18 @@ def prepare_target(target: GraphArrays, cfg: PipelineConfig, key):
     ``icp_reg_target_to_source=True`` moves the TARGET per pair
     (``focusr.py:110-131``) and is rejected: target state cannot be
     hoisted.
+
+    ``warm_block`` (optional): a CLASS-TEMPLATE seed from
+    :func:`warm_block_from_prepared` — this preparation's own eigensolve
+    then starts warm and runs the truncated schedule (same contract as
+    ``register_pair(warm_block=...)``).
     """
     if cfg.icp_register_first and cfg.icp_reg_target_to_source:
         raise ValueError(
             "prepare_target requires a fixed target; "
             "icp_reg_target_to_source=True moves the target per pair"
         )
-    return _prepare_target_jit(target, cfg, key)
+    return _prepare_target_jit(target, cfg, key, warm_block=warm_block)
 
 
 def register_pair_prepared(
@@ -1253,6 +1282,12 @@ def save_prepared_target(
         tree["target_fingerprint"] = _np.frombuffer(
             _graph_fingerprint(target).encode(), dtype=_np.uint8
         ).copy()
+        # Embed the template geometry so the save is self-contained for
+        # CLASS-TEMPLATE warm starts (warm_block_from_prepared with no
+        # template argument; CLI --warm-from): ~N x 4 floats, negligible
+        # next to the N x 128 filtered block.
+        tree["warm_points"] = _np.asarray(target.points)
+        tree["warm_valid_mask"] = _np.asarray(target.valid_mask)
     save_results(path, tree)
 
 
@@ -1296,6 +1331,9 @@ def load_prepared_target(
     }
     if "['block']" in flat:  # warm-start seed (absent in pre-warm-start saves)
         out["block"] = jnp.asarray(flat["['block']"])
+    if "['warm_points']" in flat:  # embedded template geometry (--warm-from)
+        out["warm_points"] = jnp.asarray(flat["['warm_points']"])
+        out["warm_valid_mask"] = jnp.asarray(flat["['warm_valid_mask']"])
     return out
 
 

@@ -282,6 +282,56 @@ def test_register_prepared_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(c1, c2)
 
 
+@pytest.mark.slow
+def test_register_warm_from_class_template(tmp_path):
+    """--warm-from NPZ: class-template warm start on the CLI (VERDICT r4
+    #7).  The template here is the pair's own target (the strongest
+    template), saved via --save-prepared; the warm run must land on
+    (near-)identical physical picks as the cold run — the same gate as
+    test_class_template_warm_block."""
+    from pyfocusr_tpu.mesh import load_mesh
+
+    common = [
+        "--non-rigid-max-iterations", "30",
+        "--graph-smoothing-iterations", "30",
+        "--n-coords-spectral-registration", "500",
+    ]
+    d_cold, d_warm = tmp_path / "cold", tmp_path / "warm"
+    d_cold.mkdir(); d_warm.mkdir()
+    prep_npz = str(tmp_path / "template.npz")
+    p1 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d_cold), "--save-prepared", prep_npz] + common
+    )
+    assert p1.returncode == 0, p1.stderr[-800:]
+    p2 = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "-o", str(d_warm), "--warm-from", prep_npz] + common
+    )
+    assert p2.returncode == 0, p2.stderr[-800:]
+    c_cold = np.load(d_cold / "correspondences.npy")
+    c_warm = np.load(d_warm / "correspondences.npy")
+    tp = np.asarray(load_mesh(f"{DATA}/target_mesh.vtk").points)
+    d = np.linalg.norm(tp[c_cold] - tp[c_warm], axis=1)
+    assert np.median(d) < 1e-6, np.median(d)
+    assert d.mean() < 0.5, d.mean()
+
+
+def test_register_warm_from_fast_failures(tmp_path):
+    """--warm-from flag validation fails fast (exit 2, no mesh parse)."""
+    missing = str(tmp_path / "nope.npz")
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--warm-from", missing, "--multires", "1000", "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "--warm-from is incompatible" in proc.stderr
+    proc = _run_cli(
+        ["register", f"{DATA}/target_mesh.vtk", f"{DATA}/source_mesh.vtk",
+         "--warm-from", missing, "--prepared", missing, "-o", str(tmp_path)]
+    )
+    assert proc.returncode == 2 and "--warm-from is incompatible" in proc.stderr
+
+
 def test_output_stems_disambiguate_equal_basenames():
     from pyfocusr_tpu.cli import _output_stems
 
