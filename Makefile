@@ -29,8 +29,13 @@ bench:
 native:
 	sh native/build.sh
 
+# Offline lint gate: this dev image bakes no linters and cannot install
+# any, so tools/lint_lite.py enforces the pyflakes/pycodestyle rules that
+# CI's `ruff check` (pyproject [tool.ruff.lint]) runs with — the two
+# gates select the same rules and agree.
 lint:
 	python -m compileall -q pyfocusr_tpu
+	python tools/lint_lite.py
 
 # --no-build-isolation: zero-egress environments cannot resolve the
 # setuptools build dependency from pypi; the host interpreter already has it.

@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import base64
 import re
-import struct
 import zlib
 from xml.etree import ElementTree
 

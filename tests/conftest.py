@@ -12,7 +12,11 @@ import sys
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# ~ expands portably (CI runs this on macOS/Windows runners too; on the
+# primary dev image HOME=/root so the path is the usual /root/.jax_cache).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
 
 import jax
 

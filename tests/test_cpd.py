@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pyfocusr_tpu.ops.cpd import (
     affine_registration,

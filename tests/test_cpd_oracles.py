@@ -21,9 +21,7 @@ These tests prove three things:
    introduction.
 """
 
-import jax
 import numpy as np
-import pytest
 from scipy.spatial.distance import cdist
 
 from tools.pycpd_oracle import (

@@ -3,11 +3,10 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pyfocusr_tpu.mesh import build_topology
 from pyfocusr_tpu.ops.curvature import principal_curvatures
-from pyfocusr_tpu.ops.icp import apply_rigid, icp, umeyama
+from pyfocusr_tpu.ops.icp import icp, umeyama
 
 
 def make_sphere(n_theta=24, n_phi=48, r=2.0):

@@ -5,7 +5,7 @@ meshes.  Skips when the shared library is not built."""
 import numpy as np
 import pytest
 
-from pyfocusr_tpu.native import get_lib, topology_native
+from pyfocusr_tpu.native import get_lib
 
 
 def _numpy_topology(tris, n_points, **kw):

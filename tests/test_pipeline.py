@@ -8,7 +8,6 @@ import pytest
 
 from pyfocusr_tpu import load_mesh
 from pyfocusr_tpu.pipeline import (
-    GraphArrays,
     PipelineConfig,
     mesh_to_graph_arrays,
     register_pair,

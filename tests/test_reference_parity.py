@@ -6,7 +6,6 @@ loops over the published equations (with file:line citations) — and the
 vectorized TPU implementations must reproduce them.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

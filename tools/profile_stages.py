@@ -19,7 +19,6 @@ import numpy as np
 from pyfocusr_tpu import load_mesh
 from pyfocusr_tpu.ops import graph_ops
 from pyfocusr_tpu.ops import cpd as cpd_ops
-from pyfocusr_tpu.ops.eigen import smallest_nonzero_eigpairs
 from pyfocusr_tpu.ops.icp import icp as icp_fit
 from pyfocusr_tpu.ops.knn import knn_query, nn_query
 from pyfocusr_tpu.pipeline import PipelineConfig, _spectrum, mesh_to_graph_arrays
