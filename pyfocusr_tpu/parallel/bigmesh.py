@@ -78,6 +78,14 @@ def pad_rows_for_sharding(graph, n_shards: int):
     n = graph.n_points
     n_pad = -(-n // n_shards) * n_shards
     if n_pad == n:
+        if graph.patch_plan is not None:
+            # The patch-dense plan's arrays are not vertex-sharded (their
+            # leading dims are plan-internal); strip it so the uniform
+            # P('verts') spec tree stays valid.  The sharded refine never
+            # runs an eigensolve, so nothing is lost.
+            import dataclasses as _dc
+
+            graph = _dc.replace(graph, patch_plan=None)
         return graph, n
     extra = n_pad - n
 

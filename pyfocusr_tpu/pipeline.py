@@ -299,6 +299,13 @@ class GraphArrays:
     null_indicators: jnp.ndarray  # f32 [N, C] per-component indicator columns
     overflow: jnp.ndarray = None  # i32 [E_o, 2] hub-vertex spill edges
     node_features: jnp.ndarray = None  # f32 [N, K] normalized extra features
+    # Optional patch-dense filter plan (ops/patch_dense.py): index-only
+    # structure derived from neighbors/nbr_mask/overflow, attached by
+    # mesh_to_graph_arrays for unpadded meshes in the profitable size
+    # range.  Purely a performance artifact: excluded from
+    # _graph_fingerprint, stripped before vertex sharding
+    # (parallel/bigmesh), and None on padded/cohort graphs.
+    patch_plan: dict = None
 
     def __post_init__(self):
         # Default node_features to an empty [N, 0] array.  Guard for tree
@@ -327,6 +334,7 @@ class GraphArrays:
             self.null_indicators,
             self.overflow,
             self.node_features,
+            self.patch_plan,
         ), None
 
     @classmethod
@@ -347,6 +355,7 @@ def mesh_to_graph_arrays(
     degree_cap: Optional[int] = 24,
     node_features=None,
     topology=None,
+    patch_blocks: Optional[bool] = None,
 ) -> GraphArrays:
     """Build pipeline arrays from a mesh, optionally padded to a fixed size
     for batching.  ``null_indicators`` carries one indicator column per
@@ -442,6 +451,23 @@ def mesh_to_graph_arrays(
             ],
             axis=1,
         )
+    # Patch-dense filter plan (ops/patch_dense.py): built for unpadded
+    # meshes in the wide-solver size range — padded/cohort graphs skip it
+    # (plan shapes are topology-dependent, so stacked cohorts would be
+    # ragged; padded graphs keep the ELL path).
+    plan = None
+    padded = any(
+        x is not None
+        for x in (pad_n_points, pad_degree, pad_components, pad_overflow)
+    )
+    if patch_blocks is None:
+        patch_blocks = not padded
+    if patch_blocks:
+        from .ops.patch_dense import build_patch_plan
+
+        plan_np = build_patch_plan(neighbors, nbr_mask, overflow)
+        if plan_np is not None:
+            plan = {k_: jnp.asarray(v_) for k_, v_ in plan_np.items()}
     return GraphArrays(
         points=jnp.asarray(points),
         neighbors=jnp.asarray(neighbors),
@@ -450,6 +476,7 @@ def mesh_to_graph_arrays(
         null_indicators=jnp.asarray(indicators),
         overflow=jnp.asarray(overflow),
         node_features=jnp.asarray(feats),
+        patch_plan=plan,
     )
 
 
@@ -545,25 +572,37 @@ def _spectrum(graph: GraphArrays, k: int, key, cfg: PipelineConfig,
             sw = s[:, None] * w * s[graph.neighbors]
             sd = s * s * d * mask
             has_ov = ov is not None and ov.shape[0] > 0
-            if has_ov:
-                ov_sw = ov_w * s[ov[:, 0]] * s[ov[:, 1]]
+            ov_sw = (
+                ov_w * s[ov[:, 0]] * s[ov[:, 1]]
+                if has_ov
+                else jnp.zeros((0,), sw.dtype)
+            )
+            plan = graph.patch_plan
+            if plan is not None:
+                # Patch-dense filter (ops/patch_dense.py): intra-patch
+                # edges as batched MXU blocks + compacted boundary
+                # residual — measured 1.8x per step vs the ELL gather at
+                # 15k, same operator exactly (f32 regrouping only).
+                from .ops.patch_dense import patch_filter_factory
 
-            def factory(c, e):
-                alpha = 2.0 / e
-                What = alpha * sw
-                a_diag = alpha * (sd - c * mask)
+                factory = patch_filter_factory(plan, sw, ov_sw, sd, mask)
+            else:
+                def factory(c, e):
+                    alpha = 2.0 / e
+                    What = alpha * sw
+                    a_diag = alpha * (sd - c * mask)
 
-                def op(T):
-                    y = a_diag[:, None] * T - jnp.einsum(
-                        "nd,ndc->nc", What, T[graph.neighbors]
-                    )
-                    if has_ov:
-                        y = y.at[ov[:, 0]].add(
-                            -(alpha * ov_sw)[:, None] * T[ov[:, 1]]
+                    def op(T):
+                        y = a_diag[:, None] * T - jnp.einsum(
+                            "nd,ndc->nc", What, T[graph.neighbors]
                         )
-                    return y
+                        if has_ov:
+                            y = y.at[ov[:, 0]].add(
+                                -(alpha * ov_sw)[:, None] * T[ov[:, 1]]
+                            )
+                        return y
 
-                return op
+                    return op
 
             out = chebyshev_eigpairs_wide(
                 matvec, null_basis, key, k,
