@@ -161,8 +161,13 @@ def main():
 
         (res, dt), _att = _retry(_timed)
         times.append(dt)
-    t_run = float(np.median(times))
+    # MIN over reps, not median (VERDICT r4 #3): tunnel congestion is
+    # strictly additive jitter on this runtime, so the min approximates
+    # the uncongested device+dispatch time; the full run list is kept for
+    # congestion attribution.
+    t_run = float(np.min(times))
     diag["runs_s"] = [round(t, 3) for t in times]
+    diag["runs_median_s"] = round(float(np.median(times)), 3)
 
     # --- Quality metrics (BASELINE.json tracked; VERDICT r1 task #2) ---
     # Guarded like the scale diagnostics below: once the timed runs are in,
@@ -201,29 +206,34 @@ def main():
         _ = jax.block_until_ready(
             eigensolve(tg, cfg.n_total, jax.random.PRNGKey(0), cfg)
         )  # compile
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             out_t = eigensolve(tg, cfg.n_total, jax.random.PRNGKey(i), cfg)
             out_s = eigensolve(sg, cfg.n_total, jax.random.PRNGKey(i), cfg)
             jax.block_until_ready((out_t, out_s))
             _ = np.asarray(out_t[0])
             eig_times.append(time.perf_counter() - t0)
-        diag["eigensolve_k6_both_meshes_s"] = round(float(np.median(eig_times)), 4)
+        diag["eigensolve_k6_both_meshes_s"] = round(float(np.min(eig_times)), 4)
         diag["eigensolve_runs_s"] = [round(t, 4) for t in eig_times]
     except Exception as e:
         print(f"eigensolve diagnostic failed: {e}", file=sys.stderr)
         diag["eigensolve_k6_both_meshes_s"] = None
 
-    # --- Eigensolve roofline (VERDICT r3 task #1): the wide-Chebyshev
-    # filter's gather-einsum is 84% of the headline; report its achieved
-    # HBM bandwidth vs the chip's peak so "fast vs the hardware" is
-    # measured, not asserted.  The dominant per-step traffic is the ELL
-    # neighbor gather T[neighbors]: [N, D, C] f32 issued rows. ---
+    # --- Eigensolve step + solve-level budget (VERDICT r4 #1/#3).
+    # METHODOLOGY NOTE: the round-4 version timed filter_steps(420) minus
+    # filter_steps(20), each call fenced by a 7.7 MB host transfer; in a
+    # congested session the small-call min stays inflated relative to the
+    # large one, UNDERSTATING the step time (r4 recorded 94.6 us = "99.9%
+    # of HBM peak"; clean in-program-loop remeasurement gives ~280 us for
+    # the ELL op — ~30% of peak — and ~160 us for the patch-dense op that
+    # replaced it).  This version times R in-program repetitions with a
+    # serializing carry against an empty loop of the same trip count, so
+    # per-call latency cancels exactly, and reports the SOLVE-level
+    # budget (fixed overhead vs per-chunk cost) from a chunks sweep. ---
     if os.environ.get("BENCH_SKIP_ROOFLINE") != "1":
         try:
-            from functools import partial as _partial
-
             from pyfocusr_tpu.ops import graph_ops as _go
+            from pyfocusr_tpu.ops.patch_dense import patch_filter_factory
 
             mask = tg.valid_mask
             w_e = _go.edge_weights(tg.points, tg.neighbors, tg.nbr_mask)
@@ -234,68 +244,107 @@ def main():
             s_v = jnp.sqrt(g_v)
             sw = s_v[:, None] * w_e * s_v[tg.neighbors]
             sd = s_v * s_v * d_v * mask
+            ov_sw = (ov_w * s_v[ov[:, 0]] * s_v[ov[:, 1]]
+                     if ov.shape[0] > 0 else jnp.zeros((0,), sw.dtype))
             N, D = tg.neighbors.shape
             C = cfg.eig_wide_block
-            alpha, c0 = 2.0, 1.0  # representative filter coefficients
-
-            @jax.jit
-            def filter_steps(T, n):
-                What = alpha * sw
-                a_diag = alpha * (sd - c0 * mask)
-
-                def body(_, Tc):
-                    y = a_diag[:, None] * Tc - jnp.einsum(
-                        "nd,ndc->nc", What, Tc[tg.neighbors]
-                    )
-                    if ov.shape[0] > 0:
-                        osw = ov_w * s_v[ov[:, 0]] * s_v[ov[:, 1]]
-                        y = y.at[ov[:, 0]].add(
-                            -(alpha * osw)[:, None] * Tc[ov[:, 1]]
-                        )
-                    # rescale to keep iterates finite over many steps
-                    return y / jnp.maximum(
-                        jnp.max(jnp.abs(y)), 1e-30
-                    )
-
-                return jax.lax.fori_loop(0, n, body, T)
-
+            lam_rep = 2.0  # representative window scalars (perf-neutral)
             T0 = jax.random.normal(jax.random.PRNGKey(0), (N, C))
-            jax.block_until_ready(filter_steps(T0, 5))  # compile+warm
+            R_STEPS = 200
 
-            def _timed_steps(n, reps=7):
-                # Tunnel dispatch jitter swamps single measurements and,
-                # in congested sessions, even medians (observed NEGATIVE
-                # step deltas twice).  The MIN over reps approximates the
-                # uncongested device time — jitter is strictly additive.
+            def _min_reps(fn, *a, reps=7):
+                jax.block_until_ready(fn(*a))  # compile/warm outside
                 ts = []
-                for _ in range(reps):
+                for i in range(reps):
+                    # Vary the input per rep: byte-identical calls were
+                    # observed returning in ~0.03 ms on this runtime (a
+                    # result cache in the tunnel stack for small-output
+                    # programs) — same-args min-of-reps can measure
+                    # nothing.  The scale does not change the op mix.
+                    ai = (a[0] * (1.0 + 1e-6 * i),) + a[1:]
                     t0 = time.perf_counter()
-                    _ = np.asarray(filter_steps(T0, n))[:1]
+                    jax.block_until_ready(fn(*ai))
                     ts.append(time.perf_counter() - t0)
                 return float(np.min(ts))
 
-            step_s = (_timed_steps(420) - _timed_steps(20)) / 400.0
-            if step_s <= 0:  # still congestion-poisoned: say so
-                raise RuntimeError(
-                    "negative step delta — tunnel congestion exceeded "
-                    "the min-of-reps guard; re-run in a quieter session"
+            def _amortized_step(op):
+                def body(t):
+                    y = op(t)
+                    return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+
+                f = jax.jit(lambda T: jax.lax.fori_loop(
+                    0, R_STEPS, lambda i, t: body(t), T))
+                e = jax.jit(lambda T: jax.lax.fori_loop(
+                    0, R_STEPS, lambda i, t: t, T))
+                return (_min_reps(f, T0) - _min_reps(e, T0)) / R_STEPS
+
+            def _ell_op(T):
+                y = sd[:, None] * T - jnp.einsum(
+                    "nd,ndc->nc", sw, T[tg.neighbors]
                 )
-            # Issued HBM traffic per step (f32): gather read N*D*C, write
-            # N*C, a_diag*T read N*C, coefficient reads N*(D+2).
+                if ov.shape[0] > 0:
+                    y = y.at[ov[:, 0]].add(-ov_sw[:, None] * T[ov[:, 1]])
+                return y
+
+            ell_step_s = _amortized_step(_ell_op)
+            entry = {
+                "ell_shape": [int(N), int(D), int(C)],
+                "ell_step_us": round(ell_step_s * 1e6, 1),
+                "steps_per_solve": int(
+                    cfg.eig_wide_chunks * cfg.eig_wide_degree
+                ),
+            }
+            if tg.patch_plan is not None:
+                pf = patch_filter_factory(tg.patch_plan, sw, ov_sw, sd, mask)
+                patch_step_s = _amortized_step(pf(lam_rep / 2, lam_rep / 2))
+                entry["patch_step_us"] = round(patch_step_s * 1e6, 1)
+                entry["patch_speedup_vs_ell"] = round(
+                    ell_step_s / patch_step_s, 2
+                )
+                step_s = patch_step_s
+            else:
+                step_s = ell_step_s
+            # HBM context for the ELL op (the patch op is MXU+gather
+            # mixed, so a single-stream roofline does not describe it).
             bytes_step = 4.0 * (N * D * C + 2 * N * C + N * (D + 2))
-            flops_step = 2.0 * N * D * C + 4.0 * N * C
             peak = {"v5 lite": 819e9, "v5p": 2765e9}.get(
                 next((k for k in ("v5 lite", "v5p")
                       if k in str(dev)), ""), 819e9)
-            diag["eig_filter_roofline"] = {
-                "ell_shape": [int(N), int(D), int(C)],
-                "step_us": round(step_s * 1e6, 1),
-                "issued_GB_per_s": round(bytes_step / step_s / 1e9, 1),
-                "hbm_peak_GB_per_s": round(peak / 1e9, 1),
-                "hbm_fraction": round(bytes_step / step_s / peak, 3),
-                "gflops": round(flops_step / step_s / 1e9, 1),
-                "steps_per_solve": int(
-                    cfg.eig_wide_chunks * cfg.eig_wide_degree
+            entry["ell_issued_GB_per_s"] = round(bytes_step / ell_step_s / 1e9, 1)
+            entry["ell_hbm_fraction"] = round(bytes_step / ell_step_s / peak, 3)
+            entry["filter_total_ms_per_solve"] = round(
+                step_s * cfg.eig_wide_chunks * cfg.eig_wide_degree * 1e3, 2
+            )
+            diag["eig_filter_roofline"] = entry
+
+            # Solve-level budget: per-chunk cost and fixed overhead from
+            # a chunks sweep of the REAL jitted solve (min-of-reps each).
+            # Keys VARY per rep: repeating byte-identical inputs was
+            # observed to return in ~0.03 ms on this runtime (a
+            # result-level cache somewhere in the tunnel stack) — any
+            # same-args min-of-reps can silently measure nothing.
+            from pyfocusr_tpu.pipeline import _spectrum as _spec
+
+            def _solve_chunks(c):
+                f = jax.jit(lambda g, k: _spec(g, 6, k, cfg, chunks=c)[0])
+                jax.block_until_ready(f(tg, jax.random.PRNGKey(99)))
+                ts = []
+                for i in range(5):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(tg, jax.random.PRNGKey(i)))
+                    ts.append(time.perf_counter() - t0)
+                return float(np.min(ts))
+
+            t5 = _solve_chunks(cfg.eig_wide_chunks)
+            t1 = _solve_chunks(1)
+            per_chunk = (t5 - t1) / max(cfg.eig_wide_chunks - 1, 1)
+            diag["eig_solve_budget"] = {
+                "solve_ms": round(t5 * 1e3, 2),
+                "per_chunk_ms": round(per_chunk * 1e3, 2),
+                "fixed_ms": round((t1 - per_chunk) * 1e3, 2),
+                "filter_ms_model": round(
+                    step_s * cfg.eig_wide_chunks * cfg.eig_wide_degree * 1e3,
+                    2,
                 ),
             }
         except Exception as e:
@@ -338,7 +387,7 @@ def main():
 
             qw = _rq(target, source, rw)
             diag["class_template_15k"] = {
-                "seconds": round(float(np.median(wt)), 4),
+                "seconds": round(float(np.min(wt)), 4),
                 "runs_s": [round(t, 3) for t in wt],
                 "unique_fraction": qw["unique_fraction"],
                 "symmetric_surface_dist_mm": qw["symmetric_surface_dist_mm"],
@@ -367,7 +416,7 @@ def main():
             r = register_pair_prepared(prep, tg, sg, cfg, jax.random.PRNGKey(i + 1))
             _ = np.asarray(r["correspondences"])[:4]
             p_times.append(time.perf_counter() - t0)
-        diag["prepared_template_15k_s"] = round(float(np.median(p_times)), 4)
+        diag["prepared_template_15k_s"] = round(float(np.min(p_times)), 4)
     except Exception as e:
         print(f"prepared-template diagnostic failed: {e}", file=sys.stderr)
         diag["prepared_template_15k_s"] = None
@@ -525,7 +574,7 @@ def main():
             jax.block_until_ready(res5)
             _ = np.asarray(res5["correspondences"])
             h_times.append(time.perf_counter() - t0)
-        diag["hungarian_5k_end_to_end_s"] = round(float(np.median(h_times)), 4)
+        diag["hungarian_5k_end_to_end_s"] = round(float(np.min(h_times)), 4)
         diag["hungarian_5k_runs_s"] = [round(t, 3) for t in h_times]
     except Exception as e:  # transient device faults must not kill the bench
         print(f"hungarian diagnostic failed: {e}", file=sys.stderr)
@@ -560,21 +609,28 @@ def main():
             )
             jax.block_until_ready(fine)
             t_mr_cold = time.perf_counter() - t0
-            # Warm pass: same shapes, compiled programs cached — the
+            # Warm passes: same shapes, compiled programs cached — the
             # steady-state per-pair cost for a cohort of this size class.
-            t0 = time.perf_counter()
-            fine, _coarse = register_pair_multires(
-                t_big, s_big, mcfg, jax.random.PRNGKey(1), coarse_n=12000
-            )
-            jax.block_until_ready(fine)
-            mcorr = np.asarray(fine["correspondences"])
-            t_mr = time.perf_counter() - t0
+            # TWO runs, MIN reported (VERDICT r4 #3: a single warm run
+            # could not distinguish tunnel congestion from regression —
+            # the r4 driver capture recorded 11.2 s for a ~6 s path).
+            mr_times = []
+            for mi in (1, 2):
+                t0 = time.perf_counter()
+                fine, _coarse = register_pair_multires(
+                    t_big, s_big, mcfg, jax.random.PRNGKey(mi), coarse_n=12000
+                )
+                jax.block_until_ready(fine)
+                mcorr = np.asarray(fine["correspondences"])
+                mr_times.append(time.perf_counter() - t0)
+            t_mr = float(np.min(mr_times))
             from pyfocusr_tpu.metrics import surface_distance
 
             m_mean, _m_haus = surface_distance(fine["weighted_points"], t_big)
             diag["multires_240k"] = {
                 "n_vertices": int(t_big.n_points),
                 "seconds": round(t_mr, 3),
+                "runs_s": [round(t, 3) for t in mr_times],
                 "first_run_seconds": round(t_mr_cold, 3),
                 "unique_fraction": round(
                     len(np.unique(mcorr)) / mcorr.shape[0], 4
@@ -616,11 +672,16 @@ def main():
             )
             cres, _ = register_cohort(tg5, targets, ccfg, jax.random.PRNGKey(0))
             jax.block_until_ready(cres)  # compile
-            t0 = time.perf_counter()
-            cres, _ = register_cohort(tg5, targets, ccfg, jax.random.PRNGKey(1))
-            jax.block_until_ready(cres)
-            _ = np.asarray(cres["correspondences"])
-            t_cohort = time.perf_counter() - t0
+            co_times = []
+            for ci in (1, 2, 3):
+                t0 = time.perf_counter()
+                cres, _ = register_cohort(
+                    tg5, targets, ccfg, jax.random.PRNGKey(ci)
+                )
+                jax.block_until_ready(cres)
+                _ = np.asarray(cres["correspondences"])[:1]
+                co_times.append(time.perf_counter() - t0)
+            t_cohort = float(np.min(co_times))
             ccorr = np.asarray(cres["correspondences"])
             uniq_c = [
                 len(np.unique(ccorr[b])) / ccorr.shape[1]
@@ -678,7 +739,7 @@ def main():
                 ft_times.append(time.perf_counter() - t0)
             qf = registration_quality(target, source, rf)
             diag["features_15k"] = {
-                "seconds": round(float(np.median(ft_times)), 3),
+                "seconds": round(float(np.min(ft_times)), 3),
                 "unique_fraction": qf["unique_fraction"],
                 "symmetric_surface_dist_mm": qf["symmetric_surface_dist_mm"],
             }
@@ -784,13 +845,17 @@ def main():
             )
             rh = register_pair(tgh, sgh, dcfg, jax.random.PRNGKey(0))
             jax.block_until_ready(rh)  # compile
-            t0 = time.perf_counter()
-            rh = register_pair(tgh, sgh, dcfg, jax.random.PRNGKey(1))
-            jax.block_until_ready(rh)
-            _ = np.asarray(rh["correspondences"])[:4]
+            dh_times = []
+            for di in (1, 2):
+                t0 = time.perf_counter()
+                rh = register_pair(tgh, sgh, dcfg, jax.random.PRNGKey(di))
+                jax.block_until_ready(rh)
+                _ = np.asarray(rh["correspondences"])[:4]
+                dh_times.append(time.perf_counter() - t0)
             diag["direct_122k_hub"] = {
                 "n_vertices": int(tgh.n_points),
-                "seconds": round(time.perf_counter() - t0, 3),
+                "seconds": round(float(np.min(dh_times)), 3),
+                "runs_s": [round(t, 3) for t in dh_times],
             }
         except Exception as e:
             print(f"direct-122k diagnostic failed: {e}", file=sys.stderr)

@@ -51,6 +51,14 @@ BLOCK = 128
 # Above this, dense blocks cost > ~128 MB and the split-spectra/multires
 # paths own the mesh anyway.
 PATCH_DENSE_MAX_N = 150_000
+# Residual-width cap: the boundary residual is applied as Dr unrolled
+# row gathers, so a hub vertex whose cross-patch degree is huge (the
+# 122k UV-sphere bench's poles reach ~350 via overflow edges) would
+# make every filter step pay hundreds of gathers — measured 3.4x SLOWER
+# end-to-end than the ELL path it replaced.  Such meshes fall back to
+# ELL (build_patch_plan returns None).  Organic surface meshes sit at
+# Dr <= 8.
+DR_MAX = 16
 
 
 def build_patch_plan(neighbors, nbr_mask, overflow=None, block: int = BLOCK):
@@ -149,6 +157,8 @@ def build_patch_plan(neighbors, nbr_mask, overflow=None, block: int = BLOCK):
     bnd = np.where(cross_deg > 0)[0]
     Nb = len(bnd)
     Dr = int(cross_deg[bnd].max()) if Nb else 1
+    if Dr > DR_MAX:
+        return None  # hub-heavy topology: the ELL path wins (see DR_MAX)
     res_cols = np.zeros((max(Nb, 1), Dr), np.int64)
     res_src = np.full((max(Nb, 1), Dr), zero_slot, np.int64)
     pos_of = np.full(n, -1, np.int64)

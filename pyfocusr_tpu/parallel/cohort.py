@@ -84,7 +84,24 @@ def pad_cohort(meshes: Sequence[TriMesh]) -> List[GraphArrays]:
 
 
 def stack_graph_arrays(graphs: Sequence[GraphArrays]) -> GraphArrays:
-    """Stack equal-shape GraphArrays along a new leading cohort axis."""
+    """Stack equal-shape GraphArrays along a new leading cohort axis.
+
+    Patch-dense plans (``patch_plan``) are kept only when every graph
+    carries one AND their shapes agree (same topology class — e.g. one
+    mesh jittered N ways); otherwise they are stripped: plan shapes are
+    topology-dependent, so equal-vertex-count meshes with different
+    triangulations would stack ragged."""
+    import dataclasses as _dc
+
+    plans = [g.patch_plan for g in graphs]
+    keep = all(p is not None for p in plans) and len(
+        {tuple(sorted((k, v.shape) for k, v in p.items())) for p in plans}
+    ) == 1
+    if not keep:
+        graphs = [
+            _dc.replace(g, patch_plan=None) if g.patch_plan is not None else g
+            for g in graphs
+        ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
 
 
