@@ -197,21 +197,29 @@ def main():
     from pyfocusr_tpu.pipeline import _spectrum
 
     @partial(jax.jit, static_argnames=("k", "cfg"))
-    def eigensolve(g, k, key, cfg):
-        lams, vecs, _ = _spectrum(g, k, key, cfg)
-        return lams, vecs
+    def eigensolve_both(gt, gs, k, key, cfg):
+        # ONE program for both meshes — how the fused pipeline runs them.
+        # Measured r5: each solve is ~33 ms device time, but every CALL
+        # on this runtime pays a ~25-30 ms overhead (observed even for a
+        # chunks=0 solve and for jnp.sum on a [15k,3] input in steady
+        # processes); two sequential calls double that overhead, which is
+        # runtime dispatch, not eigensolver work.
+        lt, vt, _ = _spectrum(gt, k, key, cfg)
+        ls, vs, _ = _spectrum(gs, k, jax.random.fold_in(key, 1), cfg)
+        return lt, vt, ls, vs
 
     try:
         eig_times = []
         _ = jax.block_until_ready(
-            eigensolve(tg, cfg.n_total, jax.random.PRNGKey(0), cfg)
+            eigensolve_both(tg, sg, cfg.n_total, jax.random.PRNGKey(9), cfg)
         )  # compile
         for i in range(5):
             t0 = time.perf_counter()
-            out_t = eigensolve(tg, cfg.n_total, jax.random.PRNGKey(i), cfg)
-            out_s = eigensolve(sg, cfg.n_total, jax.random.PRNGKey(i), cfg)
-            jax.block_until_ready((out_t, out_s))
-            _ = np.asarray(out_t[0])
+            out = eigensolve_both(
+                tg, sg, cfg.n_total, jax.random.PRNGKey(i), cfg
+            )
+            jax.block_until_ready(out)
+            _ = np.asarray(out[0])
             eig_times.append(time.perf_counter() - t0)
         diag["eigensolve_k6_both_meshes_s"] = round(float(np.min(eig_times)), 4)
         diag["eigensolve_runs_s"] = [round(t, 4) for t in eig_times]
